@@ -1,0 +1,97 @@
+"""As-of (backward) join — host-surface extension operator.
+
+Spark has no native ASOF JOIN (DuckDB does). Two strategies, picked by
+the data shape:
+
+- ``strategy="window"``: equi-join on the key plus the range predicate,
+  then keep the latest right row per left row via ``row_number``. Fully
+  declarative -> Catalyst can broadcast the right side, push filters,
+  and AQE-split skew. Cost is the intermediate fan-out (left x matching
+  right rows per key); right choice when right-rows-per-key is bounded
+  (e.g. orders per customer).
+- ``strategy="pandas"``: co-partition both sides by key and run
+  ``pandas.merge_asof`` per group via ``applyInPandas`` (cogroup).
+  One shuffle per side, **no fan-out** — the scale path when a key has
+  many right rows and the window strategy's intermediate would blow up.
+
+Ties on the right timestamp are broken by the largest ``right_order``
+column (deterministic in both strategies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    right_order: str,
+    strategy: str = "window",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` for the same key (backward as-of)."""
+    if strategy == "window":
+        return _asof_window(left, right, left_key, right_key, left_ts, right_ts, right_cols, right_order)
+    if strategy == "pandas":
+        return _asof_pandas(left, right, left_key, right_key, left_ts, right_ts, right_cols, right_order)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _asof_window(left, right, left_key, right_key, left_ts, right_ts, right_cols, right_order):
+    r = right.select(right_key, right_ts, *[c for c in right_cols if c not in (right_key, right_ts)])
+    joined = left.join(
+        r,
+        (F.col(left_key) == F.col(right_key)) & (F.col(right_ts) <= F.col(left_ts)),
+        "inner",
+    )
+    w = Window.partitionBy(*left.columns).orderBy(
+        F.col(right_ts).desc(), F.col(right_order).desc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", right_key)
+    )
+
+
+def _asof_pandas(left, right, left_key, right_key, left_ts, right_ts, right_cols, right_order):
+    import pandas as pd
+
+    out_fields = [left.schema[c] for c in left.columns] + [
+        right.schema[c] for c in right_cols if c not in (right_key,)
+    ]
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(out_fields)
+    keep_right = [c for c in right_cols if c != right_key]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        # Sort right by (ts, order): merge_asof keeps the LAST match, so
+        # ties on ts resolve to the largest right_order — same rule as
+        # the window strategy.
+        rpdf = rpdf.sort_values([right_ts, right_order], kind="mergesort")
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf[[right_ts] + [c for c in keep_right if c != right_ts]],
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+        )
+        merged = merged.dropna(subset=[right_ts])
+        return merged[[f.name for f in out_fields]]
+
+    return (
+        left.groupBy(left_key)
+        .cogroup(right.groupBy(right_key))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -1,0 +1,196 @@
+"""``hashset_count`` — exact grouped distinct-count, the reference's core.
+
+The reference (`/root/reference/hashset-count.cc`) implements this as an
+Impala UDA: a 300k-bucket open hash table with chained `\\0`-delimited
+buckets, split into Init/Update/Serialize/Merge/Finalize callbacks
+(`hashset-count.h:30-34`). Its reason to exist — multiple exact distinct
+counts in one query (`README.md:1`) — is *native* in Spark: Catalyst's
+``RewriteDistinctAggregates`` rewrites any number of DISTINCT aggregates
+via an ``Expand`` node, so the idiomatic tier is a thin wrapper over
+built-ins and is the 100 TB path.
+
+Semantics contract honored in faithful mode (SURVEY.md §8):
+
+1. input NULLs are skipped                      (`hashset-count.cc:106`)
+2. zero non-NULL rows -> SQL NULL, not 0        (`hashset-count.cc:507-510`)
+3. "" counts as one distinct value              (`hashset-count-test.cc:41,47`)
+4. duplicates eliminated by byte equality       (`hashset-count.cc:163-169`)
+5. result rendered as a decimal STRING          (`hashset-count.cc:479`, `README.md:28`)
+6. merge is a pure set union (assoc+comm)       (`hashset-count.cc:269-461`)
+
+Deliberately NOT replicated (implementation artifacts, SURVEY.md §8.8):
+the `\\0`-in-string corruption (`README.md:9`), the fixed 300 000-bucket
+sizing (`hashset-count.cc:67`), and the ~300k-cardinality sweet spot
+(`README.md:11`). This rebuild is correct for arbitrary strings and
+cardinalities.
+
+Three tiers (SURVEY.md §7 Phase 2):
+
+a. ``hashset_count_agg`` / ``hashset_count_df`` — **idiomatic**:
+   ``count_distinct`` + NULL-on-empty correction. Partial/final hash
+   aggregation, whole-stage codegen, shuffle only of partial states —
+   this is the plan the reference's Update/Serialize/Merge protocol
+   hand-rolled, provided by ``HashAggregateExec`` for free.
+b. ``make_hashset_count_udaf`` — **faithful UDAF**: a pandas GROUPED_AGG
+   UDF returning the decimal string (or None). Registered in SQL as
+   ``hashset_count`` — the Spark analogue of the reference's
+   ``CREATE AGGREGATE FUNCTION`` DDL (`README.md:28-33`). Note: Spark
+   ships whole groups to the Python worker for pandas UDAFs (no
+   partial/merge split) — fidelity tier, not the scale tier.
+c. ``hashset_count_rdd`` — **structural twin**: the literal
+   init/update/merge/finalize decomposition as
+   ``aggregateByKey(set(), seqFunc, combFunc).mapValues(finalize)``;
+   zeroValue=Init, seqFunc=Update, combFunc=Merge (set union, matching
+   `hashset-count.cc:269-461`), pickling=Serialize. Exists to *prove*
+   merge-order insensitivity; not a production path.
+
+Plus ``approx_distinct_count`` — the HyperLogLog++ alternative the
+reference's README positions itself against (`README.md:1,10`); at
+billions of distincts per group this is the right engine answer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hashset_count_agg(col: str | Column, faithful: bool = True) -> Column:
+    """Tier a: aggregate *expression* usable inside any ``agg(...)``.
+
+    ``faithful=True`` reproduces the reference's two divergences from
+    SQL ``COUNT(DISTINCT)``: NULL (not 0) on zero non-NULL rows
+    (`hashset-count.cc:507-510`) and a STRING result
+    (`hashset-count.cc:479`). ``faithful=False`` returns the plain
+    BIGINT ``count_distinct`` (the scale-friendly form).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    exact = F.count_distinct(c)
+    if not faithful:
+        return exact
+    # F.count(c) counts non-NULL rows only -> 0 means "never updated",
+    # the reference's still-'H' state => SQL NULL (hashset-count.cc:482-510).
+    return F.when(F.count(c) == 0, F.lit(None).cast("string")).otherwise(
+        exact.cast("string")
+    )
+
+
+def hashset_count_df(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_cols: Sequence[str],
+    faithful: bool = True,
+) -> DataFrame:
+    """Tier a over a DataFrame: several exact distinct counts in ONE
+    grouped pass — the reference's motivating workload (`README.md:1`).
+
+    Catalyst plans this as Expand + partial/final hash aggregation; each
+    additional distinct column multiplies the Expand fan-out, not the
+    number of passes over the input.
+    """
+    aggs = [
+        hashset_count_agg(v, faithful=faithful).alias(f"hashset_count_{v}")
+        for v in value_cols
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def make_hashset_count_udaf():
+    """Tier b: the faithful pandas UDAF (GROUPED_AGG).
+
+    State is a hash set, as in the reference — but dynamic (a pandas
+    ``unique`` over the group) instead of the fixed 300k-bucket table
+    (`hashset-count.cc:67`), and with no `\\0` delimiter hazard
+    (`README.md:9`).
+    """
+
+    @F.pandas_udf("string")
+    def hashset_count(s: pd.Series) -> str | None:
+        # Update: skip NULLs (hashset-count.cc:106).
+        values = s.dropna()
+        if len(values) == 0:
+            # Finalize of a never-updated state -> SQL NULL
+            # (hashset-count.cc:507-510, hashset-count-test.cc:33-37).
+            return None
+        # Exact dedup by value equality (hashset-count.cc:163-169) via a
+        # Python set. NOT pandas ``nunique()``: its klib hash table
+        # treats values as C strings and truncates at embedded NUL
+        # bytes — precisely the `\0` corruption the reference documents
+        # (`README.md:9`) and this rebuild must not replicate.
+        # Finalize renders the count as a decimal string
+        # (hashset-count.cc:474-480).
+        return str(len(set(values)))
+
+    return hashset_count
+
+
+def register_sql_udaf(spark: SparkSession, name: str = "hashset_count"):
+    """Expose tier b on the SQL surface:
+    ``SELECT hashset_count(c) FROM t GROUP BY k`` — the Spark analogue of
+    the reference's ``CREATE AGGREGATE FUNCTION`` (`README.md:28-33`).
+    """
+    udaf = make_hashset_count_udaf()
+    spark.udf.register(name, udaf)
+    return udaf
+
+
+# --- Tier c: structural twin of the UDA ABI ------------------------------
+
+def _init() -> set:
+    """Init: fresh empty state (`hashset-count.cc:82-103`). A Python set
+    replaces the 300k-bucket DistHashSet — dynamic sizing is strictly
+    better (SURVEY.md §4)."""
+    return set()
+
+
+def _update(state: set, value) -> set:
+    """Update: skip NULL, insert with exact dedup
+    (`hashset-count.cc:105-192`)."""
+    if value is not None:
+        state.add(value)
+    return state
+
+
+def _merge(a: set, b: set) -> set:
+    """Merge: pure set union — associative and commutative over any
+    partitioning of the rows (`hashset-count.cc:269-461`, `README.md:41`).
+    The reference implements this as a sort-merge-union over
+    bucket-ordered runs; the semantics are UNION DISTINCT."""
+    a |= b
+    return a
+
+
+def _finalize(state: set) -> str | None:
+    """Finalize: decimal-string count, NULL for the never-updated state
+    (`hashset-count.cc:464-524`)."""
+    return str(len(state)) if state else None
+
+
+def hashset_count_rdd(
+    df: DataFrame, key_col: str, value_col: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Tier c: ``aggregateByKey`` is the literal Init/Update/Merge/
+    Finalize lifecycle (`hashset-count.h:30-34`); Python pickling of the
+    set between map and reduce sides plays the role of Serialize
+    (`hashset-count.cc:195-262`)."""
+    pairs = df.select(key_col, value_col).rdd.map(tuple)
+    counted = (
+        pairs.aggregateByKey(_init(), _update, _merge, numPartitions=num_partitions)
+        .mapValues(_finalize)
+    )
+    return counted.toDF([key_col, "hashset_count"])
+
+
+def approx_distinct_count(col: str | Column, rsd: float = 0.023) -> Column:
+    """HyperLogLog++ tier — what the reference README tells users to use
+    "for very large numbers (many millions, billions)" (`README.md:10`).
+    Constant-size sketch state -> shuffle bytes independent of
+    cardinality; the correct operator at 100 TB when exactness is not
+    required."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.approx_count_distinct(c, rsd)

@@ -1,0 +1,811 @@
+"""Host-surface parity queries (SURVEY.md §2.2-2.11).
+
+The reference is one aggregate; everything around it (scans, projection,
+filters, joins, grouping, windows, sorts, set ops, scalar functions) was
+Impala's job (`/root/reference/README.md:25-33`). This module provides
+the same host surface Spark-first. Each query is a declarative
+DataFrame/SQL plan — Catalyst supplies predicate pushdown, column
+pruning, join selection, and partial aggregation; AQE supplies runtime
+coalescing and skew handling.
+
+Conventions (driver correctness contract):
+- every computed column is aliased IDENTICALLY in the Spark plan and the
+  DuckDB oracle;
+- double aggregates are rounded (accumulation-order noise in floating
+  sums differs between engines);
+- outputs avoid raw timestamps (cast to date / formatted string) so
+  value hashing is engine-neutral;
+- every ordering that picks rows (top-k, limit) carries a unique
+  tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.hashset_count import (
+    approx_distinct_count,
+    hashset_count_agg,
+    hashset_count_rdd,
+    register_sql_udaf,
+)
+from ..sources.tables import load_table, register_views
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# The reference's own operator family (SURVEY.md §2.1)
+# =====================================================================
+
+@register(
+    "multi_distinct_lineitem",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey)  AS distinct_parts,
+               COUNT(DISTINCT l_suppkey)  AS distinct_supps,
+               COUNT(DISTINCT l_orderkey) AS distinct_orders,
+               COUNT(*)                   AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    headline=True,
+)
+def multi_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — the reference's motivating workload: multiple exact
+    distinct counts in ONE grouped pass (`/root/reference/README.md:1`).
+    Impala could not do this; Catalyst rewrites N distinct aggregates via
+    one Expand + partial/final hash agg, so a single scan of a 100 TB
+    lineitem serves all three counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("distinct_parts"),
+        F.count_distinct("l_suppkey").alias("distinct_supps"),
+        F.count_distinct("l_orderkey").alias("distinct_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "hashset_count_faithful",
+    oracle="""
+        SELECT event_type,
+               CASE WHEN COUNT(user_id) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS VARCHAR)
+               END AS distinct_users
+        FROM events
+        GROUP BY event_type
+    """,
+    headline=True,
+)
+def hashset_count_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful tier-b UDAF (pandas GROUPED_AGG): string result, NULL on
+    all-NULL groups — the reference's exact edge semantics
+    (`hashset-count.cc:479,507-510`)."""
+    udaf = register_sql_udaf(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        udaf(F.col("user_id").cast("string")).alias("distinct_users")
+    )
+
+
+@register(
+    "hashset_count_sql",
+    oracle="""
+        SELECT l_returnflag,
+               CASE WHEN COUNT(l_partkey) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT CAST(l_partkey AS VARCHAR)) AS VARCHAR)
+               END AS distinct_parts
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def hashset_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface of the UDAF — the analogue of the reference's
+    ``CREATE AGGREGATE FUNCTION`` + ``SELECT count300k(col) FROM tbl
+    GROUP BY ...`` (`/root/reference/README.md:28-33`)."""
+    register_sql_udaf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               hashset_count(CAST(l_partkey AS STRING)) AS distinct_parts
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "hashset_count_idiomatic",
+    oracle="""
+        SELECT l_linestatus,
+               CASE WHEN COUNT(l_suppkey) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT l_suppkey) AS VARCHAR)
+               END AS hashset_count_l_suppkey
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+)
+def hashset_count_idiomatic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier a: faithful semantics from pure built-ins — the 100 TB path
+    (partial/final hash agg + whole-stage codegen, no Python in the
+    loop)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        hashset_count_agg("l_suppkey").alias("hashset_count_l_suppkey")
+    )
+
+
+@register(
+    "hashset_count_rdd_twin",
+    oracle="""
+        SELECT event_type,
+               CASE WHEN COUNT(user_id) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS VARCHAR)
+               END AS hashset_count
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def hashset_count_rdd_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier c: the literal Init/Update/Merge/Finalize lifecycle
+    (`hashset-count.h:30-34`) as ``aggregateByKey`` — documentation-by-
+    construction of the reference's merge contract."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    return hashset_count_rdd(ev, "event_type", "user_id")
+
+
+@register("approx_distinct_lineitem")  # sketch values differ from any
+# exact oracle by construction -> rows-only check.
+def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ — the reference README's own recommendation for
+    "very large numbers" (`README.md:10`). Constant-size state; at
+    100 TB this is the right default when ±2% is acceptable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        approx_distinct_count("l_partkey").alias("approx_parts"),
+        approx_distinct_count("l_orderkey").alias("approx_orders"),
+    )
+
+
+# =====================================================================
+# Aggregation surface (§2: grouped aggs, grouping sets/cube/rollup)
+# =====================================================================
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)      AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 2)      AS avg_qty,
+               ROUND(AVG(l_extendedprice), 2) AS avg_price,
+               ROUND(AVG(l_discount), 4)      AS avg_disc,
+               COUNT(*)                       AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> 8 aggregates
+    in one partial/final hash agg. The canonical 100 TB scan-heavy
+    query; no shuffle besides the tiny partial-state exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rollup_lineitem",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass (Expand node), instead of
+    re-scanning per level — the way to compute 3 aggregation levels over
+    100 TB with one read."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping_id().alias("grp_id"),
+    )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "orders")
+    return li.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.grouping_id().alias("grp_id"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("grouping_sets_sql", oracle=_GROUPING_SETS_SQL)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same SQL text runs on Spark and DuckDB — the SQL surface is the
+    parity layer itself."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "pivot_returnflag",
+    oracle="""
+        SELECT l_linestatus,
+               ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+               ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+               ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with EXPLICIT value list — at scale, never let Spark run the
+    extra distinct-values job."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "percentile_stats_events",
+    oracle="""
+        SELECT event_type,
+               ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value), 4) AS median_value,
+               ROUND(MIN(value), 4) AS min_value,
+               ROUND(MAX(value), 4) AS max_value,
+               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(STDDEV_SAMP(value), 4) AS sd_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def percentile_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile + moments. At 100 TB swap ``percentile`` for
+    ``percentile_approx`` (t-digest sketch, mergeable state)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+    )
+
+
+# =====================================================================
+# Projection / filter (pushdown) and scans
+# =====================================================================
+
+@register(
+    "filter_project_pushdown",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+        FROM lineitem
+        WHERE l_quantity >= 45
+          AND l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_returnflag = 'N'
+    """,
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicates + projection reach the parquet scan (PushedFilters /
+    ReadSchema in explain) — at 100 TB this is the difference between
+    reading 4 columns of a few row groups and reading everything."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 45)
+        & (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_returnflag") == "N")
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+
+
+@register(
+    "distinct_orders_dims",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_orders_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = hash aggregate without aggregates (exact dedup
+    primitive on low-cardinality projections)."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# =====================================================================
+# Joins (§2: inner/left/semi/anti/full/theta/range/as-of, broadcast)
+# =====================================================================
+
+@register(
+    "join_star_revenue",
+    oracle="""
+        SELECT r.r_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               COUNT(DISTINCT l.l_orderkey) AS n_orders,
+               COUNT(*) AS n_rows
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    headline=True,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact->orders->customer->nation->region. nation/region
+    are broadcast EXPLICITLY (bounded dimensions at any SF — 25 nations);
+    fact-side joins shuffle on their keys and AQE handles skew. This is
+    the canonical 100 TB join topology."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "join_left_customer_orders",
+    oracle="""
+        SELECT c.c_mktsegment,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               COUNT(o.o_orderkey) AS n_orders,
+               ROUND(SUM(COALESCE(o.o_totalprice, 0)), 2) AS total_spend
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+    """,
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI = EXISTS — no fan-out, right side reduced to its keys
+    (at scale: dramatically cheaper than join+distinct)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer_nation_presence",
+    oracle="""
+        SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+               COALESCE(c.n_cust, 0) AS n_cust,
+               COALESCE(s.n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+        ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-join: shrink BOTH sides before the full outer join
+    (at 100 TB, pre-aggregation turns a fact-fact join into a
+    dim-dim join)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_theta_part_pairs",
+    oracle="""
+        SELECT a.p_size, COUNT(*) AS n_pairs
+        FROM part a JOIN part b
+          ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        GROUP BY a.p_size
+    """,
+)
+def join_theta_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join = equi-key + inequality residual. Keeping the equi
+    conjunct is what makes this a hash join instead of a cartesian
+    product — essential shape at scale."""
+    a = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    b = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("b_partkey"), F.col("p_size").alias("b_size")
+    )
+    return (
+        a.join(b, (a.p_size == b.b_size) & (a.p_partkey < F.col("b_partkey")))
+        .groupBy("p_size")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "join_range_late_shipments",
+    oracle="""
+        SELECT o.o_orderpriority, COUNT(*) AS n_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY o.o_orderpriority
+    """,
+)
+def join_range_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate as a residual on an equi join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late"))
+    )
+
+
+@register(
+    "asof_join_last_order",
+    oracle="""
+        WITH j AS (
+            SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, o_orderkey AS last_order_key,
+               CAST(o_orderdate AS DATE) AS last_order_date
+        FROM j WHERE rn = 1
+    """,
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks; DuckDB's ASOF JOIN is the
+    oracle shape): latest order at or before each event. Window strategy
+    here (bounded orders-per-customer); ``operators.asof`` also provides
+    the ``merge_asof``-per-key cogroup strategy for unbounded keys."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    joined = asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        right_order="o_orderkey",
+        strategy="window",
+    )
+    return joined.select(
+        "event_id",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.col("o_orderdate").cast("date").alias("last_order_date"),
+    )
+
+
+# =====================================================================
+# Window functions, sort / limit / top-k
+# =====================================================================
+
+@register(
+    "window_customer_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ROW_NUMBER() OVER w AS rn,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+               ROUND(LAG(o_totalprice) OVER w, 2) AS prev_price,
+               RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS spend_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    headline=True,
+)
+def window_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window family: row_number / running sum / lag / rank share one
+    partitioning -> ONE shuffle serves all four (WindowExec reuses the
+    child ordering)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrank = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.rank().over(wrank).alias("spend_rank"),
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    headline=True,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — Spark plans a rank-limit
+    (WindowGroupLimit) pushdown so each partition keeps only k rows
+    pre-shuffle; raw column ordering + unique tie-break keeps it
+    deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "sort_limit_global_top20",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+)
+def sort_limit_global_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge of N rows, never a full sort of 100 TB."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# =====================================================================
+# Set operations
+# =====================================================================
+
+@register(
+    "setops_nation_keys",
+    oracle="""
+        SELECT 'union' AS op, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'intersect' AS op, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'except' AS op, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+)
+def setops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT — the merge in the reference IS a
+    union-distinct of value sets (`hashset-count.cc:269-461`,
+    `README.md:41`); here is the relational-surface version."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    tagged = [
+        c.union(s).distinct().select(F.lit("union").alias("op"), "nationkey"),
+        c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey"),
+        c.subtract(s).select(F.lit("except").alias("op"), "nationkey"),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out
+
+
+# =====================================================================
+# Scalar function surface (string / date / json / array)
+# =====================================================================
+
+@register(
+    "scalar_string_documents",
+    oracle="""
+        SELECT doc_id,
+               LENGTH(text) AS n_len,
+               UPPER(SUBSTRING(text, 1, 12)) AS prefix_u,
+               CONTAINS(text, 'spark') AS has_spark,
+               LENGTH(REPLACE(text, ' ', '')) AS n_nonspace
+        FROM documents
+    """,
+)
+def scalar_string_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_len"),
+        F.upper(F.substring("text", 1, 12)).alias("prefix_u"),
+        F.col("text").contains("spark").alias("has_spark"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
+    )
+
+
+@register(
+    "scalar_date_orders",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS INTEGER)    AS o_year,
+               CAST(MONTH(o_orderdate) AS INTEGER)   AS o_month,
+               CAST(DAY(o_orderdate) AS INTEGER)     AS o_day,
+               CAST(QUARTER(o_orderdate) AS INTEGER) AS o_quarter,
+               CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS o_month_start
+        FROM orders
+    """,
+)
+def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("o_month_start"),
+    )
+
+
+@register(
+    "scalar_json_events",
+    oracle="""
+        SELECT event_id,
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_val
+        FROM events
+    """,
+)
+def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over a string column (`events.props`)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@register(
+    "scalar_array_embeddings",
+    oracle="""
+        SELECT vec_id,
+               CAST(LEN(embedding) AS INTEGER) AS dim,
+               embedding[1] AS e0,
+               ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+               CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+        FROM embeddings
+    """,
+)
+def scalar_array_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column surface (higher-order functions stay JVM-side — no
+    Python in the loop for 100 TB of vectors)."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("e0"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )

@@ -1,0 +1,45 @@
+"""Query registry — the single source of truth binding each implemented
+operator (SURVEY.md §2) to (a) its Spark plan and (b) its DuckDB oracle
+SQL. ``__spark_entry__.py`` exposes this to the driver; ``bench.py``
+runs the ``headline`` subset; ``tests/test_oracle.py`` replicates the
+driver's correctness check locally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    #: ANSI SQL DuckDB can run over the pre-registered table views.
+    #: None => genuinely non-SQL-expressible (probabilistic /
+    #: stateful-streaming); the driver then records a rows-only check.
+    oracle: str | None
+    #: Included in bench.py's measured set.
+    headline: bool
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    # Import for side effect: modules self-register on import.
+    from . import extensions, parity, streaming_batch  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,97 @@
+"""Sources: parquet scans over the driver's TPC-H-ish star schema.
+
+The reference has no scan layer — Impala provided it (`/root/reference/
+README.md:25-28`); the tests fed an in-memory vector
+(`/root/reference/hashset-count-test.cc:31-45`). Here the scan layer is
+``spark.read.parquet``: columnar, with predicate pushdown and column
+pruning supplied by Catalyst, which is exactly what a 100 TB table needs
+(scan cost is proportional to the columns/row-groups actually read).
+
+Generic readers for csv/json/orc are provided for source parity; parquet
+is the primary path (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor —
+#: region/nation are bounded by geography (25 nations max in TPC-H).
+BROADCAST_SAFE = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one star-schema table.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; we read nanos as long and convert to a
+    microsecond timestamp (identical to DuckDB's nanos->micros
+    truncation, keeping the oracle comparable).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL surface
+    (the Spark analogue of Impala's catalog the reference relied on)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_source(spark: SparkSession, fmt: str, path: str, schema=None, **options) -> DataFrame:
+    """Format-dispatched reader (source parity: parquet/csv/json/orc).
+
+    Schemas should be passed explicitly in production paths — schema
+    inference is a full extra pass over the data at 100 TB.
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if options:
+        reader = reader.options(**options)
+    return reader.load(path)
+
+
+def write_sink(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", partition_by=None, **options) -> None:
+    """Format-dispatched writer (sink parity). ``partition_by`` gives
+    hive-style partition pruning for downstream readers."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if options:
+        writer = writer.options(**options)
+    writer.save(path)

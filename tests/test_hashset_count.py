@@ -1,0 +1,148 @@
+"""Reference-derived fixtures F1-F8 (FIXTURES.md) against all three
+tiers of hashset_count. Expected values trace to
+/root/reference/hashset-count-test.cc and the semantics contract
+(SURVEY.md §8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from impala_hashset_count_spark.operators.hashset_count import (
+    hashset_count_agg,
+    hashset_count_df,
+    hashset_count_rdd,
+    register_sql_udaf,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "group_key string, s string")
+
+
+def _result_map(df):
+    return {r[0]: r[1] for r in df.collect()}
+
+
+F1_ROWS = [("g1", v) for v in ["Hello", "", "World", "Hello", "costarring", "liquid"]]
+F3_ROWS = [("mixed", v) for v in ["a", None, "b", None, "a"]] + [
+    ("allnull", None)
+] * 3
+# F4: true FNV-1a-64 mod-300000 collision pairs (FIXTURES.md §A.F4) —
+# ordinary values for Spark, kept to document the reference-test gap.
+F4_ROWS = [("coll", v) for v in ["k3705", "k5480", "k3704", "k5481", "k3707", "k5482", "k3705"]]
+F8_ROWS = [("nul", v) for v in ["a\0b", "a", "b", "a\0b"]] + [
+    ("utf8", v) for v in ["héllo", "héllo", "日本語"]
+]
+
+ALL_ROWS = F1_ROWS + F3_ROWS + F4_ROWS + F8_ROWS
+EXPECTED = {"g1": "5", "mixed": "2", "allnull": None, "coll": "6", "nul": "3", "utf8": "2"}
+
+
+def _check(got: dict):
+    assert got == EXPECTED
+
+
+def test_tier_a_idiomatic(spark):
+    df = _df(spark, ALL_ROWS)
+    out = df.groupBy("group_key").agg(hashset_count_agg("s").alias("c"))
+    _check(_result_map(out))
+
+
+def test_tier_b_pandas_udaf(spark):
+    udaf = register_sql_udaf(spark)
+    df = _df(spark, ALL_ROWS)
+    out = df.groupBy("group_key").agg(udaf("s").alias("c"))
+    _check(_result_map(out))
+
+
+def test_tier_b_sql_surface(spark):
+    register_sql_udaf(spark)
+    _df(spark, ALL_ROWS).createOrReplaceTempView("uda_strings")
+    out = spark.sql(
+        "SELECT group_key, hashset_count(s) AS c FROM uda_strings GROUP BY group_key"
+    )
+    _check(_result_map(out))
+
+
+def test_tier_c_rdd_twin(spark):
+    df = _df(spark, ALL_ROWS)
+    _check(_result_map(hashset_count_rdd(df, "group_key", "s")))
+
+
+def test_f2_empty_input_returns_null_not_zero(spark):
+    """hashset-count-test.cc:33-37 — zero rows => SQL NULL (faithful),
+    0 (idiomatic count_distinct) — divergence is the point."""
+    empty = _df(spark, []).filter(F.lit(False))
+    faithful = empty.agg(hashset_count_agg("s").alias("c")).collect()[0][0]
+    assert faithful is None
+    standard = empty.agg(F.count_distinct("s").alias("c")).collect()[0][0]
+    assert standard == 0
+
+
+@pytest.mark.parametrize("n_parts", [1, 2, 8])
+def test_f5_partition_order_insensitivity(spark, n_parts):
+    """Merge is a pure set union — associative/commutative over any
+    partitioning (`hashset-count.cc:269-461`, README.md:41)."""
+    rows = [(g, i % 4, s) for i, (g, s) in enumerate(ALL_ROWS)]
+    df = spark.createDataFrame(rows, "group_key string, part_id int, s string")
+    out = (
+        df.repartition(n_parts, "part_id")
+        .groupBy("group_key")
+        .agg(hashset_count_agg("s").alias("c"))
+    )
+    _check(_result_map(out))
+    _check(_result_map(hashset_count_rdd(df.repartition(n_parts, "part_id"), "group_key", "s")))
+
+
+def test_f6_cardinality_stress_beyond_300k(spark):
+    """README.md:11 — the 300k sweet spot is an artifact; the rebuild
+    must be exact beyond it."""
+    n = 400_000
+    base = spark.range(n).select(
+        F.lit("big").alias("group_key"), F.col("id").cast("string").alias("s")
+    )
+    dups = spark.range(10_000).select(
+        F.lit("big").alias("group_key"), F.col("id").cast("string").alias("s")
+    )
+    out = base.union(dups).groupBy("group_key").agg(hashset_count_agg("s").alias("c"))
+    assert _result_map(out) == {"big": str(n)}
+
+
+def test_f7_multiple_distincts_single_pass(spark):
+    """README.md:1 — the motivating workload: several exact distinct
+    counts in ONE grouped aggregation."""
+    rows = [
+        ("k%d" % (i % 3), "a%d" % (i % 7), "b%d" % (i % 11), "c%d" % (i % 13))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "k string, a string, b string, c string")
+    out = hashset_count_df(df, ["k"], ["a", "b", "c"])
+    for row in out.collect():
+        assert row["hashset_count_a"] == "7"
+        assert row["hashset_count_b"] == "11"
+        assert row["hashset_count_c"] == "13"
+    # exactly one Expand-based aggregate: the plan must not scan thrice
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("scan") <= 1 or "Expand" in plan
+
+
+def test_asof_pandas_strategy_matches_window(spark, sf_small):
+    from impala_hashset_count_spark.operators.asof import asof_join
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    kwargs = dict(
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        right_order="o_orderkey",
+    )
+    a = asof_join(ev, orders, strategy="window", **kwargs)
+    b = asof_join(ev, orders, strategy="pandas", **kwargs)
+    ka = sorted((r["event_id"], r["o_orderkey"]) for r in a.collect())
+    kb = sorted((r["event_id"], r["o_orderkey"]) for r in b.collect())
+    assert ka == kb

@@ -1,0 +1,176 @@
+"""Text-analysis column functions for the training-data pipeline.
+
+Everything here is a pure Column expression built from
+``pyspark.sql.functions`` higher-order functions — JVM-side, inside
+whole-stage codegen, zero Python in the hot path. That is the property
+that lets these run over 100 TB of documents: each is a narrow
+projection over one string column with no shuffle at all.
+
+Each helper documents its DuckDB-SQL mirror so plans/extensions.py can
+keep the oracle byte-identical in semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization regexes shared by every consumer (and mirrored in oracle
+# SQL): whitespace tokens, and a BPE-ish "word or single punctuation"
+# pattern for token-count estimation.
+WS_SPLIT = r"\s+"
+BPE_ISH = r"\w+|[^\w\s]"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, non-alphanumerics
+    to spaces, whitespace collapsed, trimmed.
+    Mirror: LOWER -> REGEXP_REPLACE(...,'[^a-z0-9 ]',' ','g') ->
+    REGEXP_REPLACE(...,'\\s+',' ','g') -> TRIM."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, WS_SPLIT, " ")
+    return F.trim(c)
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens. Mirror: STRING_SPLIT_REGEX(TRIM(x),'\\s+')."""
+    return F.split(F.trim(_c(col)), WS_SPLIT)
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings.
+    Mirror: CASE WHEN TRIM(x)='' THEN 0 ELSE LEN(STRING_SPLIT_REGEX(...)) END."""
+    c = _c(col)
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    )
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Sub-word-ish token estimate: words + individual punctuation marks
+    (the cheap proxy for an LLM tokenizer's token count).
+    Mirror: LEN(REGEXP_EXTRACT_ALL(x, '\\w+|[^\\w\\s]'))."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH), F.lit(0)))
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Array of word n-grams (the dedup shingle unit).
+    Mirror (DuckDB): positional self-join of unnested tokens."""
+    t = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+
+
+def char_shingles(col: str | Column, n: int = 5) -> Column:
+    """Array of character n-grams."""
+    c = _c(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
+        lambda i: F.substring(c, i, n),
+    )
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Punctuation chars / total chars.
+    Mirror: LEN(REGEXP_REPLACE(x,'[^.!?,;:]','','g')) * 1.0 / LEN(x)."""
+    c = _c(col)
+    return F.length(F.regexp_replace(c, "[^.!?,;:]", "")) / F.length(c)
+
+
+def stopword_ratio(col: str | Column, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of tokens that are stopwords (token instances, not
+    distinct). Mirror: LEN(LIST_FILTER(toks, t -> t IN (...)))/LEN(toks)."""
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return hits / F.size(t)
+
+
+def avg_word_len(col: str | Column) -> Column:
+    """Mean token length. Mirror: LEN(REGEXP_REPLACE(x,'\\s','','g')) * 1.0
+    / LEN(STRING_SPLIT_REGEX(TRIM(x),'\\s+'))."""
+    c = _c(col)
+    return F.length(F.regexp_replace(c, r"\s", "")) / F.size(tokens(c))
+
+
+#: English-ish stopwords used by the quality score (mirrored verbatim
+#: in oracle SQL — keep sorted & frozen).
+QUALITY_STOPWORDS = ("a", "and", "in", "is", "of", "on", "the", "to")
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite document-quality heuristic in [0,1]: rewards stopword
+    presence (natural prose) and penalizes punctuation soup. The exact
+    formula is arbitrary but FROZEN — the oracle mirrors it term by
+    term."""
+    stop = stopword_ratio(col, QUALITY_STOPWORDS)
+    return F.least(F.lit(1.0), stop * 2) * 0.5 + (1 - punct_ratio(col)) * 0.5
+
+
+#: Marker-token lists for the n-gram/stopword language-ID heuristic.
+#: Disjoint across languages; mirrored verbatim in the oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "with"),
+    "de": ("der", "und", "das", "nicht"),
+    "fr": ("le", "et", "les", "dans"),
+    "es": ("el", "los", "que", "para"),
+    "zh": ("的", "是", "在", "了"),
+}
+
+#: Priority order for argmax ties (first wins).
+LANG_PRIORITY = ("en", "de", "fr", "es", "zh")
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Marker-occurrence count per language (token instances)."""
+    t = tokens(col)
+    return {
+        lang: F.size(F.filter(t, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(col: str | Column) -> Column:
+    """Argmax of marker scores with fixed priority tie-break; 'und'
+    when no marker occurs at all."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # Build CASE from lowest to highest priority so the highest-priority
+    # language ends up as the outermost WHEN.
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def fingerprint_md5(col: str | Column) -> Column:
+    """Document fingerprint: md5 of the normalized text.
+    Mirror: MD5(<normalize_text mirror>)."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_hashes(col: str | Column, window: int = 8) -> Column:
+    """Rolling (windowed) hashes over character windows — the winnowing
+    building block for local fingerprinting. Returns array<bigint> of
+    xxhash64 over each ``window``-char substring. Spark-side only (no
+    SQL oracle: xxhash64 seeds are engine-specific)."""
+    return F.transform(char_shingles(col, window), lambda s: F.xxhash64(s))
+
+
+def winnowing_fingerprint(col: str | Column, window: int = 8, stride: int = 4) -> Column:
+    """Winnowing-style local fingerprint: min rolling hash per stride
+    block (a compact array signature robust to small edits)."""
+    hashes = rolling_hashes(col, window)
+    n_blocks = F.greatest(
+        F.ceil(F.size(hashes) / F.lit(stride)).cast("int"), F.lit(0)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda b: F.array_min(F.slice(hashes, b * stride + 1, stride)),
+    )

@@ -1,0 +1,306 @@
+"""Deduplication operators for the training-data pipeline.
+
+Five tiers, from exact to semantic, each a composition of built-in
+DataFrame ops (no Python in any hot path):
+
+1. exact            — hash groupBy on the column (or its fingerprint)
+2. n-gram Jaccard   — exact set similarity via a shared-shingle
+                      self-join (the candidate generator is the inverted
+                      index the join builds implicitly)
+3. MinHash + LSH    — probabilistic candidates via banded signatures,
+                      then EXACT Jaccard verification of candidates only
+4. SimHash          — 64-bit near-dup signature; Hamming-ball pairing
+                      via pigeonhole band join
+5. embedding cosine — semantic near-dup over array<float> vectors
+
+Scale analysis (100 TB, ~10^10 docs):
+- The all-pairs Jaccard join (tier 2) is quadratic in docs-per-shingle;
+  it exists as the EXACT oracle-checkable tier and for verification of
+  candidates. ``max_shingle_docs`` drops ultra-common shingles (the
+  classic inverted-index skew guard).
+- MinHash/LSH (tier 3) is the production tier: signature size is
+  constant (k hashes), band join is equi-join on (band_id, band_hash) —
+  shuffle size O(docs * bands), independent of document length; AQE
+  handles banding skew. Verification touches only candidate pairs.
+- SimHash (tier 4): one 64-bit signature per doc; pigeonhole on
+  4x16-bit chunks guarantees recall for Hamming distance <= 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+from ..functions.vectors import cosine
+
+
+# ---------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per distinct ``cols`` — deterministically the
+    lowest ``order_col`` (``dropDuplicates`` keeps an arbitrary row,
+    which can differ run-to-run; never acceptable in a data pipeline).
+    One shuffle on the dedup key."""
+    w = Window.partitionBy(*cols).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------
+# 2. Exact n-gram Jaccard
+# ---------------------------------------------------------------------
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded distinct word-n-gram rows — the inverted
+    index both the exact and MinHash tiers build on."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram sets for every pair sharing >= 1
+    shingle. Returns (id_1, id_2, jaccard) with id_1 < id_2.
+
+    ``max_shingle_docs`` drops shingles appearing in more than that many
+    docs before pairing — a skew guard: one 10M-doc boilerplate shingle
+    would otherwise create 10^13 join rows. Leave None for oracle-exact
+    parity runs; set it in production."""
+    sd = shingle_sets(df, id_col, text_col, n).cache()
+    sizes = sd.groupBy(id_col).agg(F.count("*").alias("sz"))
+    pairs_src = sd
+    if max_shingle_docs is not None:
+        rare = (
+            sd.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_docs)
+            .select("sh")
+        )
+        pairs_src = sd.join(rare, "sh")
+    a = pairs_src.select(F.col(id_col).alias("id_1"), "sh")
+    b = pairs_src.select(F.col(id_col).alias("id_2"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz_1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz_2"))
+    jac = F.col("common") / (F.col("sz_1") + F.col("sz_2") - F.col("common"))
+    return (
+        common.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------
+# 3. MinHash + banded LSH
+# ---------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: h_i(doc) = min over
+    shingles of xxhash64(i, shingle). One groupBy computes all k mins
+    as k aggregate columns in a single pass (partial aggregation =>
+    shuffle carries k longs per doc, not the shingles)."""
+    sd = shingle_sets(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)
+    ]
+    sig = sd.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified with EXACT
+    Jaccard so the output contains no false positives. With k=64 and
+    bands=32 (rows r=2), detection probability at j=0.5 is
+    1-(1-0.25)^32 ~ 0.99996 — recall misses are possible in principle
+    (hence no strict SQL oracle) but vanishingly rare above the
+    threshold. Returns (id_1, id_2, jaccard)."""
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    band_rows = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(F.lit(b), F.slice("sig", b * rows + 1, rows)).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = band_rows.select(F.col(id_col).alias("id_1"), "band_id", "band_hash")
+    b = band_rows.select(F.col(id_col).alias("id_2"), "band_id", "band_hash")
+    candidates = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    # Exact verification of candidates only: join candidate pairs back
+    # to the shingle index and compute true Jaccard.
+    sd = shingle_sets(df, id_col, text_col, n).cache()
+    sizes = sd.groupBy(id_col).agg(F.count("*").alias("sz"))
+    s1 = sd.select(F.col(id_col).alias("id_1"), "sh")
+    s2 = sd.select(F.col(id_col).alias("id_2"), "sh")
+    common = (
+        candidates.join(s1, "id_1")
+        .join(s2, ["id_2", "sh"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("common"))
+    )
+    z1 = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz_1"))
+    z2 = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz_2"))
+    jac = F.col("common") / (F.col("sz_1") + F.col("sz_2") - F.col("common"))
+    return (
+        common.join(z1, "id_1")
+        .join(z2, "id_2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit i of the signature is
+    the sign of sum over tokens of (+1 if bit i of xxhash64(token) else
+    -1). Computed as 64 conditional-sum aggregates in ONE pass."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Pigeonhole:
+    split the 64-bit signature into 4 16-bit chunks; any pair within
+    Hamming 3 agrees exactly on >= 1 chunk, so an equi-join per chunk
+    finds ALL such pairs (recall 1.0 for max_hamming <= 3), then
+    bit_count(xor) filters exactly."""
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.select(
+        F.col(id_col).alias("id_1"), F.col("simhash").alias("sig_1"), "chunk_id", "chunk_val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_2"), F.col("simhash").alias("sig_2"), "chunk_id", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "sig_1", "sig_2")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_1").bitwiseXOR(F.col("sig_2")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------
+# 5. Embedding-cosine near-dup
+# ---------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs with round(cosine,6) >= threshold. ``block_col`` restricts
+    pairing to equal blocking keys (label, LSH bucket, IVF cell...) —
+    the knob that keeps this sub-quadratic at scale. Thresholding on the
+    ROUNDED cosine keeps the boundary decision engine-deterministic."""
+    cols = [F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1")]
+    cols2 = [F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2")]
+    on = [F.col("id_1") < F.col("id_2")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk_1"))
+        cols2.append(F.col(block_col).alias("blk_2"))
+        on.append(F.col("blk_1") == F.col("blk_2"))
+    a, b = df.select(*cols), df.select(*cols2)
+    cond = on[0]
+    for extra in on[1:]:
+        cond = cond & extra
+    return (
+        a.join(b, cond)
+        .withColumn("cos_sim", F.round(cosine("v1", "v2"), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_1", "id_2", "cos_sim")
+    )

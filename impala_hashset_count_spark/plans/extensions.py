@@ -1,5 +1,320 @@
-"""LLM-data-pipeline extension queries (dedup / similarity / text /
-multimodal) — filled by operators.dedup, operators.similarity,
-functions.text, operators.multimodal. See those modules."""
+"""LLM-data-pipeline extension queries (the north star in
+BASELINE.json): text analysis, dedup family, similarity search.
+
+Oracle coverage policy: every deterministic operator has a full DuckDB
+oracle whose SQL mirrors the Spark expression TERM BY TERM (same
+tokenization regex, same float association, same rounding, same
+tie-breaks). Probabilistic operators (MinHash-LSH, SimHash,
+hyperplane-LSH) have no SQL oracle by nature — their tests instead
+measure recall against the exact tiers (tests/test_dedup.py).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    LANG_PRIORITY,
+    QUALITY_STOPWORDS,
+    avg_word_len,
+    bpe_ish_token_count,
+    fingerprint_md5,
+    predict_lang,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from ..operators.dedup import (
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+        SELECT doc_id,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER)
+               END AS n_tokens,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS INTEGER) AS n_bpe_ish,
+               LENGTH(text) AS n_chars
+        FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish (word|punct) estimate."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_ish"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+@register(
+    "text_quality_scores",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(LENGTH(REGEXP_REPLACE(text, '[^.!?,;:]', '', 'g')) * 1.0
+                     / LENGTH(text), 4) AS punct_ratio,
+               ROUND(LEN(LIST_FILTER(toks, x -> x IN ({_STOP_IN}))) * 1.0
+                     / LEN(toks), 4) AS stop_ratio,
+               ROUND(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) * 1.0
+                     / LEN(toks), 4) AS avg_word_len,
+               ROUND(LEAST(1.0, LEN(LIST_FILTER(toks, x -> x IN ({_STOP_IN}))) * 1.0
+                                / LEN(toks) * 2) * 0.5
+                     + (1 - LENGTH(REGEXP_REPLACE(text, '[^.!?,;:]', '', 'g')) * 1.0
+                            / LENGTH(text)) * 0.5, 4) AS quality
+        FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: punctuation ratio, stopword ratio, mean word
+    length, composite score — all codegen'd column math."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text", QUALITY_STOPWORDS), 4).alias("stop_ratio"),
+        F.round(avg_word_len("text"), 4).alias("avg_word_len"),
+        F.round(quality_score("text"), 4).alias("quality"),
+    )
+
+
+def _langid_oracle() -> str:
+    score_exprs = {
+        lang: f"LEN(LIST_FILTER(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    greatest = "GREATEST(" + ", ".join(score_exprs.values()) + ")"
+    case = "CASE"
+    for lang in LANG_PRIORITY:
+        case += f" WHEN {score_exprs[lang]} = {greatest} THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN {greatest} = 0 THEN 'und' ELSE {case} END AS pred_lang,
+               lang AS labeled_lang
+        FROM t
+    """
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (n-gram heuristic tier; a real model is
+    a Pandas-UDF drop-in behind the same signature)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        predict_lang("text").alias("pred_lang"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+_NORM_SQL = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+@register(
+    "text_fingerprint",
+    oracle=f"SELECT doc_id, MD5({_NORM_SQL}) AS fp FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint — the exact-dedup key."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------
+
+@register(
+    "dedup_exact_stats",
+    oracle=f"""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT text) AS n_distinct_text,
+               COUNT(DISTINCT MD5({_NORM_SQL})) AS n_distinct_fp
+        FROM documents
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting: raw vs byte-distinct vs
+    normalized-fingerprint-distinct."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("text").alias("n_distinct_text"),
+        F.count_distinct(fingerprint_md5("text")).alias("n_distinct_fp"),
+    )
+
+
+_JACCARD_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, UNNEST(toks) AS w, GENERATE_SUBSCRIPTS(toks, 1) AS i
+        FROM t
+    ),
+    s AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        FROM u a
+        JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
+    p AS (
+        SELECT x.doc_id AS id_1, y.doc_id AS id_2, COUNT(*) AS common
+        FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           ROUND(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
+    FROM p
+    JOIN sz s1 ON p.id_1 = s1.doc_id
+    JOIN sz s2 ON p.id_2 = s2.doc_id
+    WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard near-dup pairs (threshold 0.5) via the
+    shared-shingle inverted-index join — the exactness baseline the
+    probabilistic tiers are measured against."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh", headline=True)  # probabilistic recall =>
+# no SQL oracle; tests assert parity with dedup_ngram_jaccard.
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=64) + 32x2 banded LSH candidates + exact-Jaccard
+    verification — the 100 TB dedup tier: signature shuffle is O(docs),
+    verification touches candidates only."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, k=64, bands=32, threshold=0.5)
+
+
+@register("dedup_simhash")  # probabilistic signature => no SQL oracle.
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within Hamming distance 3 (pigeonhole
+    chunk join => exact recall for d<=3 at O(docs) shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+_COS_PAIR_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+           ROUND(
+             LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.v, b.v), x -> x[1] * x[2]))
+             / (SQRT(LIST_SUM(LIST_TRANSFORM(a.v, x -> x * x)))
+                * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> x * x)))), 6) AS cos_sim
+    FROM e a
+    JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(
+             LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.v, b.v), x -> x[1] * x[2]))
+             / (SQRT(LIST_SUM(LIST_TRANSFORM(a.v, x -> x * x)))
+                * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> x * x)))), 6) >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_COS_PAIR_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4) blocked on label —
+    blocking is what keeps semantic dedup sub-quadratic at scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, block_col="label"
+    )
+
+
+# ---------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               ROUND(
+                 LIST_SUM(LIST_TRANSFORM(LIST_ZIP(c.cv, q.qv), x -> x[1] * x[2]))
+                 / (SQRT(LIST_SUM(LIST_TRANSFORM(c.cv, x -> x * x)))
+                    * SQRT(LIST_SUM(LIST_TRANSFORM(q.qv, x -> x * x)))), 6) AS cos_sim
+        FROM c JOIN q ON c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("similarity_topk_bruteforce", oracle=_TOPK_ORACLE, headline=True)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries x
+    corpus scan, rank-limited window. The corpus is scanned once and
+    never shuffled in full."""
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    )
+
+
+@register("similarity_lsh_topk")  # probabilistic recall => no SQL oracle.
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (8 bands x 4 bits): candidate set is
+    the union of bucket matches; exact cosine on candidates only —
+    the sub-linear scale path."""
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, dim=64
+    )

@@ -32,7 +32,19 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, headline=headline)
+
+        def tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver hands us an untuned session; apply the
+            # runtime-settable confs (AQE, shuffle partitions, UTC,
+            # Arrow) before planning the query.
+            from ..session import tune_session
+
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        tuned.__name__ = fn.__name__
+        tuned.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name=name, fn=tuned, oracle=oracle, headline=headline)
         return fn
 
     return deco

@@ -61,6 +61,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # Static 200 is wrong for local mode; AQE coalesces upward-sized
+        # partitions at runtime, so matching core count is the right floor.
+        ("spark.sql.shuffle.partitions", str(default_parallelism())),
     ):
         try:
             spark.conf.set(key, value)

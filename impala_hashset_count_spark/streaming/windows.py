@@ -1,0 +1,166 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY.md §2.10 — its 'streaming
+pre-aggregation' is Impala's within-query preagg spill, not stream
+processing). These are the streaming faces of the engine's aggregates,
+built on watermarks + windowed state so state size is bounded no matter
+how long the stream runs:
+
+- tumbling / sliding / session windows with per-window exact distinct
+  users (``size(collect_set)`` — streaming cannot run count_distinct,
+  and set state is bounded by watermark eviction; swap for
+  ``approx_count_distinct`` when per-window cardinality is huge);
+- ``dropDuplicatesWithinWatermark`` — streaming exact dedup with
+  bounded state;
+- ``applyInPandasWithState`` — custom stateful sessionization (the
+  streaming analogue of the reference's init/update/merge/finalize
+  state machine, `/root/reference/hashset-count.h:30-34`).
+
+Tests drive these with the parquet file source + a memory sink and
+``processAllAvailable()`` (synchronous drain), then assert equality
+with the batch-equivalent plans in plans/streaming_batch.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import table_path
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table.
+
+    The file source requires a DIRECTORY (it tails new files as they
+    land — the production shape); the driver testdata is a single
+    parquet file, so we stage a symlink dir. The nanos `ts` is read as
+    long and normalized to a timestamp exactly like the batch scan."""
+    import os
+    import tempfile
+
+    src = table_path(sf_dir, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(), "ihc_stream_stage", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(stage)
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def stream_tumbling_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 6h windows: events + exact distinct users per
+    (window, event_type); 1h watermark tolerates late data while
+    bounding state."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.size(F.collect_set("user_id")).alias("distinct_users"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "distinct_users",
+        )
+    )
+
+
+def stream_sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding 6h windows every 3h — each event lands in 2 windows."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours", "3 hours").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def stream_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Data-driven session windows per user: a session extends while
+    events arrive within ``gap``."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type) with bounded
+    state — the streaming face of exact_dedup."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+SESSION_STATE_SCHEMA = "n_sessions int, last_ts double"
+SESSION_OUTPUT_SCHEMA = "user_id bigint, n_sessions int"
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: count
+    gap-separated sessions per user. State = (session count, last event
+    time) — the same update/merge discipline as the reference UDA's
+    state machine, expressed as streaming state."""
+    gap_s = gap_minutes * 60.0
+
+    def fn(key, pdfs, state):
+        n_sessions, last_ts = state.get() if state.exists else (0, None)
+        for pdf in pdfs:
+            for t in pdf["ts"].sort_values():
+                t = t.timestamp()
+                if last_ts is None or t - last_ts > gap_s:
+                    n_sessions += 1
+                last_ts = t
+        state.update((n_sessions, last_ts))
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n_sessions]})
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain a (bounded) stream synchronously into a memory sink and
+    return the result table — the local test harness for every
+    streaming operator."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,106 @@
+"""True Structured Streaming runs (readStream -> memory sink, drained
+synchronously) asserted equal to their batch twins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from impala_hashset_count_spark.plans import all_queries
+from impala_hashset_count_spark.sources.tables import load_table
+from impala_hashset_count_spark.streaming.windows import (
+    events_stream,
+    run_to_memory,
+    sessionize_stateful,
+    stream_dedup_within_watermark,
+    stream_session_windows,
+    stream_sliding_counts,
+    stream_tumbling_counts,
+)
+
+QUERIES = all_queries()
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark, sf_small):
+    ev = events_stream(spark, sf_small)
+    out = run_to_memory(stream_tumbling_counts(ev), "t_tumbling")
+    batch = QUERIES["streaming_tumbling_batch"].fn(spark, sf_small)
+    cols = ["window_start", "event_type", "n_events", "distinct_users"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_stream_sliding_equals_batch(spark, sf_small):
+    ev = events_stream(spark, sf_small)
+    out = run_to_memory(stream_sliding_counts(ev), "t_sliding")
+    batch = QUERIES["streaming_sliding_batch"].fn(spark, sf_small)
+    cols = ["window_start", "n_events"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_stream_session_windows_counts(spark, sf_small):
+    """session_window sessions must agree with the gap-islands batch
+    computation on session count per user."""
+    ev = events_stream(spark, sf_small)
+    out = run_to_memory(stream_session_windows(ev), "t_sessions")
+    stream_counts = {
+        r["user_id"]: r["n"]
+        for r in out.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    batch = QUERIES["streaming_sessionize_batch"].fn(spark, sf_small)
+    batch_counts = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    assert stream_counts == batch_counts
+
+
+def test_stream_dedup_within_watermark(spark, sf_small):
+    ev = events_stream(spark, sf_small)
+    out = run_to_memory(stream_dedup_within_watermark(ev), "t_dedup", "append")
+    batch_n = (
+        load_table(spark, sf_small, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert out.count() == batch_n
+    assert out.select("user_id", "event_type").distinct().count() == batch_n
+
+
+def test_stateful_sessionization_matches_islands(spark, sf_small):
+    ev = events_stream(spark, sf_small)
+    out = run_to_memory(sessionize_stateful(ev), "t_stateful", "update")
+    # update-mode memory sink may hold multiple rows per key; keep last
+    got = {r["user_id"]: r["n_sessions"] for r in out.collect()}
+    batch = QUERIES["streaming_sessionize_batch"].fn(spark, sf_small)
+    expect = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    assert got == expect
+
+
+def test_multimodal_plumbing_batch_shape(spark, sf_small):
+    from impala_hashset_count_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_decode,
+        frame_sample_hashes,
+    )
+
+    d = load_table(spark, sf_small, "documents")
+    payloads = attach_binary_payload(d, "doc_id", "text")
+    frames = frame_sample_hashes(payloads, n_frames=4)
+    n_docs = d.count()
+    assert frames.count() == 4 * n_docs
+    assert frames.select("doc_id").distinct().count() == n_docs
+    # deterministic stub: same payload -> same metadata
+    assert fake_decode(b"x" * 100) == fake_decode(b"y" * 100)
+
+
+def test_decode_image_gated(spark):
+    from impala_hashset_count_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub gate not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not-an-image")

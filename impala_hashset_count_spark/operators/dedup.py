@@ -147,23 +147,47 @@ def ngram_jaccard_pairs(
 # 3. MinHash + banded LSH
 # ---------------------------------------------------------------------
 
+def doc_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shs: array<long>) — each doc's distinct hashed-shingle set as
+    ONE array row. ``collect_set`` dedups inside the partial aggregate,
+    so the whole index costs a single shuffle on the doc id (vs the two
+    shuffles of distinct-then-groupBy). The per-doc array is the working
+    form for both signature derivation and exact verification."""
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
+    )
+    sd = toks.select(F.col(id_col), _shingle_expr(n, hashed=True).alias("sh"))
+    return sd.groupBy(id_col).agg(F.collect_set("sh").alias("shs"))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: h_i(doc) = min over
-    shingles of xxhash64(i, shingle). One groupBy computes all k mins
-    as k aggregate columns in a single pass (partial aggregation =>
-    shuffle carries k longs per doc, not the shingles). Built on the
-    hashed shingle index: the k derived hashes mix a fixed-width long,
-    not the shingle string."""
-    sd = hashed_shingle_sets(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)
-    ]
-    sig = sd.groupBy(id_col).agg(*mins)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"),
+    shingles of xxhash64(i, shingle). Derived COLUMNAR from the per-doc
+    shingle array (`array_min` over a `transform`) — zero additional
+    shuffles beyond the one that built the array. The k derived hashes
+    mix a fixed-width long, not the shingle string."""
+    docs = doc_shingle_arrays(df, id_col, text_col, n)
+    return docs.select(F.col(id_col), _sig_expr(k).alias("sig"))
+
+
+def _sig_expr(k: int):
+    # SQL-text lambdas, NOT Python lambdas: PySpark canonicalizes the
+    # lambda variables of Python-callable HOFs such that k transforms
+    # differing only in a captured literal collapse into ONE expression
+    # (all k mins come out identical — verified on 4.1.2). The CAST
+    # matches F.lit(i)'s IntegerType so hashes equal the groupBy-min
+    # formulation.
+    return F.array(
+        *[
+            F.array_min(
+                F.expr(f"transform(shs, x -> xxhash64(CAST({i} AS INT), x))")
+            )
+            for i in range(k)
+        ]
     )
 
 
@@ -181,9 +205,18 @@ def minhash_lsh_pairs(
     bands=32 (rows r=2), detection probability at j=0.5 is
     1-(1-0.25)^32 ~ 0.99996 — recall misses are possible in principle
     (hence no strict SQL oracle) but vanishingly rare above the
-    threshold. Returns (id_1, id_2, jaccard)."""
+    threshold. Returns (id_1, id_2, jaccard).
+
+    Shuffle budget (the 100 TB accounting): ONE shuffle of the hashed
+    shingle stream builds the per-doc arrays; signatures and band hashes
+    are columnar on top of it; the band equi-join shuffles O(docs*bands)
+    16-byte rows; verification joins the candidate pairs (tiny, AQE
+    broadcasts them) back to the cached per-doc arrays and computes
+    `array_intersect` sizes JVM-side — the full shingle index is never
+    re-shuffled."""
     rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    docs = doc_shingle_arrays(df, id_col, text_col, n).persist()
+    sig = docs.select(F.col(id_col), _sig_expr(k).alias("sig"))
     band_rows = sig.select(
         F.col(id_col),
         F.explode(
@@ -208,24 +241,14 @@ def minhash_lsh_pairs(
         .select("id_1", "id_2")
         .distinct()
     )
-    # Exact verification of candidates only: join candidate pairs back
-    # to the (hashed) shingle index and compute true Jaccard.
-    sd = hashed_shingle_sets(df, id_col, text_col, n).cache()
-    sizes = sd.groupBy(id_col).agg(F.count("*").alias("sz"))
-    s1 = sd.select(F.col(id_col).alias("id_1"), "sh")
-    s2 = sd.select(F.col(id_col).alias("id_2"), "sh")
-    common = (
-        candidates.join(s1, "id_1")
-        .join(s2, ["id_2", "sh"])
-        .groupBy("id_1", "id_2")
-        .agg(F.count("*").alias("common"))
-    )
-    z1 = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz_1"))
-    z2 = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz_2"))
-    jac = F.col("common") / (F.col("sz_1") + F.col("sz_2") - F.col("common"))
+    # Exact verification of candidates only, against the per-doc arrays.
+    d1 = docs.select(F.col(id_col).alias("id_1"), F.col("shs").alias("shs_1"))
+    d2 = docs.select(F.col(id_col).alias("id_2"), F.col("shs").alias("shs_2"))
+    common = F.size(F.array_intersect("shs_1", "shs_2"))
+    jac = common / (F.size("shs_1") + F.size("shs_2") - common)
     return (
-        common.join(z1, "id_1")
-        .join(z2, "id_2")
+        candidates.join(d1, "id_1")
+        .join(d2, "id_2")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))

@@ -86,11 +86,23 @@ def multi_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hashset_count_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faithful tier-b UDAF (pandas GROUPED_AGG): string result, NULL on
     all-NULL groups — the reference's exact edge semantics
-    (`hashset-count.cc:479,507-510`)."""
+    (`hashset-count.cc:479,507-510`).
+
+    The JVM-side ``distinct()`` is the partial phase the pandas UDAF
+    lacks: Spark ships whole groups to Python, so we dedup (group, value)
+    in the codegen'd hash aggregate first — the same role as the
+    reference's per-fragment Update (`hashset-count.cc:105-192`) — and
+    Python only finalizes over already-distinct values. Set semantics are
+    invariant under the pre-dedup (NULL rows survive as one (group, NULL)
+    row, which ``dropna`` then ignores, so all-NULL groups still yield
+    NULL)."""
     udaf = register_sql_udaf(spark)
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        udaf(F.col("user_id").cast("string")).alias("distinct_users")
+    pre = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    ).distinct()
+    return pre.groupBy("event_type").agg(
+        udaf(F.col("uid")).alias("distinct_users")
     )
 
 
@@ -388,23 +400,37 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: fact->orders->customer->nation->region. nation/region
     are broadcast EXPLICITLY (bounded dimensions at any SF — 25 nations);
     fact-side joins shuffle on their keys and AQE handles skew. This is
-    the canonical 100 TB join topology."""
+    the canonical 100 TB join topology.
+
+    The fact side is PARTIALLY RE-AGGREGATED to order grain before the
+    join chain: sum/count are distributive, so folding ~4 lineitems per
+    order first shrinks the join shuffle 4x AND turns
+    COUNT(DISTINCT l_orderkey) into a plain COUNT(*) (each orderkey joins
+    exactly one customer path), deleting the Expand a distinct aggregate
+    would otherwise need."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    return (
+    li_order = (
         li.select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_o"),
+            F.count("*").alias("nr_o"),
+        )
+    )
+    return (
+        li_order.join(orders, li_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count_distinct("l_orderkey").alias("n_orders"),
-            F.count("*").alias("n_rows"),
+            F.round(F.sum("rev_o"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.sum("nr_o").alias("n_rows"),
         )
     )
 

@@ -55,6 +55,33 @@ def decode_image(payload: bytes):
     return Image.open(io.BytesIO(payload))  # pragma: no cover
 
 
+def decode_audio(payload: bytes):
+    """Real audio decode — gated on soundfile availability (not in this
+    container)."""
+    try:
+        import io
+
+        import soundfile  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without soundfile
+        raise NotImplementedError(
+            "audio decode requires soundfile; use fake_decode_audio for plumbing tests"
+        ) from exc
+    return soundfile.read(io.BytesIO(payload))  # pragma: no cover
+
+
+def fake_decode_audio(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for an audio decoder: (sample_rate,
+    n_channels, n_samples, duration_s) purely from the byte length, so
+    the oracle mirrors it as SQL over OCTET_LENGTH. duration is a single
+    IEEE division (no rounding) so Python and SQL produce the identical
+    double."""
+    n = len(payload)
+    sample_rate = 8000 << (n % 3)  # 8k/16k/32k
+    n_channels = 1 + n % 2
+    n_samples = n * 32
+    return (sample_rate, n_channels, n_samples, n_samples / sample_rate)
+
+
 def fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """Deterministic stand-in for a media decoder: (width, height,
     channels, n_frames) derived purely from the byte length, so the
@@ -85,17 +112,56 @@ def extract_image_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=IMAGE_META_SCHEMA)
 
 
-def frame_sample_hashes(df: DataFrame, n_frames: int = 4) -> DataFrame:
+#: Output schema of the (fake or real) audio decode step.
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, byte_len int, sample_rate int, n_channels int, "
+    "n_samples bigint, duration_s double"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extraction over (doc_id, payload) —
+    same Arrow batch shape as the image path, audio-typed output."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = pdf["payload"].map(fake_decode_audio)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["payload"].map(len).astype("int32"),
+                    "sample_rate": meta.map(lambda m: m[0]).astype("int32"),
+                    "n_channels": meta.map(lambda m: m[1]).astype("int32"),
+                    "n_samples": meta.map(lambda m: m[2]).astype("int64"),
+                    "duration_s": meta.map(lambda m: m[3]).astype("float64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+def frame_sample_hashes(
+    df: DataFrame, n_frames: int = 4, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """'Video' frame sampling shape: split each payload into n_frames
     byte slices and fingerprint each — yields one (doc_id, frame_id,
     frame_hash) row per sampled frame. Pure column ops (no Python):
-    the slicing happens JVM-side on the binary column."""
+    the slicing happens JVM-side on the binary column.
+
+    ``hash_fn='xxhash64'`` is the production fingerprint;
+    ``hash_fn='md5'`` exists because DuckDB has no xxhash64 — the
+    oracle-checkable variant."""
+    def fp(sliced):
+        return F.xxhash64(sliced) if hash_fn == "xxhash64" else F.md5(sliced)
+
     slices = [
         F.struct(
             F.lit(i).alias("frame_id"),
-            F.xxhash64(F.expr(f"substring(payload, cast({i} * (length(payload) div {n_frames}) + 1 as int), cast(greatest(length(payload) div {n_frames}, 1) as int))")).alias(
-                "frame_hash"
-            ),
+            fp(
+                F.expr(
+                    f"substring(payload, cast({i} * (length(payload) div {n_frames}) + 1 as int), cast(greatest(length(payload) div {n_frames}, 1) as int))"
+                )
+            ).alias("frame_hash"),
         )
         for i in range(n_frames)
     ]

@@ -1,6 +1,6 @@
 """Similarity search (ANN) over an embedding column.
 
-Two tiers:
+Three tiers:
 
 - ``brute_force_topk`` — exact top-k by cosine: broadcast the (small)
   query set against the (huge) corpus, one narrow projection + a
@@ -12,10 +12,17 @@ Two tiers:
   signature; candidates are corpus vectors sharing a signature band
   with the query (equi-join on (band_id, band_val)), exact cosine is
   computed for candidates only, then per-query top-k. Sub-linear
-  candidate sets at the cost of probabilistic recall — the scale tier
+  candidate sets at the cost of probabilistic recall — a scale tier
   (tests measure recall against brute force; no SQL oracle by nature).
 
-The hyperplanes are generated from a fixed seed => deterministic plans,
+- ``ivf_topk`` — inverted-file index (IVF-flat): a seeded k-means
+  coarse quantizer partitions the corpus into cells; each query probes
+  only its ``nprobe`` nearest cells. Candidate count ~ corpus *
+  nprobe / n_cells, and the cell assignment doubles as the PHYSICAL
+  partitioning key at scale (write the corpus bucketed by cell and a
+  probe reads only matching partitions).
+
+The hyperplanes / k-means seed are fixed => deterministic plans,
 reproducible runs.
 """
 
@@ -85,6 +92,82 @@ def _signature_bands(df: DataFrame, vec_col: str, planes, bands: int, rows: int)
     return df.select("*", F.explode(F.array(*band_vals)).alias("band")).select(
         "*", "band.band_id", "band.band_val"
     ).drop("band")
+
+
+def assign_ivf_cells(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit the seeded k-means coarse quantizer and attach each row's
+    ``cell`` id. Training and assignment are JVM-side (``pyspark.ml``
+    KMeans over Vector columns); at 100 TB, fit on a sample
+    (``df.sample``) — the quantizer only needs the coarse geometry.
+
+    Returns (corpus_with_cell, centroids) — centroids are tiny
+    (n_cells x dim floats) and intended for driver-side probe planning.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="cell").fit(
+        vecs.select("__v")
+    )
+    assigned = model.transform(vecs).drop("__v")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN: search only the ``nprobe`` k-means cells nearest
+    each query. The probe plan (query -> cell list) is computed on the
+    DRIVER from the tiny centroid table and broadcast as an equi-join
+    key — the corpus side is filtered to probed cells before any
+    distance math. Returns (query_id, neighbor_id, cos_sim, rank)."""
+    assigned, centroids = assign_ivf_cells(corpus, vec_col, n_cells, seed)
+    cent = np.array(centroids)
+    cent_norm = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r.qv, dtype=float)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(cent_norm @ qn))[:nprobe]
+        probe_rows.extend((int(r.query_id), int(c)) for c in order)
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_q = probes.join(q, "query_id")
+
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    candidates = (
+        c.join(F.broadcast(probe_q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("cos_sim", F.round(cosine("cv", "qv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
 
 
 def lsh_topk(

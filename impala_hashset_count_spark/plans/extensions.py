@@ -33,7 +33,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table
 from .registry import register
 
@@ -317,4 +317,22 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return lsh_topk(
         e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, dim=64
+    )
+
+
+@register("similarity_ivf_topk")  # quantizer-dependent recall => no SQL
+# oracle; tests measure recall against the brute-force tier.
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: seeded k-means coarse quantizer (16 cells), each
+    query probes its 4 nearest cells — candidates ~ corpus/4, and the
+    cell id doubles as a physical bucketing key at 100 TB."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=10,
+        n_cells=16,
+        nprobe=4,
     )

@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_binary_payload, extract_image_metadata
+from ..operators.multimodal import (
+    attach_binary_payload,
+    extract_audio_features,
+    extract_image_metadata,
+    frame_sample_hashes,
+)
 from ..sources.tables import load_table
 from .registry import register
 
@@ -169,3 +174,56 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     payloads = attach_binary_payload(d, "doc_id", "text")
     return extract_image_metadata(payloads)
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+        SELECT doc_id,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS byte_len,
+               CAST(8000 * (1 << (OCTET_LENGTH(ENCODE(text)) % 3)) AS INTEGER)
+                   AS sample_rate,
+               CAST(1 + OCTET_LENGTH(ENCODE(text)) % 2 AS INTEGER) AS n_channels,
+               CAST(OCTET_LENGTH(ENCODE(text)) * 32 AS BIGINT) AS n_samples,
+               (OCTET_LENGTH(ENCODE(text)) * 32.0)
+                   / (8000 * (1 << (OCTET_LENGTH(ENCODE(text)) % 3))) AS duration_s
+        FROM documents
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio branch of the multimodal plumbing: binary payload ->
+    mapInPandas -> typed audio features (sample rate, channels, samples,
+    duration). Decode is the deterministic STUB (fake_decode_audio);
+    the oracle mirrors it over OCTET_LENGTH."""
+    d = _t(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(d, "doc_id", "text")
+    return extract_audio_features(payloads)
+
+
+@register(
+    "multimodal_frame_hashes",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id, text, LENGTH(text) AS n
+            FROM documents
+            WHERE LENGTH(text) = OCTET_LENGTH(ENCODE(text))
+        ),
+        f AS (SELECT UNNEST([0, 1, 2, 3]) AS frame_id)
+        SELECT a.doc_id, f.frame_id,
+               MD5(SUBSTRING(a.text,
+                             f.frame_id * (a.n // 4) + 1,
+                             GREATEST(a.n // 4, 1))) AS frame_hash
+        FROM a CROSS JOIN f
+    """,
+)
+def multimodal_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling: 4 byte-range slices per payload, each
+    fingerprinted JVM-side (no Python in the loop). Restricted to
+    ASCII payloads because the DuckDB oracle can only slice/hash
+    VARCHAR — on ASCII, byte slices == char slices. Production uses the
+    xxhash64 variant with no such restriction."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
+    payloads = attach_binary_payload(d, "doc_id", "text")
+    return frame_sample_hashes(payloads, n_frames=4, hash_fn="md5")

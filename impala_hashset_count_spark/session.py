@@ -58,15 +58,26 @@ def ship_package(spark: SparkSession) -> None:
     module-level functions (mapInPandas decode, RDD seq/comb functions):
     cloudpickle serializes those BY REFERENCE, so workers must be able
     to import the module."""
+    import hashlib
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    marker = "ihc_spark_pkg_shipped"
+    # Key the zip on a digest of every .py file's CONTENT — the package
+    # dir's mtime misses edits inside subpackages, which shipped stale
+    # code to workers (observed: AttributeError on a newly added
+    # function resolved from the old zip).
+    digest = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for fname in sorted(files):
+            if fname.endswith(".py"):
+                with open(os.path.join(root, fname), "rb") as fh:
+                    digest.update(fname.encode())
+                    digest.update(fh.read())
+    tag = digest.hexdigest()[:16]
+    marker = f"ihc_spark_pkg_shipped_{tag}"
     if spark.conf.get(f"spark.{marker}", None) == "true":
         return
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"ihc_spark_pkg_{os.path.getmtime(pkg_dir):.0f}.zip"
-    )
+    zip_path = os.path.join(tempfile.gettempdir(), f"ihc_spark_pkg_{tag}.zip")
     if not os.path.exists(zip_path):
         tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w") as zf:

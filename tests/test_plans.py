@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the scale properties we claim (pushdown,
+broadcast, rank-limit, top-N, single-expand multi-distinct) must be
+visible in the optimized plan, not just intended. These are the
+codified `.explain` audits — if a refactor regresses a plan shape, a
+test fails, not a benchmark."""
+
+import contextlib
+import io
+
+from impala_hashset_count_spark.plans import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _plan(spark, name: str) -> str:
+    return explain_str(all_queries()[name].fn(spark, SF))
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    plan = _plan(spark, "filter_project_pushdown")
+    assert "PushedFilters" in plan
+    # the quantity predicate is pushed, not evaluated post-scan only
+    assert "GreaterThanOrEqual(l_quantity,45" in plan
+    # column pruning: the scan schema carries only the needed columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_star_join_broadcasts_bounded_dims(spark):
+    plan = _plan(spark, "join_star_revenue")
+    assert "BroadcastHashJoin" in plan  # nation/region explicitly hinted
+    # fact-side partial re-aggregation happens BEFORE the join chain:
+    # the orderkey-grain HashAggregate must appear under the first join
+    assert plan.count("HashAggregate") >= 4  # partial+final x (pre-agg, final agg)
+
+
+def test_topk_plans_rank_limit_pushdown(spark):
+    plan = _plan(spark, "topk_orders_per_customer")
+    # Spark's WindowGroupLimit keeps <=k rows per partition pre-shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_global_topn_avoids_full_sort(spark):
+    plan = _plan(spark, "sort_limit_global_top20")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multi_distinct_is_single_pass(spark):
+    plan = _plan(spark, "multi_distinct_lineitem")
+    # Catalyst rewrites N DISTINCT aggregates via one Expand node —
+    # the whole point of the reference operator, natively
+    assert "Expand" in plan
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1
+
+
+def test_faithful_udaf_preceded_by_jvm_distinct(spark):
+    plan = _plan(spark, "hashset_count_faithful")
+    # the pandas UDAF (ArrowAggregatePython in Spark 4.x) must sit on
+    # top of a codegen'd distinct (partial dedup), not raw rows
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert "HashAggregate" in plan
+
+
+def test_bruteforce_topk_broadcasts_queries_not_corpus(spark):
+    plan = _plan(spark, "similarity_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the corpus must not be globally sorted — ranking is windowed
+    assert "WindowGroupLimit" in plan or "Window" in plan

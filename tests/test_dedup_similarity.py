@@ -72,6 +72,24 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_small):
     assert mean_recall >= 0.5, f"mean recall {mean_recall}"
 
 
+def test_short_docs_yield_no_shingles_not_errors(spark):
+    """Docs with < n tokens must produce zero shingles. Regression:
+    sequence(1, 0) is DESCENDING in Spark, so the unguarded transform
+    hit slice(_, 0, n) -> INVALID_PARAMETER_VALUE."""
+    from impala_hashset_count_spark.operators.dedup import (
+        doc_shingle_arrays,
+        shingle_sets,
+    )
+
+    rows = [(1, "a b"), (2, ""), (3, "   "), (4, "x y z w")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    exploded = shingle_sets(df, "doc_id", "text", 3).collect()
+    assert {r.doc_id for r in exploded} == {4}
+    arrays = {r.doc_id: r.shs for r in doc_shingle_arrays(df, "doc_id", "text", 3).collect()}
+    assert arrays[1] == [] and arrays[2] == [] and arrays[3] == []
+    assert len(arrays[4]) == 2
+
+
 def test_ngram_jaccard_identical_docs(spark):
     rows = [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w q r s")]
     df = spark.createDataFrame(rows, "doc_id int, text string")

@@ -34,6 +34,21 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least core-count partitions before CPU-heavy per-row
+    expression work (shingling, k x xxhash64 signatures).
+
+    A small parquet file scans as ONE split, which would serialize the
+    whole signature computation on one core (measured 2x end-to-end on
+    the sf0.1 MinHash bench). At 100 TB the scan already has thousands
+    of splits, so this is a no-op there — the repartition only fires
+    when the input has fewer partitions than the cluster has slots."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------
 # 1. Exact dedup
 # ---------------------------------------------------------------------
@@ -79,7 +94,7 @@ def shingle_sets(
     Tokenization is materialized as a column BEFORE the shingle lambda:
     inlining ``split()`` into the transform re-evaluates the split per
     shingle (O(tokens^2) measured 4.7x slower at sf0.1)."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
     )
     return toks.select(F.col(id_col), _shingle_expr(n, hashed=False).alias("sh")).distinct()
@@ -162,7 +177,7 @@ def doc_shingle_arrays(
 
     SQL-text lambda (not Python) per the HOF canonicalization pitfall
     documented at ``_sig_expr``."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
     )
     elts = ", ".join(f"element_at(__toks, i + {j})" for j in range(n))
@@ -276,7 +291,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit i of the signature is
     the sign of sum over tokens of (+1 if bit i of xxhash64(token) else
     -1). Computed as 64 conditional-sum aggregates in ONE pass."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("th", F.xxhash64("tok"))

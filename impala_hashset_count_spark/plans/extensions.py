@@ -33,6 +33,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from ..operators.packing import chunk_documents, pack_sequences_greedy
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table
 from .registry import register
@@ -154,6 +155,102 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-text md5 fingerprint — the exact-dedup key."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_md5("text").alias("fp"))
+
+
+@register(
+    "train_chunk_documents",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN TRIM(text) = '' THEN []
+                        ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+')
+                   END AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(toks) / 64.0) AS INT) - 1))
+                       AS chunk_id
+            FROM t WHERE LEN(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS INTEGER) AS chunk_id,
+               ARRAY_TO_STRING(LIST_SLICE(toks, chunk_id * 64 + 1, chunk_id * 64 + 64), ' ')
+                   AS chunk_text,
+               CAST(LEN(LIST_SLICE(toks, chunk_id * 64 + 1, chunk_id * 64 + 64)) AS INTEGER)
+                   AS n_chunk_tokens
+        FROM c
+    """,
+)
+def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: each document exploded into 64-token
+    windows (final window short, no padding). Pure per-row array
+    expressions — no shuffle, scales linearly with corpus bytes."""
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=64)
+
+
+@register(
+    "train_pack_greedy",
+    oracle=r"""
+        WITH RECURSIVE t AS (
+            SELECT lang, doc_id,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER)
+                   END AS n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        p AS (
+            SELECT lang, doc_id, n_tokens, rn,
+                   1 AS bin_id, n_tokens AS fill
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+                   CASE WHEN p.fill + t.n_tokens > 512 THEN p.bin_id + 1
+                        ELSE p.bin_id END,
+                   CASE WHEN p.fill + t.n_tokens > 512 THEN t.n_tokens
+                        ELSE p.fill + t.n_tokens END
+            FROM t JOIN p ON t.lang = p.lang AND t.rn = p.rn + 1
+        )
+        SELECT lang, doc_id, n_tokens, CAST(bin_id AS BIGINT) AS bin_id FROM p
+    """,
+)
+def train_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: whole documents into 512-token bins per
+    language, scanning in doc_id order. Token counts are computed
+    JVM-side first so the Python packer only sees (group, id, count)
+    triples; the DuckDB oracle replays the same greedy scan as a linear
+    recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    counted = d.select(
+        "lang", "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences_greedy(
+        counted, group_col="lang", order_col="doc_id",
+        token_col="n_tokens", budget=512,
+    )
+
+
+@register(
+    "sample_hash_documents",
+    oracle="""
+        SELECT doc_id, lang, SUBSTRING(MD5(text), 1, 1) AS bucket
+        FROM documents
+        WHERE SUBSTRING(MD5(text), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (~2/16 of docs): the
+    reproducible subset selector for eval splits and ablations —
+    unlike ``df.sample``, re-runs and engines agree exactly, and at
+    100 TB it needs no seed-state coordination: the filter is pushed
+    into the scan projection."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    return d.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket").isin("0", "1")
+    )
 
 
 # ---------------------------------------------------------------------

@@ -614,6 +614,83 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q17_SQL = """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+"""
+
+
+@register("subquery_corr_avg_qty", oracle=_Q17_SQL)
+def subquery_corr_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery. Catalyst
+    DECORRELATES it (RewriteCorrelatedScalarSubquery): the per-partkey
+    average becomes one grouped aggregate joined back on l_partkey, so
+    the 100 TB plan is two scans + one equi-join, never a re-executed
+    subquery per row. Same SQL text runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+        SELECT o.o_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(o.o_orderdate AS DATE) AS orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on all three tables reach the
+    scans, then join -> grouped agg -> global top-10 (rounded revenue +
+    orderkey tie-break keeps the boundary deterministic across
+    engines). The orders/customer side shrinks before touching the
+    fact table."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
 # =====================================================================
 # Window functions, sort / limit / top-k
 # =====================================================================
@@ -649,6 +726,37 @@ def window_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_spend"),
         F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
         F.rank().over(wrank).alias("spend_rank"),
+    )
+
+
+@register(
+    "window_trailing_spend",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+                   AS spend_30d
+        FROM orders
+    """,
+)
+def window_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer trailing-30-day spend (frame by
+    VALUE distance over epoch seconds, not row count — peers with equal
+    timestamps aggregate identically in any engine, so no tie-break is
+    needed). TIMESTAMP_NTZ has no direct long cast; the hop through
+    TIMESTAMP is exact because the session TZ is pinned UTC (matching
+    DuckDB's naive EPOCH)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
     )
 
 

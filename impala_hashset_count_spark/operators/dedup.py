@@ -227,6 +227,7 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 32,
     threshold: float = 0.5,
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with EXACT
     Jaccard so the output contains no false positives. With k=64 and
@@ -241,7 +242,17 @@ def minhash_lsh_pairs(
     16-byte rows; verification joins the candidate pairs (tiny, AQE
     broadcasts them) back to the cached per-doc arrays and computes
     `array_intersect` sizes JVM-side — the full shingle index is never
-    re-shuffled."""
+    re-shuffled.
+
+    ``max_bucket_docs`` is the quadratic-blowup guard: a band bucket
+    holding B docs emits B^2/2 candidate pairs, and at corpus scale one
+    boilerplate cluster (license headers, templated pages) can put
+    millions of docs in one bucket. Buckets larger than the cap are
+    dropped BEFORE pairing; the member docs still pair through their
+    other (bands-1) buckets, so recall for genuinely-similar pairs
+    degrades only slightly while the worst case goes from O(B^2) to
+    O(cap * B). None (default) keeps exact LSH semantics for parity
+    runs; always set it in production."""
     rows = k // bands
     docs = doc_shingle_arrays(df, id_col, text_col, n).persist()
     sig = docs.select(F.col(id_col), _sig_expr(k).alias("sig"))
@@ -261,6 +272,14 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+    if max_bucket_docs is not None:
+        small = (
+            band_rows.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("__bucket_docs"))
+            .filter(F.col("__bucket_docs") <= max_bucket_docs)
+            .drop("__bucket_docs")
+        )
+        band_rows = band_rows.join(small, ["band_id", "band_hash"])
     a = band_rows.select(F.col(id_col).alias("id_1"), "band_id", "band_hash")
     b = band_rows.select(F.col(id_col).alias("id_2"), "band_id", "band_hash")
     candidates = (

@@ -154,6 +154,41 @@ def streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join_batch",
+    oracle="""
+        SELECT l.user_id AS user_id,
+               l.event_id AS l_event,
+               r.event_id AS r_event
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND r.ts > l.ts
+         AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+)
+def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (same-user event
+    pairs within 10 minutes): equi-key on user_id keeps it a hash join
+    with a range residual — never a time-only cross join."""
+    ev = _t(spark, sf_dir, "events")
+    l = ev.select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = ev.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(F.col("l_user").alias("user_id"), "l_event", "r_event")
+
+
+@register(
     "multimodal_image_meta",
     oracle="""
         SELECT doc_id,

@@ -116,6 +116,34 @@ def stream_dedup_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Stream-stream INNER interval join: for each event, the same
+    user's follow-up events within 10 minutes. Both sides carry
+    watermarks and the join condition time-bounds r_ts relative to
+    l_ts, which is what lets Spark EVICT join state (without the time
+    bound, stream-stream state grows forever). The strict ``r_ts >
+    l_ts`` also makes self-pairing impossible."""
+    l = left.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            "l_user = r_user AND r_ts > l_ts "
+            "AND r_ts <= l_ts + INTERVAL 10 MINUTES"
+        ),
+    ).select(
+        F.col("l_user").alias("user_id"), "l_event", "r_event"
+    )
+
+
 SESSION_STATE_SCHEMA = "n_sessions int, last_ts double"
 SESSION_OUTPUT_SCHEMA = "user_id bigint, n_sessions int"
 

@@ -72,6 +72,32 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_small):
     assert mean_recall >= 0.5, f"mean recall {mean_recall}"
 
 
+def test_minhash_bucket_cap_drops_boilerplate_cluster(spark):
+    """A cluster of identical docs (boilerplate) puts all its members
+    in every band bucket; with the cap below the cluster size those
+    buckets are dropped so no pair survives, while an unrelated
+    distinct near-dup pair still pairs through its own small buckets."""
+    boiler = "this license text is identical across the corpus " * 4
+    pair_a = "unique document about spark adaptive execution and shuffles " * 3
+    rows = [(i, boiler) for i in range(1, 21)]
+    rows += [(100, pair_a), (101, pair_a + "tail")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", 3, 64, 32, 0.5).collect()
+    }
+    assert (100, 101) in uncapped
+    assert (1, 2) in uncapped
+    capped = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", 3, 64, 32, 0.5, max_bucket_docs=10
+        ).collect()
+    }
+    assert (100, 101) in capped           # small buckets unaffected
+    assert not any(i1 <= 20 and i2 <= 20 for i1, i2 in capped)
+
+
 def test_short_docs_yield_no_shingles_not_errors(spark):
     """Docs with < n tokens must produce zero shingles. Regression:
     sequence(1, 0) is DESCENDING in Spark, so the unguarded transform

@@ -71,6 +71,41 @@ def test_faithful_udaf_preceded_by_jvm_distinct(spark):
     assert "HashAggregate" in plan
 
 
+def test_chunking_is_shuffle_free(spark):
+    # chunk_documents is a pure per-row explode: any Exchange in the
+    # plan means a regression to a shuffling formulation
+    plan = _plan(spark, "train_chunk_documents")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_packing_shuffles_once_on_group_key(spark):
+    plan = _plan(spark, "train_pack_greedy")
+    # one hash-partitioning exchange on the group key feeds the Arrow
+    # grouped-map; token counting stays JVM-side below it
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 1
+    assert "hashpartitioning(lang" in plan
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan
+
+
+def test_q3_filters_reach_all_scans(spark):
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    # each of the three scans carries its own pushed predicate
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert plan.count("PushedFilters: [") >= 3
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    plan = _plan(spark, "subquery_corr_avg_qty")
+    # Catalyst rewrites the per-row scalar subquery into an aggregate
+    # joined on the correlation key — no per-row subplan execution
+    assert "Subquery" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_bruteforce_topk_broadcasts_queries_not_corpus(spark):
     plan = _plan(spark, "similarity_topk_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

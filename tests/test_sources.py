@@ -48,6 +48,15 @@ def test_partitioned_write_prunes(spark, sf_small, tmp_path):
     back = read_source(spark, "parquet", path).filter(F.col("o_orderstatus") == "F")
     # partition pruning visible in the plan: only the matching dir is read
     assert back.count() == src.filter(F.col("o_orderstatus") == "F").count()
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
 
 
 def test_nul_and_utf8_values_survive(spark):

@@ -11,6 +11,7 @@ from impala_hashset_count_spark.streaming.windows import (
     run_to_memory,
     sessionize_stateful,
     stream_dedup_within_watermark,
+    stream_interval_join,
     stream_session_windows,
     stream_sliding_counts,
     stream_tumbling_counts,
@@ -64,6 +65,19 @@ def test_stream_dedup_within_watermark(spark, sf_small):
     )
     assert out.count() == batch_n
     assert out.select("user_id", "event_type").distinct().count() == batch_n
+
+
+def test_stream_interval_join_equals_batch(spark, sf_small):
+    # two independent readStream instances over the same source — the
+    # stream-stream join requires distinct watermarked sides
+    left = events_stream(spark, sf_small)
+    right = events_stream(spark, sf_small)
+    out = run_to_memory(
+        stream_interval_join(left, right), "t_interval_join", "append"
+    )
+    batch = QUERIES["streaming_interval_join_batch"].fn(spark, sf_small)
+    cols = ["user_id", "l_event", "r_event"]
+    assert _rows(out, cols) == _rows(batch, cols)
 
 
 def test_stateful_sessionization_matches_islands(spark, sf_small):

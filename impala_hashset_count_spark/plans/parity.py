@@ -811,6 +811,50 @@ def sort_limit_global_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q4_SQL = """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register("subquery_exists_q4", oracle=_Q4_SQL)
+def subquery_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS. Catalyst plans it as a LEFT
+    SEMI join on l_orderkey with the date inequality as residual: the
+    lineitem side is never fanned out, and the orders date filter is
+    pushed to the scan. Same SQL text runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+_FILTER_AGG_SQL = """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax = 0), 2) AS rev_untaxed,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register("agg_filter_clause", oracle=_FILTER_AGG_SQL)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER (WHERE ...) aggregate modifiers — N conditional aggregates
+    in ONE pass over the scan (the idiom that replaces N self-joins or
+    N CASE-wrapped columns); identical SQL text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_FILTER_AGG_SQL)
+
+
 # =====================================================================
 # Set operations
 # =====================================================================
@@ -841,6 +885,40 @@ def setops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.union(s).distinct().select(F.lit("union").alias("op"), "nationkey"),
         c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey"),
         c.subtract(s).select(F.lit("except").alias("op"), "nationkey"),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out
+
+
+@register(
+    "setops_all_variants",
+    oracle="""
+        SELECT 'union_all' AS op, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'intersect_all' AS op, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT ALL SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'except_all' AS op, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL SELECT s_nationkey FROM supplier)
+    """,
+)
+def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set operations — UNION ALL is a zero-shuffle
+    concatenation; INTERSECT ALL / EXCEPT ALL preserve duplicate
+    multiplicities (bag semantics) via a single count-compare shuffle,
+    complementing the distinct variants in ``setops_nation_keys``."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    tagged = [
+        c.union(s).select(F.lit("union_all").alias("op"), "nationkey"),
+        c.intersectAll(s).select(F.lit("intersect_all").alias("op"), "nationkey"),
+        c.exceptAll(s).select(F.lit("except_all").alias("op"), "nationkey"),
     ]
     out = tagged[0]
     for t in tagged[1:]:

@@ -364,6 +364,80 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Sequence / funnel analytics
+# ---------------------------------------------------------------------
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT v.user_id,
+               STRFTIME(v.t_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+               STRFTIME(c.t_click, '%Y-%m-%d %H:%M:%S') AS first_click,
+               STRFTIME(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON c.user_id = p.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first view, the first
+    click strictly AFTER that view, and the first purchase strictly
+    after that click (each stage anchored on the previous one — not
+    three independent mins).
+
+    Single-scan formulation: ONE shuffle collects each user's sorted
+    (ts, type) event array, then the three anchored firsts are pure
+    array HOFs (filter/transform/array_min) over it — versus the
+    oracle's 3-scan 3-join CTE chain. Assumes bounded events-per-user
+    (true for behavioral funnels); for unbounded keys use the
+    join-chain form the oracle spells out."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    grouped = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    t_view = "array_min(transform(filter(evs, e -> e.event_type = 'view'), e -> e.ts))"
+    funnel = (
+        grouped.withColumn("t_view", F.expr(t_view))
+        .filter(F.col("t_view").isNotNull())
+        .withColumn(
+            "t_click",
+            F.expr(
+                "array_min(transform(filter(evs, "
+                "e -> e.event_type = 'click' AND e.ts > t_view), e -> e.ts))"
+            ),
+        )
+        .withColumn(
+            "t_purchase",
+            F.expr(
+                "array_min(transform(filter(evs, "
+                "e -> e.event_type = 'purchase' AND e.ts > t_click), e -> e.ts))"
+            ),
+        )
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return funnel.select(
+        "user_id",
+        F.date_format("t_view", fmt).alias("first_view"),
+        F.date_format("t_click", fmt).alias("first_click"),
+        F.date_format("t_purchase", fmt).alias("first_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------
 

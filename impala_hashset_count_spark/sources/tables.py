@@ -95,3 +95,29 @@ def write_sink(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", part
     if options:
         writer = writer.options(**options)
     writer.save(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered sorted output — the 100 TB table layout pattern:
+    ``repartitionByRange`` gives non-overlapping key ranges per output
+    file (so a downstream range/point filter prunes to few files via
+    parquet min/max stats), and ``sortWithinPartitions`` makes row
+    groups internally sorted (tight stats per row group + better
+    compression). This is what "bucketed-ish without a metastore"
+    looks like for parquet-on-object-store.
+
+    ``n_files`` sizes the output; default leaves the session shuffle
+    parallelism in charge (AQE coalescing applies)."""
+    parts = (
+        df.repartitionByRange(n_files, *cluster_by)
+        if n_files
+        else df.repartitionByRange(*cluster_by)
+    )
+    parts.sortWithinPartitions(*cluster_by).write.format(fmt).mode(mode).save(path)

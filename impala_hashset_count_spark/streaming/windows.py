@@ -179,6 +179,31 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def foreach_batch_parquet_sink(
+    stream_df: DataFrame, path: str, checkpoint: str
+):
+    """Exactly-once-style file sink via ``foreachBatch``: each
+    micro-batch overwrites its OWN ``batch_id=N`` directory, so a batch
+    replayed after a failure (same epoch re-delivered from the
+    checkpointed offsets) lands on the same path instead of duplicating
+    — idempotence by keyed overwrite, the standard pattern for sinks
+    with no transactional commit protocol. Returns the started query
+    (caller drains/stops it)."""
+    import os
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a (bounded) stream synchronously into a memory sink and
     return the result table — the local test harness for every

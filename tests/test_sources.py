@@ -59,6 +59,62 @@ def test_partitioned_write_prunes(spark, sf_small, tmp_path):
     assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
 
 
+def test_write_clustered_disjoint_ranges(spark, sf_small, tmp_path):
+    """Range-clustered output: per-file key ranges must be disjoint so
+    parquet min/max stats prune file-level reads downstream."""
+    import pyarrow.parquet as pq
+
+    from impala_hashset_count_spark.sources.tables import write_clustered
+
+    src = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = os.path.join(str(tmp_path), "li_clustered")
+    write_clustered(src, path, cluster_by=["l_orderkey"], n_files=4)
+
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert 1 < len(files) <= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_orderkey"
+        )
+        mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file key ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+    # values intact
+    back = spark.read.parquet(path)
+    assert back.count() == src.count()
+
+
+def test_foreach_batch_sink_idempotent_layout(spark, sf_small, tmp_path):
+    from impala_hashset_count_spark.streaming.windows import (
+        events_stream,
+        foreach_batch_parquet_sink,
+    )
+
+    out = os.path.join(str(tmp_path), "fb_out")
+    ckpt = os.path.join(str(tmp_path), "fb_ckpt")
+    stream = events_stream(spark, sf_small).filter(F.col("event_type") == "view")
+    q = foreach_batch_parquet_sink(stream, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    batch_n = (
+        load_table(spark, sf_small, "events")
+        .filter(F.col("event_type") == "view")
+        .count()
+    )
+    back = spark.read.option("basePath", out).parquet(out)
+    assert back.count() == batch_n
+    # batch-keyed layout on disk (the idempotence unit)
+    assert any(d.startswith("batch_id=") for d in os.listdir(out))
+
+
 def test_nul_and_utf8_values_survive(spark):
     rows = [
         ("k1", "a\x00b"),

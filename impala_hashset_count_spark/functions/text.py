@@ -59,22 +59,27 @@ def bpe_ish_token_count(col: str | Column) -> Column:
 
 
 def word_shingles(col: str | Column, n: int = 3) -> Column:
-    """Array of word n-grams (the dedup shingle unit).
+    """Array of word n-grams (the dedup shingle unit); inputs with < n
+    tokens yield an EMPTY array. The explicit emptiness guard matters:
+    ``sequence(1, 0)`` is DESCENDING in Spark ([1, 0]), so the
+    greatest(...,0) upper bound alone would emit starts 1 and 0 —
+    a duplicate first shingle plus an invalid slice(_, 0, n).
     Mirror (DuckDB): positional self-join of unnested tokens."""
     t = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
+    starts = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
 
 
 def char_shingles(col: str | Column, n: int = 5) -> Column:
-    """Array of character n-grams."""
+    """Array of character n-grams; strings shorter than n yield an
+    EMPTY array (same descending-sequence guard as word_shingles)."""
     c = _c(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
-        lambda i: F.substring(c, i, n),
-    )
+    starts = F.when(
+        F.length(c) >= n, F.sequence(F.lit(1), F.length(c) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.substring(c, i, n))
 
 
 def punct_ratio(col: str | Column) -> Column:
@@ -165,12 +170,15 @@ def rolling_hashes(col: str | Column, window: int = 8) -> Column:
 
 def winnowing_fingerprint(col: str | Column, window: int = 8, stride: int = 4) -> Column:
     """Winnowing-style local fingerprint: min rolling hash per stride
-    block (a compact array signature robust to small edits)."""
+    block (a compact array signature robust to small edits). Inputs
+    shorter than ``window`` yield an EMPTY array (descending-sequence
+    guard: sequence(0, -1) is [0, -1], which would emit null blocks)."""
     hashes = rolling_hashes(col, window)
-    n_blocks = F.greatest(
-        F.ceil(F.size(hashes) / F.lit(stride)).cast("int"), F.lit(0)
-    )
+    n_blocks = F.ceil(F.size(hashes) / F.lit(stride)).cast("int")
+    blocks = F.when(
+        n_blocks > 0, F.sequence(F.lit(0), n_blocks - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
-        F.sequence(F.lit(0), n_blocks - 1),
+        blocks,
         lambda b: F.array_min(F.slice(hashes, b * stride + 1, stride)),
     )

@@ -134,6 +134,45 @@ def hashset_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hashset_count_multi_sql",
+    oracle="""
+        SELECT l_returnflag,
+               CASE WHEN COUNT(l_partkey) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT CAST(l_partkey AS VARCHAR)) AS VARCHAR)
+               END AS d_parts,
+               CASE WHEN COUNT(l_suppkey) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT CAST(l_suppkey AS VARCHAR)) AS VARCHAR)
+               END AS d_supps,
+               CASE WHEN COUNT(l_orderkey) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR)) AS VARCHAR)
+               END AS d_orders
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def hashset_count_multi_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal motivating workload THROUGH the faithful
+    UDAF: several ``hashset_count`` instances in one grouped SELECT —
+    what `/root/reference/README.md:1` built the whole UDA for, because
+    Impala could not run multiple COUNT(DISTINCT) at once. One
+    registration serves all instances (as one CREATE AGGREGATE FUNCTION
+    did, `README.md:28-33`); Spark plans them in a single
+    AggregateInPandas over the group."""
+    register_sql_udaf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               hashset_count(CAST(l_partkey AS STRING))  AS d_parts,
+               hashset_count(CAST(l_suppkey AS STRING))  AS d_supps,
+               hashset_count(CAST(l_orderkey AS STRING)) AS d_orders
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
     "hashset_count_idiomatic",
     oracle="""
         SELECT l_linestatus,

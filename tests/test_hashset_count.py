@@ -10,6 +10,7 @@ from impala_hashset_count_spark.operators.hashset_count import (
     hashset_count_agg,
     hashset_count_df,
     hashset_count_rdd,
+    make_hashset_count_udaf,
     register_sql_udaf,
 )
 
@@ -123,6 +124,58 @@ def test_f7_multiple_distincts_single_pass(spark):
     # exactly one Expand-based aggregate: the plan must not scan thrice
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("scan") <= 1 or "Expand" in plan
+
+
+def test_property_tiers_agree_with_python_reference(spark):
+    """Property-based check (hypothesis): for arbitrary keyed string
+    multisets — including empty strings, embedded NULs, unicode, and
+    NULLs — the faithful UDAF and the idiomatic tier both equal the
+    Python-set reference on every group."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    values = st.one_of(
+        st.none(),
+        st.sampled_from(["", "a", "a\x00b", "a\x00c", "é中文", "x" * 50]),
+        st.text(min_size=0, max_size=6),
+    )
+    rows_strategy = st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]), values),
+        min_size=1,
+        max_size=60,
+    )
+
+    @given(rows=rows_strategy)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(rows):
+        expect = {}
+        for k, v in rows:
+            expect.setdefault(k, set())
+            if v is not None:
+                expect[k].add(v)
+        expected = {
+            k: (str(len(s)) if s else None) for k, s in expect.items()
+        }
+        df = spark.createDataFrame(rows, "k string, v string")
+        udaf = make_hashset_count_udaf()
+        got_b = {
+            r["k"]: r["c"]
+            for r in df.groupBy("k").agg(udaf("v").alias("c")).collect()
+        }
+        assert got_b == expected
+        got_a = {
+            r["k"]: r["c"]
+            for r in df.groupBy("k")
+            .agg(hashset_count_agg("v").alias("c"))
+            .collect()
+        }
+        assert got_a == expected
+
+    check()
 
 
 def test_asof_pandas_strategy_matches_window(spark, sf_small):

@@ -653,6 +653,44 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_salted_skew",
+    oracle="""
+        SELECT o.o_orderpriority,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators.skew.salted_join): the fact side
+    gets a deterministic salt, the dimension side is replicated per
+    salt value, and the hot key spreads over ``salt`` reduce tasks.
+    Results are IDENTICAL to the plain join — which is exactly what the
+    plain-join oracle asserts — so the salting is purely a physical
+    re-distribution. AQE skew splitting covers moderate skew; this is
+    the explicit hammer for a single pathological key."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "jk"),
+        orders.withColumnRenamed("o_orderkey", "jk"),
+        on="jk",
+        salt=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
 _Q17_SQL = """
     SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
     FROM lineitem l

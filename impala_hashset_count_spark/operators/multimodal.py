@@ -140,6 +140,54 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
 
 
+#: Output schema of the resize step: typed metadata + resized payload.
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_width int, src_height int, "
+    "out_width int, out_height int, out_bytes int, payload binary"
+)
+
+
+def fake_resize(payload: bytes, target: int = 224) -> tuple[int, int, int, int, bytes]:
+    """Deterministic stand-in for an image resize: aspect-fit the fake
+    source dimensions into ``target`` x ``target`` and emit a payload of
+    EXACTLY out_w*out_h*3 bytes (the source bytes tiled/truncated).
+    All math is plain IEEE double + truncation, so the oracle mirrors
+    the dimensions as SQL over OCTET_LENGTH."""
+    w, h, _c, _f = fake_decode(payload)
+    scale = min(target / w, target / h)
+    ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+    need = ow * oh * 3
+    src = payload or b"\x00"
+    data = (src * (need // len(src) + 1))[:need]
+    return (w, h, ow, oh, data)
+
+
+def resize_images(df: DataFrame, target: int = 224) -> DataFrame:
+    """mapInPandas resize over (doc_id, payload): aspect-fit each image
+    into ``target`` square, emitting typed dimension metadata plus the
+    resized payload. The decode+resample is the documented STUB
+    (``fake_resize``; the real path is ``decode_image`` + PIL
+    ``Image.resize``, gated on PIL availability) — the Spark-side batch
+    shape, schema, and byte accounting are real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = pdf["payload"].map(lambda p: fake_resize(p, target))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_width": res.map(lambda r: r[0]).astype("int32"),
+                    "src_height": res.map(lambda r: r[1]).astype("int32"),
+                    "out_width": res.map(lambda r: r[2]).astype("int32"),
+                    "out_height": res.map(lambda r: r[3]).astype("int32"),
+                    "out_bytes": res.map(lambda r: len(r[4])).astype("int32"),
+                    "payload": res.map(lambda r: r[4]),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_hashes(
     df: DataFrame, n_frames: int = 4, hash_fn: str = "xxhash64"
 ) -> DataFrame:

@@ -14,6 +14,7 @@ from ..operators.multimodal import (
     extract_audio_features,
     extract_image_metadata,
     frame_sample_hashes,
+    resize_images,
 )
 from ..sources.tables import load_table
 from .registry import register
@@ -233,6 +234,39 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     payloads = attach_binary_payload(d, "doc_id", "text")
     return extract_audio_features(payloads)
+
+
+@register(
+    "multimodal_resize_meta",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   64 + OCTET_LENGTH(ENCODE(text)) % 576 AS w,
+                   64 + (OCTET_LENGTH(ENCODE(text)) // 7) % 448 AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS src_width,
+               CAST(h AS INTEGER) AS src_height,
+               CAST(GREATEST(1, FLOOR(w * LEAST(224.0 / w, 224.0 / h)))
+                    AS INTEGER) AS out_width,
+               CAST(GREATEST(1, FLOOR(h * LEAST(224.0 / w, 224.0 / h)))
+                    AS INTEGER) AS out_height,
+               CAST(GREATEST(1, FLOOR(w * LEAST(224.0 / w, 224.0 / h)))
+                    * GREATEST(1, FLOOR(h * LEAST(224.0 / w, 224.0 / h)))
+                    * 3 AS INTEGER) AS out_bytes
+        FROM m
+    """,
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize branch of the multimodal plumbing: mapInPandas aspect-fit
+    into 224x224 (deterministic stub resample; real path is PIL-gated).
+    The oracle mirrors the aspect-fit dimension math over OCTET_LENGTH;
+    payload byte accounting (out_bytes == out_w*out_h*3 == len(payload))
+    is asserted in tests/test_multimodal_ivf.py."""
+    d = _t(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(d, "doc_id", "text")
+    return resize_images(payloads, target=224).drop("payload")
 
 
 @register(

@@ -68,3 +68,25 @@ def test_frame_hashes_shape_and_determinism(spark):
     # md5 variant returns hex strings
     md5_out = frame_sample_hashes(payloads, n_frames=4, hash_fn="md5").collect()
     assert all(len(r.frame_hash) == 32 for r in md5_out)
+
+
+def test_resize_byte_accounting_and_determinism(spark):
+    from impala_hashset_count_spark.operators.multimodal import (
+        fake_resize,
+        resize_images,
+    )
+
+    rows = [(1, "a" * 100), (2, "b" * 7), (3, "wide doc " * 80)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    payloads = attach_binary_payload(df, "doc_id", "text")
+    out = {r.doc_id: r for r in resize_images(payloads, target=224).collect()}
+    for r in payloads.collect():
+        got = out[r.doc_id]
+        w, h, ow, oh, data = fake_resize(bytes(r.payload), 224)
+        assert (got.src_width, got.src_height) == (w, h)
+        assert (got.out_width, got.out_height) == (ow, oh)
+        # the resized payload is exactly out_w*out_h*3 bytes
+        assert got.out_bytes == len(bytes(got.payload)) == ow * oh * 3
+        assert bytes(got.payload) == data
+        # aspect fit: the longer edge hits the target (within 1px floor)
+        assert max(got.out_width, got.out_height) in (223, 224)

@@ -50,6 +50,10 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(q.fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            # Builders that persist intermediates (e.g. minhash doc
+            # arrays) would otherwise accumulate a live cached copy per
+            # iteration, pressuring memory and skewing later queries.
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

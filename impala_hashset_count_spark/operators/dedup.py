@@ -34,18 +34,30 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure at least core-count partitions before CPU-heavy per-row
-    expression work (shingling, k x xxhash64 signatures).
+#: Inputs at or above this estimated size are left alone by ``_spread``
+#: — their scans already carry enough splits, and a round-robin
+#: repartition would shuffle the whole text payload for nothing.
+_SPREAD_MAX_BYTES = 1 << 30
 
-    A small parquet file scans as ONE split, which would serialize the
-    whole signature computation on one core (measured 2x end-to-end on
-    the sf0.1 MinHash bench). At 100 TB the scan already has thousands
-    of splits, so this is a no-op there — the repartition only fires
-    when the input has fewer partitions than the cluster has slots."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure core-count parallelism before CPU-heavy per-row expression
+    work (shingling, k x xxhash64 signatures) on SMALL inputs.
+
+    The driver testdata parquet is a single row group per file, so no
+    scan-split conf can parallelize it — the only way to spread the CPU
+    work is one explicit repartition of the (small) payload. The gate is
+    Catalyst's plan-stats size estimate, read driver-side with no job
+    and no ``df.rdd`` conversion (the former partition-count probe
+    forced a separate physical planning of the input per call): inputs
+    >= 1 GiB are returned untouched, so at 100 TB this never shuffles —
+    the scan itself already has thousands of splits."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - non-JVM sessions (connect)
+        return df
+    if size < _SPREAD_MAX_BYTES:
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df
 
 
@@ -309,24 +321,39 @@ def minhash_lsh_pairs(
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit i of the signature is
     the sign of sum over tokens of (+1 if bit i of xxhash64(token) else
-    -1). Computed as 64 conditional-sum aggregates in ONE pass."""
+    -1).
+
+    COLUMNAR formulation: token hashes are one per-row array, and each
+    bit sum is an ``aggregate`` HOF over it — the whole signature is a
+    pure per-row projection. Zero shuffle (the former explode +
+    groupBy(doc) formulation shuffled the entire O(total tokens) token
+    stream — at 100 TB that shuffle IS the job; this computes the same
+    64 sums embarrassingly parallel inside the scan). Same per-token
+    work (64 bit tests per hash), same result bit-for-bit
+    (tests/test_dedup_similarity.py asserts equality with the grouped
+    formulation; tests/test_plans.py asserts the no-Exchange plan).
+
+    SQL-text lambdas per the HOF canonicalization pitfall at
+    ``_sig_expr`` (64 aggregates differing only in a captured literal
+    would collapse as Python lambdas)."""
     toks = _spread(df).select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+        ).alias("__th"),
+    )
     sig = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit_sum = F.expr(
+            f"aggregate(__th, 0, (acc, h) -> acc + "
+            f"(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        bit = F.when(bit_sum > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseOR(term)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    return toks.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(

@@ -221,11 +221,16 @@ def frame_sample_hashes(
 def size_balanced(df: DataFrame, payload_col: str, target_bytes: int = 64 << 20) -> DataFrame:
     """Repartition so each task carries ~target_bytes of payload —
     byte-weighted balancing (row-count balancing starves on skewed media
-    sizes). Uses a running estimate: bucket = hash(id) spread scaled by
-    the global mean payload size."""
-    stats = df.select(F.avg(F.length(payload_col)).alias("avg_len")).first()
-    avg_len = max(int(stats["avg_len"] or 1), 1)
-    rows_per_part = max(target_bytes // avg_len, 1)
-    n_rows = df.count()
-    n_parts = max(1, min(int(n_rows // rows_per_part) + 1, 10_000))
+    sizes). ONE pre-pass computes total bytes and row count together
+    (a single narrow aggregate job), then a round-robin repartition
+    spreads rows over ceil(total/target) tasks. Used by the
+    multimodal_image_pipeline registry query ahead of the decode/resize
+    mapInPandas stages."""
+    stats = df.select(
+        F.sum(F.length(payload_col)).alias("total_bytes"),
+        F.count("*").alias("n_rows"),
+    ).first()
+    total = int(stats["total_bytes"] or 0)
+    floor = df.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(1, min(total // target_bytes + 1, 10_000), min(floor, int(stats["n_rows"] or 1)))
     return df.repartition(n_parts)

@@ -95,9 +95,13 @@ def pack_sequences_greedy(
     ordered Arrow batch instead of a hash set.
     """
     budget = int(budget)
+    # Output types are DERIVED from the input schema (a hardcoded
+    # string/bigint/int contract broke callers with e.g. int group keys
+    # at runtime despite the generic-looking API).
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = (
-        f"{group_col} string, {order_col} bigint, "
-        f"{token_col} int, bin_id bigint"
+        f"{group_col} {in_types[group_col]}, {order_col} {in_types[order_col]}, "
+        f"{token_col} {in_types[token_col]}, bin_id bigint"
     )
 
     def pack(pdf):

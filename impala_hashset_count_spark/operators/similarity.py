@@ -131,31 +131,36 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """IVF-flat ANN: search only the ``nprobe`` k-means cells nearest
-    each query. The probe plan (query -> cell list) is computed on the
-    DRIVER from the tiny centroid table and broadcast as an equi-join
-    key — the corpus side is filtered to probed cells before any
-    distance math. Returns (query_id, neighbor_id, cos_sim, rank)."""
+    each query. Probe planning is DISTRIBUTED: the tiny centroid table
+    (n_cells x dim floats) is broadcast against the query set and each
+    query's nprobe nearest cells come from a rank-limited window — no
+    driver ``collect()`` of the queries, so the query side may itself be
+    a full table (the former driver loop died silently at scale; now the
+    probe plan is just another Spark stage). The corpus side is filtered
+    to probed cells before any distance math. Returns
+    (query_id, neighbor_id, cos_sim, rank)."""
     assigned, centroids = assign_ivf_cells(corpus, vec_col, n_cells, seed)
-    cent = np.array(centroids)
-    cent_norm = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-
-    q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).collect()
-    probe_rows = []
-    for r in q_rows:
-        qv = np.array(r.qv, dtype=float)
-        qn = qv / max(np.linalg.norm(qv), 1e-12)
-        order = np.argsort(-(cent_norm @ qn))[:nprobe]
-        probe_rows.extend((int(r.query_id), int(c)) for c in order)
     spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int")
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent = spark.createDataFrame(cent_rows, "cell int, cent_v array<double>")
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    probe_q = probes.join(q, "query_id")
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cell")
+    )
+    probe_q = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cell_sim", cosine("qv", "cent_v"))
+        .withColumn("__cr", F.row_number().over(wq))
+        .filter(F.col("__cr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
 
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
     )
     candidates = (
-        c.join(F.broadcast(probe_q), "cell")
+        c.join(probe_q, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
     )
@@ -185,9 +190,17 @@ def lsh_topk(
     signature band with the query; exact cosine on candidates only.
 
     bands x rows hyperplanes; recall rises with bands (OR over bands),
-    precision of the candidate set with rows (AND within a band)."""
+    precision of the candidate set with rows (AND within a band).
+
+    ``dim`` (the embedding dimensionality) is required — array columns
+    do not carry their length in the schema, and inferring it with
+    ``corpus.first()`` would run an avoidable extra job per call."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_topk requires dim= (embedding dimensionality); array "
+            "columns do not carry a length in the schema and a "
+            "first()-probe would cost an extra job per call"
+        )
     planes = _hyperplanes(dim, bands * rows, seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))

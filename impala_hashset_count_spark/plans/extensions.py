@@ -47,67 +47,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Text analysis
 # ---------------------------------------------------------------------
 
-@register(
-    "text_token_stats",
-    oracle=r"""
-        SELECT doc_id,
-               CASE WHEN TRIM(text) = '' THEN 0
-                    ELSE CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER)
-               END AS n_tokens,
-               CAST(LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS INTEGER) AS n_bpe_ish,
-               LENGTH(text) AS n_chars
-        FROM documents
-    """,
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish (word|punct) estimate."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        token_count("text").alias("n_tokens"),
-        bpe_ish_token_count("text").alias("n_bpe_ish"),
-        F.length("text").alias("n_chars"),
-    )
-
-
 _STOP_IN = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
 
-@register(
-    "text_quality_scores",
-    oracle=rf"""
-        WITH t AS (
-            SELECT doc_id, text,
-                   STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
-            FROM documents
-        )
-        SELECT doc_id,
-               ROUND(LENGTH(REGEXP_REPLACE(text, '[^.!?,;:]', '', 'g')) * 1.0
-                     / LENGTH(text), 4) AS punct_ratio,
-               ROUND(LEN(LIST_FILTER(toks, x -> x IN ({_STOP_IN}))) * 1.0
-                     / LEN(toks), 4) AS stop_ratio,
-               ROUND(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) * 1.0
-                     / LEN(toks), 4) AS avg_word_len,
-               ROUND(LEAST(1.0, LEN(LIST_FILTER(toks, x -> x IN ({_STOP_IN}))) * 1.0
-                                / LEN(toks) * 2) * 0.5
-                     + (1 - LENGTH(REGEXP_REPLACE(text, '[^.!?,;:]', '', 'g')) * 1.0
-                            / LENGTH(text)) * 0.5, 4) AS quality
-        FROM t
-    """,
+_NORM_SQL = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
 )
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality heuristics: punctuation ratio, stopword ratio, mean word
-    length, composite score — all codegen'd column math."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
-        F.round(stopword_ratio("text", QUALITY_STOPWORDS), 4).alias("stop_ratio"),
-        F.round(avg_word_len("text"), 4).alias("avg_word_len"),
-        F.round(quality_score("text"), 4).alias("quality"),
-    )
 
 
-def _langid_oracle() -> str:
+def _text_analysis_oracle() -> str:
     score_exprs = {
         lang: f"LEN(LIST_FILTER(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
         for lang, markers in LANG_MARKERS.items()
@@ -117,44 +65,63 @@ def _langid_oracle() -> str:
     for lang in LANG_PRIORITY:
         case += f" WHEN {score_exprs[lang]} = {greatest} THEN '{lang}'"
     case += " ELSE 'und' END"
+    stop_hits = f"LEN(LIST_FILTER(toks, x -> x IN ({_STOP_IN})))"
+    punct = "LENGTH(REGEXP_REPLACE(text, '[^.!?,;:]', '', 'g')) * 1.0 / LENGTH(text)"
     return rf"""
         WITH t AS (
-            SELECT doc_id, lang,
+            SELECT doc_id, lang, text,
                    STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
             FROM documents
         )
         SELECT doc_id,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE CAST(LEN(toks) AS INTEGER) END AS n_tokens,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS INTEGER)
+                   AS n_bpe_ish,
+               LENGTH(text) AS n_chars,
+               ROUND({punct}, 4) AS punct_ratio,
+               ROUND({stop_hits} * 1.0 / LEN(toks), 4) AS stop_ratio,
+               ROUND(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) * 1.0
+                     / LEN(toks), 4) AS avg_word_len,
+               ROUND(LEAST(1.0, {stop_hits} * 1.0 / LEN(toks) * 2) * 0.5
+                     + (1 - {punct}) * 0.5, 4) AS quality,
                CASE WHEN {greatest} = 0 THEN 'und' ELSE {case} END AS pred_lang,
-               lang AS labeled_lang
+               lang AS labeled_lang,
+               MD5({_NORM_SQL}) AS fp,
+               UPPER(SUBSTRING(text, 1, 12)) AS prefix_u,
+               CONTAINS(text, 'spark') AS has_spark,
+               LENGTH(REPLACE(text, ' ', '')) AS n_nonspace
         FROM t
     """
 
 
-@register("text_langid", oracle=_langid_oracle())
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language ID (n-gram heuristic tier; a real model is
-    a Pandas-UDF drop-in behind the same signature)."""
+@register("text_analysis_documents", oracle=_text_analysis_oracle())
+def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole per-document text-analysis family in ONE projection
+    pass: token counting (whitespace + BPE-ish estimate), quality
+    heuristics (punctuation/stopword/word-length/composite), marker-token
+    language ID, md5 fingerprint of the normalized text, and the scalar
+    string surface (upper/substring/contains/replace). All codegen'd
+    column math — one scan, zero shuffle, and at 100 TB the single pass
+    is precisely how a curation pipeline should compute these (N
+    separate per-metric scans would read the corpus N times)."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_ish"),
+        F.length("text").alias("n_chars"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text", QUALITY_STOPWORDS), 4).alias("stop_ratio"),
+        F.round(avg_word_len("text"), 4).alias("avg_word_len"),
+        F.round(quality_score("text"), 4).alias("quality"),
         predict_lang("text").alias("pred_lang"),
         F.col("lang").alias("labeled_lang"),
+        fingerprint_md5("text").alias("fp"),
+        F.upper(F.substring("text", 1, 12)).alias("prefix_u"),
+        F.col("text").contains("spark").alias("has_spark"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
     )
-
-
-_NORM_SQL = (
-    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), "
-    "'\\s+', ' ', 'g'))"
-)
-
-@register(
-    "text_fingerprint",
-    oracle=f"SELECT doc_id, MD5({_NORM_SQL}) AS fp FROM documents",
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-text md5 fingerprint — the exact-dedup key."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint_md5("text").alias("fp"))
 
 
 @register(
@@ -244,8 +211,11 @@ def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash sampling (~2/16 of docs): the
     reproducible subset selector for eval splits and ablations —
     unlike ``df.sample``, re-runs and engines agree exactly, and at
-    100 TB it needs no seed-state coordination: the filter is pushed
-    into the scan projection."""
+    100 TB it needs no seed-state coordination. The md5 filter is a
+    computed expression, so it does NOT reach parquet ``PushedFilters``
+    (only stored-column predicates can) — the query is still one cheap
+    narrow scan, with the filter applied right above it; persisting the
+    bucket as a stored column would make it prunable."""
     d = _t(spark, sf_dir, "documents")
     bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
     return d.select("doc_id", "lang", bucket.alias("bucket")).filter(

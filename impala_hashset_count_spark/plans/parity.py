@@ -112,33 +112,6 @@ def hashset_count_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                CASE WHEN COUNT(l_partkey) = 0 THEN NULL
                     ELSE CAST(COUNT(DISTINCT CAST(l_partkey AS VARCHAR)) AS VARCHAR)
-               END AS distinct_parts
-        FROM lineitem
-        GROUP BY l_returnflag
-    """,
-)
-def hashset_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL surface of the UDAF — the analogue of the reference's
-    ``CREATE AGGREGATE FUNCTION`` + ``SELECT count300k(col) FROM tbl
-    GROUP BY ...`` (`/root/reference/README.md:28-33`)."""
-    register_sql_udaf(spark)
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT l_returnflag,
-               hashset_count(CAST(l_partkey AS STRING)) AS distinct_parts
-        FROM lineitem
-        GROUP BY l_returnflag
-        """
-    )
-
-
-@register(
-    "hashset_count_multi_sql",
-    oracle="""
-        SELECT l_returnflag,
-               CASE WHEN COUNT(l_partkey) = 0 THEN NULL
-                    ELSE CAST(COUNT(DISTINCT CAST(l_partkey AS VARCHAR)) AS VARCHAR)
                END AS d_parts,
                CASE WHEN COUNT(l_suppkey) = 0 THEN NULL
                     ELSE CAST(COUNT(DISTINCT CAST(l_suppkey AS VARCHAR)) AS VARCHAR)
@@ -150,13 +123,15 @@ def hashset_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
     """,
 )
-def hashset_count_multi_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's literal motivating workload THROUGH the faithful
-    UDAF: several ``hashset_count`` instances in one grouped SELECT —
-    what `/root/reference/README.md:1` built the whole UDA for, because
-    Impala could not run multiple COUNT(DISTINCT) at once. One
-    registration serves all instances (as one CREATE AGGREGATE FUNCTION
-    did, `README.md:28-33`); Spark plans them in a single
+def hashset_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface of the faithful UDAF, exercised at the reference's
+    literal motivating workload: several ``hashset_count`` instances in
+    one grouped SELECT — the analogue of ``CREATE AGGREGATE FUNCTION`` +
+    ``SELECT count300k(col) FROM tbl GROUP BY ...``
+    (`/root/reference/README.md:28-33`), run multi-instance because
+    `/root/reference/README.md:1` built the whole UDA for multiple exact
+    distinct counts at once. One registration serves all instances (as
+    one CREATE AGGREGATE FUNCTION did); Spark plans them in a single
     AggregateInPandas over the group."""
     register_sql_udaf(spark)
     register_views(spark, sf_dir)
@@ -173,30 +148,16 @@ def hashset_count_multi_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "hashset_count_idiomatic",
+    "hashset_count_tiers",
     oracle="""
-        SELECT l_linestatus,
+        SELECT 'idiomatic_lineitem' AS tier, l_linestatus AS group_key,
                CASE WHEN COUNT(l_suppkey) = 0 THEN NULL
                     ELSE CAST(COUNT(DISTINCT l_suppkey) AS VARCHAR)
-               END AS hashset_count_l_suppkey
+               END AS hashset_count
         FROM lineitem
         GROUP BY l_linestatus
-    """,
-)
-def hashset_count_idiomatic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tier a: faithful semantics from pure built-ins — the 100 TB path
-    (partial/final hash agg + whole-stage codegen, no Python in the
-    loop)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        hashset_count_agg("l_suppkey").alias("hashset_count_l_suppkey")
-    )
-
-
-@register(
-    "hashset_count_rdd_twin",
-    oracle="""
-        SELECT event_type,
+        UNION ALL
+        SELECT 'rdd_events' AS tier, event_type AS group_key,
                CASE WHEN COUNT(user_id) = 0 THEN NULL
                     ELSE CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS VARCHAR)
                END AS hashset_count
@@ -204,14 +165,35 @@ def hashset_count_idiomatic(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
     """,
 )
-def hashset_count_rdd_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tier c: the literal Init/Update/Merge/Finalize lifecycle
-    (`hashset-count.h:30-34`) as ``aggregateByKey`` — documentation-by-
-    construction of the reference's merge contract."""
+def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiers a and c of the rebuild in one tagged result.
+
+    'idiomatic_lineitem' is tier a: faithful semantics from pure
+    built-ins — the 100 TB path (partial/final hash agg + whole-stage
+    codegen, no Python in the loop). 'rdd_events' is tier c: the literal
+    Init/Update/Merge/Finalize lifecycle (`hashset-count.h:30-34`) as
+    ``aggregateByKey`` — documentation-by-construction of the
+    reference's merge contract (`hashset-count.cc:269-461`). Both rows
+    carry the reference edge semantics (NULL-not-0, string result)."""
+    li = _t(spark, sf_dir, "lineitem")
+    idiomatic = (
+        li.groupBy("l_linestatus")
+        .agg(hashset_count_agg("l_suppkey").alias("hashset_count"))
+        .select(
+            F.lit("idiomatic_lineitem").alias("tier"),
+            F.col("l_linestatus").alias("group_key"),
+            "hashset_count",
+        )
+    )
     ev = _t(spark, sf_dir, "events").select(
         "event_type", F.col("user_id").cast("string").alias("user_id")
     )
-    return hashset_count_rdd(ev, "event_type", "user_id")
+    rdd_twin = hashset_count_rdd(ev, "event_type", "user_id").select(
+        F.lit("rdd_events").alias("tier"),
+        F.col("event_type").alias("group_key"),
+        "hashset_count",
+    )
+    return idiomatic.union(rdd_twin)
 
 
 @register("approx_distinct_lineitem")  # sketch values differ from any
@@ -501,35 +483,29 @@ def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi_customers_with_orders",
+    "join_semi_anti_customers",
     oracle="""
-        SELECT c_custkey, c_name FROM customer
+        SELECT 'with_orders' AS op, c_custkey, c_name FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders)
-    """,
-)
-def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI = EXISTS — no fan-out, right side reduced to its keys
-    (at scale: dramatically cheaper than join+distinct)."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "join_anti_customers_without_orders",
-    oracle="""
-        SELECT c_custkey, c_name FROM customer
+        UNION ALL
+        SELECT 'without_orders' AS op, c_custkey, c_name FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
     """,
 )
-def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (= EXISTS) and LEFT ANTI (= NOT EXISTS) in one tagged
+    result — both sides of the membership partition. No fan-out in
+    either branch; the right side is reduced to its keys (at scale:
+    dramatically cheaper than join+distinct)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").select("o_custkey")
-    return cust.join(
+    semi = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select(F.lit("with_orders").alias("op"), "c_custkey", "c_name")
+    anti = cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    ).select(F.lit("without_orders").alias("op"), "c_custkey", "c_name")
+    return semi.union(anti)
 
 
 @register(
@@ -781,19 +757,35 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
                ROUND(LAG(o_totalprice) OVER w, 2) AS prev_price,
-               RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS spend_rank
+               RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS spend_rank,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS spend_30d
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
     headline=True,
 )
 def window_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window family: row_number / running sum / lag / rank share one
-    partitioning -> ONE shuffle serves all four (WindowExec reuses the
-    child ordering)."""
+    """Window family: row_number / running sum / lag / rank / RANGE-frame
+    trailing spend share one partitioning -> ONE shuffle serves all five
+    (WindowExec reuses the child partitioning; the differing orderings
+    only re-sort within partitions).
+
+    ``spend_30d`` is the RANGE-frame member: per-customer trailing-30-day
+    spend by VALUE distance over epoch seconds, not row count — peers
+    with equal timestamps aggregate identically in any engine, so no
+    tie-break is needed. TIMESTAMP_NTZ has no direct long cast; the hop
+    through TIMESTAMP is exact because the session TZ is pinned UTC
+    (matching DuckDB's naive EPOCH)."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wrank = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    wrange = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
     return orders.select(
         "o_orderkey",
         "o_custkey",
@@ -803,44 +795,14 @@ def window_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_spend"),
         F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
         F.rank().over(wrank).alias("spend_rank"),
+        F.round(F.sum("o_totalprice").over(wrange), 2).alias("spend_30d"),
     )
 
 
 @register(
-    "window_trailing_spend",
+    "topk_per_customer_and_global",
     oracle="""
-        SELECT o_orderkey, o_custkey,
-               ROUND(SUM(o_totalprice) OVER (
-                   PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)
-                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
-                   AS spend_30d
-        FROM orders
-    """,
-)
-def window_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame window: per-customer trailing-30-day spend (frame by
-    VALUE distance over epoch seconds, not row count — peers with equal
-    timestamps aggregate identically in any engine, so no tie-break is
-    needed). TIMESTAMP_NTZ has no direct long cast; the hop through
-    TIMESTAMP is exact because the session TZ is pinned UTC (matching
-    DuckDB's naive EPOCH)."""
-    orders = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
-        .rangeBetween(-30 * 86400, 0)
-    )
-    return orders.select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
-    )
-
-
-@register(
-    "topk_orders_per_customer",
-    oracle="""
-        SELECT o_custkey, o_orderkey, o_totalprice
+        SELECT 'per_customer' AS scope, o_custkey, o_orderkey, o_totalprice
         FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
                    ROW_NUMBER() OVER (
@@ -849,43 +811,52 @@ def window_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ) AS rn
             FROM orders
         ) WHERE rn <= 3
+        UNION ALL
+        SELECT 'global' AS scope, o_custkey, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 20
     """,
     headline=True,
 )
-def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group via row_number — Spark plans a rank-limit
+def topk_per_customer_and_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both top-k shapes in one tagged result.
+
+    'per_customer': top-3 via row_number — Spark plans a rank-limit
     (WindowGroupLimit) pushdown so each partition keeps only k rows
-    pre-shuffle; raw column ordering + unique tie-break keeps it
-    deterministic."""
+    pre-shuffle. 'global': top-20 via orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition heaps + driver merge of N
+    rows), never a full sort of 100 TB. Raw column ordering + unique
+    tie-break keeps both deterministic."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    return (
-        orders.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+    per_customer = (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
         .filter(F.col("rn") <= 3)
-        .drop("rn")
+        .select(
+            F.lit("per_customer").alias("scope"),
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+        )
     )
-
-
-@register(
-    "sort_limit_global_top20",
-    oracle="""
-        SELECT o_orderkey, o_custkey, o_totalprice
-        FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey
-        LIMIT 20
-    """,
-)
-def sort_limit_global_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-N: Spark plans TakeOrderedAndProject — per-partition
-    heaps + driver merge of N rows, never a full sort of 100 TB."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+    global_top = (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
+        .select(
+            F.lit("global").alias("scope"), "o_custkey", "o_orderkey", "o_totalprice"
+        )
     )
+    return per_customer.union(global_top)
 
 
 _Q4_SQL = """
@@ -950,28 +921,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'except' AS op, nationkey FROM (
             SELECT c_nationkey AS nationkey FROM customer
             EXCEPT SELECT s_nationkey FROM supplier)
-    """,
-)
-def setops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT / EXCEPT — the merge in the reference IS a
-    union-distinct of value sets (`hashset-count.cc:269-461`,
-    `README.md:41`); here is the relational-surface version."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    tagged = [
-        c.union(s).distinct().select(F.lit("union").alias("op"), "nationkey"),
-        c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey"),
-        c.subtract(s).select(F.lit("except").alias("op"), "nationkey"),
-    ]
-    out = tagged[0]
-    for t in tagged[1:]:
-        out = out.union(t)
-    return out
-
-
-@register(
-    "setops_all_variants",
-    oracle="""
+        UNION ALL
         SELECT 'union_all' AS op, nationkey FROM (
             SELECT c_nationkey AS nationkey FROM customer
             UNION ALL SELECT s_nationkey FROM supplier)
@@ -985,14 +935,20 @@ def setops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             EXCEPT ALL SELECT s_nationkey FROM supplier)
     """,
 )
-def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiset (ALL) set operations — UNION ALL is a zero-shuffle
-    concatenation; INTERSECT ALL / EXCEPT ALL preserve duplicate
-    multiplicities (bag semantics) via a single count-compare shuffle,
-    complementing the distinct variants in ``setops_nation_keys``."""
+def setops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full set-operation surface in one tagged result: UNION /
+    INTERSECT / EXCEPT (distinct semantics — the merge in the reference
+    IS a union-distinct of value sets, `hashset-count.cc:269-461`,
+    `README.md:41`) plus the multiset (ALL) variants — UNION ALL is a
+    zero-shuffle concatenation; INTERSECT ALL / EXCEPT ALL preserve
+    duplicate multiplicities (bag semantics) via a single count-compare
+    shuffle."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     tagged = [
+        c.union(s).distinct().select(F.lit("union").alias("op"), "nationkey"),
+        c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey"),
+        c.subtract(s).select(F.lit("except").alias("op"), "nationkey"),
         c.union(s).select(F.lit("union_all").alias("op"), "nationkey"),
         c.intersectAll(s).select(F.lit("intersect_all").alias("op"), "nationkey"),
         c.exceptAll(s).select(F.lit("except_all").alias("op"), "nationkey"),
@@ -1007,26 +963,9 @@ def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scalar function surface (string / date / json / array)
 # =====================================================================
 
-@register(
-    "scalar_string_documents",
-    oracle="""
-        SELECT doc_id,
-               LENGTH(text) AS n_len,
-               UPPER(SUBSTRING(text, 1, 12)) AS prefix_u,
-               CONTAINS(text, 'spark') AS has_spark,
-               LENGTH(REPLACE(text, ' ', '')) AS n_nonspace
-        FROM documents
-    """,
-)
-def scalar_string_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.length("text").alias("n_len"),
-        F.upper(F.substring("text", 1, 12)).alias("prefix_u"),
-        F.col("text").contains("spark").alias("has_spark"),
-        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
-    )
+# NOTE: the scalar STRING surface (upper/substring/contains/replace)
+# lives in extensions.text_analysis_documents — one documents scan
+# serves the whole per-document projection family.
 
 
 @register(

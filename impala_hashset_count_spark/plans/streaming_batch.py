@@ -24,23 +24,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-@register(
-    "streaming_tumbling_batch",
-    oracle="""
-        SELECT STRFTIME(TIME_BUCKET(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S')
-                   AS window_start,
-               event_type,
-               COUNT(*) AS n_events,
-               COUNT(DISTINCT user_id) AS distinct_users
-        FROM events
-        GROUP BY 1, 2
-    """,
-    headline=True,
-)
-def streaming_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6h event-time windows, exact distinct users — the batch
     twin of streaming.stream_tumbling_counts (epoch-aligned windows in
-    both engines; UTC session TZ keeps strings identical)."""
+    both engines; UTC session TZ keeps strings identical).
+    tests/test_streaming.py asserts the live readStream pipeline equals
+    this plan."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
@@ -57,22 +46,7 @@ def streaming_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "streaming_sliding_batch",
-    oracle="""
-        WITH placed AS (
-            SELECT TIME_BUCKET(INTERVAL '3 hours', ts) AS b, event_id FROM events
-            UNION ALL
-            SELECT TIME_BUCKET(INTERVAL '3 hours', ts) - INTERVAL '3 hours', event_id
-            FROM events
-        )
-        SELECT STRFTIME(b, '%Y-%m-%d %H:%M:%S') AS window_start,
-               COUNT(*) AS n_events
-        FROM placed
-        GROUP BY 1
-    """,
-)
-def streaming_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 6h/3h windows: every event belongs to exactly 2 windows
     (the oracle materializes both placements explicitly)."""
     ev = _t(spark, sf_dir, "events")
@@ -84,6 +58,60 @@ def streaming_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "streaming_windows_batch",
+    oracle="""
+        SELECT 'tumbling' AS kind,
+               STRFTIME(TIME_BUCKET(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS distinct_users
+        FROM events
+        GROUP BY 2, 3
+        UNION ALL
+        SELECT 'sliding' AS kind, window_start,
+               CAST(NULL AS VARCHAR) AS event_type,
+               n_events,
+               CAST(NULL AS BIGINT) AS distinct_users
+        FROM (
+            WITH placed AS (
+                SELECT TIME_BUCKET(INTERVAL '3 hours', ts) AS b, event_id FROM events
+                UNION ALL
+                SELECT TIME_BUCKET(INTERVAL '3 hours', ts) - INTERVAL '3 hours', event_id
+                FROM events
+            )
+            SELECT STRFTIME(b, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   COUNT(*) AS n_events
+            FROM placed
+            GROUP BY 1
+        )
+    """,
+    headline=True,
+)
+def streaming_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h and sliding 6h/3h event-time windows in one tagged
+    result — the batch twins of stream_tumbling_counts and
+    stream_sliding_counts (`F.window`'s semantics are identical in batch
+    and streaming, so these plans ARE the streaming operators minus the
+    watermark). One events scan feeds both window placements."""
+    t = tumbling_batch(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "distinct_users",
+    )
+    s = sliding_batch(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        F.lit(None).cast("long").alias("distinct_users"),
+    )
+    return t.union(s)
 
 
 @register(
@@ -190,62 +218,20 @@ def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "multimodal_image_meta",
-    oracle="""
-        SELECT doc_id,
-               CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS byte_len,
-               CAST(64 + OCTET_LENGTH(ENCODE(text)) % 576 AS INTEGER) AS width,
-               CAST(64 + (OCTET_LENGTH(ENCODE(text)) // 7) % 448 AS INTEGER) AS height,
-               CAST(3 AS INTEGER) AS channels,
-               CAST(1 + OCTET_LENGTH(ENCODE(text)) % 8 AS INTEGER) AS n_frames
-        FROM documents
-    """,
-)
-def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: binary payload column ->
-    mapInPandas (Arrow batches of bytes) -> typed metadata. The decode
-    is the documented deterministic STUB (fake_decode); the oracle
-    mirrors it over OCTET_LENGTH — proving the Spark-side batch shape
-    produces exactly the declared schema and values."""
-    d = _t(spark, sf_dir, "documents")
-    payloads = attach_binary_payload(d, "doc_id", "text")
-    return extract_image_metadata(payloads)
-
-
-@register(
-    "multimodal_audio_features",
-    oracle="""
-        SELECT doc_id,
-               CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS byte_len,
-               CAST(8000 * (1 << (OCTET_LENGTH(ENCODE(text)) % 3)) AS INTEGER)
-                   AS sample_rate,
-               CAST(1 + OCTET_LENGTH(ENCODE(text)) % 2 AS INTEGER) AS n_channels,
-               CAST(OCTET_LENGTH(ENCODE(text)) * 32 AS BIGINT) AS n_samples,
-               (OCTET_LENGTH(ENCODE(text)) * 32.0)
-                   / (8000 * (1 << (OCTET_LENGTH(ENCODE(text)) % 3))) AS duration_s
-        FROM documents
-    """,
-)
-def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio branch of the multimodal plumbing: binary payload ->
-    mapInPandas -> typed audio features (sample rate, channels, samples,
-    duration). Decode is the deterministic STUB (fake_decode_audio);
-    the oracle mirrors it over OCTET_LENGTH."""
-    d = _t(spark, sf_dir, "documents")
-    payloads = attach_binary_payload(d, "doc_id", "text")
-    return extract_audio_features(payloads)
-
-
-@register(
-    "multimodal_resize_meta",
+    "multimodal_image_pipeline",
     oracle="""
         WITH m AS (
-            SELECT doc_id,
+            SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n,
                    64 + OCTET_LENGTH(ENCODE(text)) % 576 AS w,
                    64 + (OCTET_LENGTH(ENCODE(text)) // 7) % 448 AS h
             FROM documents
         )
         SELECT doc_id,
+               CAST(n AS INTEGER) AS byte_len,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(1 + n % 8 AS INTEGER) AS n_frames,
                CAST(w AS INTEGER) AS src_width,
                CAST(h AS INTEGER) AS src_height,
                CAST(GREATEST(1, FLOOR(w * LEAST(224.0 / w, 224.0 / h)))
@@ -258,41 +244,76 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
     """,
 )
-def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize branch of the multimodal plumbing: mapInPandas aspect-fit
-    into 224x224 (deterministic stub resample; real path is PIL-gated).
-    The oracle mirrors the aspect-fit dimension math over OCTET_LENGTH;
-    payload byte accounting (out_bytes == out_w*out_h*3 == len(payload))
-    is asserted in tests/test_multimodal_ivf.py."""
+def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image branch of the multimodal plumbing end-to-end: binary
+    payload column -> byte-balanced repartition (``size_balanced`` — at
+    media scale a few giant payloads would otherwise skew tasks) ->
+    mapInPandas metadata extraction AND mapInPandas aspect-fit resize
+    into 224x224, joined on doc_id. Decode/resample is the documented
+    deterministic STUB (fake_decode/fake_resize; the real path is
+    PIL-gated) — the oracle mirrors the math over OCTET_LENGTH, proving
+    the Arrow batch shape produces exactly the declared schema and
+    values. Payload byte accounting (out_bytes == out_w*out_h*3 ==
+    len(payload)) is asserted in tests/test_multimodal_ivf.py."""
+    from ..operators.multimodal import size_balanced
+
     d = _t(spark, sf_dir, "documents")
-    payloads = attach_binary_payload(d, "doc_id", "text")
-    return resize_images(payloads, target=224).drop("payload")
+    payloads = size_balanced(attach_binary_payload(d, "doc_id", "text"), "payload")
+    meta = extract_image_metadata(payloads)
+    rez = resize_images(payloads, target=224).drop("payload")
+    return meta.join(rez, "doc_id")
 
 
 @register(
-    "multimodal_frame_hashes",
+    "multimodal_av_features",
     oracle="""
         WITH a AS (
             SELECT doc_id, text, LENGTH(text) AS n
             FROM documents
             WHERE LENGTH(text) = OCTET_LENGTH(ENCODE(text))
         ),
-        f AS (SELECT UNNEST([0, 1, 2, 3]) AS frame_id)
-        SELECT a.doc_id, f.frame_id,
-               MD5(SUBSTRING(a.text,
-                             f.frame_id * (a.n // 4) + 1,
-                             GREATEST(a.n // 4, 1))) AS frame_hash
-        FROM a CROSS JOIN f
+        fh AS (
+            SELECT doc_id,
+                   MD5(SUBSTRING(text, 0 * (n // 4) + 1, GREATEST(n // 4, 1))) AS fh_0,
+                   MD5(SUBSTRING(text, 1 * (n // 4) + 1, GREATEST(n // 4, 1))) AS fh_1,
+                   MD5(SUBSTRING(text, 2 * (n // 4) + 1, GREATEST(n // 4, 1))) AS fh_2,
+                   MD5(SUBSTRING(text, 3 * (n // 4) + 1, GREATEST(n // 4, 1))) AS fh_3
+            FROM a
+        )
+        SELECT d.doc_id,
+               CAST(OCTET_LENGTH(ENCODE(d.text)) AS INTEGER) AS byte_len,
+               CAST(8000 * (1 << (OCTET_LENGTH(ENCODE(d.text)) % 3)) AS INTEGER)
+                   AS sample_rate,
+               CAST(1 + OCTET_LENGTH(ENCODE(d.text)) % 2 AS INTEGER) AS n_channels,
+               CAST(OCTET_LENGTH(ENCODE(d.text)) * 32 AS BIGINT) AS n_samples,
+               (OCTET_LENGTH(ENCODE(d.text)) * 32.0)
+                   / (8000 * (1 << (OCTET_LENGTH(ENCODE(d.text)) % 3))) AS duration_s,
+               fh.fh_0, fh.fh_1, fh.fh_2, fh.fh_3
+        FROM documents d LEFT JOIN fh ON d.doc_id = fh.doc_id
     """,
 )
-def multimodal_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Video' frame sampling: 4 byte-range slices per payload, each
-    fingerprinted JVM-side (no Python in the loop). Restricted to
-    ASCII payloads because the DuckDB oracle can only slice/hash
-    VARCHAR — on ASCII, byte slices == char slices. Production uses the
-    xxhash64 variant with no such restriction."""
-    d = _t(spark, sf_dir, "documents").filter(
-        F.length("text") == F.octet_length("text")
-    )
+def multimodal_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio + 'video' branches of the multimodal plumbing in one row
+    per document: mapInPandas audio feature extraction (sample rate,
+    channels, samples, duration — deterministic STUB decode, oracle
+    mirrored over OCTET_LENGTH) left-joined with the per-doc frame
+    fingerprints (4 byte-range slices per payload, each hashed JVM-side
+    — no Python in that loop — pivoted to fh_0..fh_3). Frame hashing is
+    restricted to ASCII payloads because the DuckDB oracle can only
+    slice/hash VARCHAR — on ASCII, byte slices == char slices; non-ASCII
+    docs carry NULL frame hashes. Production uses the xxhash64 variant
+    with no such restriction."""
+    d = _t(spark, sf_dir, "documents")
     payloads = attach_binary_payload(d, "doc_id", "text")
-    return frame_sample_hashes(payloads, n_frames=4, hash_fn="md5")
+    audio = extract_audio_features(payloads)
+    ascii_docs = d.filter(F.length("text") == F.octet_length("text"))
+    frames = frame_sample_hashes(
+        attach_binary_payload(ascii_docs, "doc_id", "text"), n_frames=4, hash_fn="md5"
+    )
+    fh = frames.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("frame_id") == i, F.col("frame_hash"))).alias(f"fh_{i}")
+            for i in range(4)
+        ]
+    )
+    return audio.join(fh, "doc_id", "left")

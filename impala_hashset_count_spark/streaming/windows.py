@@ -187,7 +187,17 @@ def foreach_batch_parquet_sink(
     replayed after a failure (same epoch re-delivered from the
     checkpointed offsets) lands on the same path instead of duplicating
     — idempotence by keyed overwrite, the standard pattern for sinks
-    with no transactional commit protocol. Returns the started query
+    with no transactional commit protocol.
+
+    PRECONDITION (the standard caveat for idempotent-overwrite
+    foreachBatch sinks): the guarantee holds only if replayed batches
+    are DETERMINISTIC — the same batch_id must recompute the same rows.
+    A non-deterministic upstream (current-time expressions, unseeded
+    sampling, racing side inputs) silently overwrites the original
+    batch with DIFFERENT data; the guarantee is then at-least-once per
+    batch id, not exactly-once. Guarantees are also per-batch, not
+    per-row: readers see whole batch directories appear/replace
+    atomically only at directory granularity. Returns the started query
     (caller drains/stops it)."""
     import os
 

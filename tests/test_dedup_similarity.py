@@ -52,6 +52,43 @@ def test_simhash_finds_planted_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_columnar_equals_grouped_formulation(spark, sf_small):
+    """The columnar (zero-groupBy-shuffle) signature must equal the
+    explode+groupBy conditional-sum formulation bit-for-bit — they are
+    the same math over the same token stream."""
+    from impala_hashset_count_spark.operators.dedup import simhash_signatures
+
+    d = load_table(spark, sf_small, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    grouped = {
+        r["doc_id"]: r["simhash"]
+        for r in agg.select("doc_id", sig.alias("simhash")).collect()
+    }
+    columnar = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(d, "doc_id", "text").collect()
+    }
+    assert columnar == grouped
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, sf_small):
     e = load_table(spark, sf_small, "embeddings")
     q = e.filter(F.col("vec_id") < 10)

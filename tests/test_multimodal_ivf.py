@@ -39,6 +39,17 @@ def test_ivf_deterministic_across_runs(spark, sf_small):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_ivf_topk_scales_to_full_query_table(spark, sf_small):
+    """Probe planning is distributed (broadcast centroids + rank-limited
+    window) — the query side can be the WHOLE embeddings table. The
+    former driver-side collect loop would have serialized here."""
+    e = load_table(spark, sf_small, "embeddings")
+    out = ivf_topk(e, e, "vec_id", "embedding", k=3, n_cells=8, nprobe=2)
+    per_query = out.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    assert len(per_query) == e.count()
+    assert all(r["n"] <= 3 for r in per_query)
+
+
 def test_audio_features_match_stub(spark, sf_small):
     d = load_table(spark, sf_small, "documents").limit(20)
     payloads = attach_binary_payload(d, "doc_id", "text")

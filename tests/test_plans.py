@@ -41,14 +41,11 @@ def test_star_join_broadcasts_bounded_dims(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final x (pre-agg, final agg)
 
 
-def test_topk_plans_rank_limit_pushdown(spark):
-    plan = _plan(spark, "topk_orders_per_customer")
+def test_topk_plans_rank_limit_pushdown_and_topn(spark):
+    plan = _plan(spark, "topk_per_customer_and_global")
     # Spark's WindowGroupLimit keeps <=k rows per partition pre-shuffle
     assert "WindowGroupLimit" in plan
-
-
-def test_global_topn_avoids_full_sort(spark):
-    plan = _plan(spark, "sort_limit_global_top20")
+    # the global branch is TakeOrderedAndProject, never a full sort
     assert "TakeOrderedAndProject" in plan
 
 
@@ -104,6 +101,20 @@ def test_correlated_subquery_is_decorrelated(spark):
     # joined on the correlation key — no per-row subplan execution
     assert "Subquery" not in plan
     assert "HashAggregate" in plan
+
+
+def test_simhash_signatures_no_groupby_shuffle(spark):
+    from impala_hashset_count_spark.operators.dedup import simhash_signatures
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    plan = explain_str(simhash_signatures(d, "doc_id", "text"))
+    # columnar formulation: the signature derives per-row from the token
+    # hash array — no explode+groupBy shuffle of the O(total tokens)
+    # stream. The only permissible Exchange is _spread's size-gated
+    # round-robin local-parallelism repartition (absent at scale).
+    assert "hashpartitioning" not in plan
+    assert "Generate" not in plan  # no explode anywhere
 
 
 def test_bruteforce_topk_broadcasts_queries_not_corpus(spark):

@@ -25,19 +25,40 @@ def _rows(df, cols):
 
 
 def test_stream_tumbling_equals_batch(spark, sf_small):
+    from impala_hashset_count_spark.plans.streaming_batch import tumbling_batch
+
     ev = events_stream(spark, sf_small)
     out = run_to_memory(stream_tumbling_counts(ev), "t_tumbling")
-    batch = QUERIES["streaming_tumbling_batch"].fn(spark, sf_small)
+    batch = tumbling_batch(spark, sf_small)
     cols = ["window_start", "event_type", "n_events", "distinct_users"]
     assert _rows(out, cols) == _rows(batch, cols)
 
 
 def test_stream_sliding_equals_batch(spark, sf_small):
+    from impala_hashset_count_spark.plans.streaming_batch import sliding_batch
+
     ev = events_stream(spark, sf_small)
     out = run_to_memory(stream_sliding_counts(ev), "t_sliding")
-    batch = QUERIES["streaming_sliding_batch"].fn(spark, sf_small)
+    batch = sliding_batch(spark, sf_small)
     cols = ["window_start", "n_events"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_merged_streaming_windows_query_covers_both(spark, sf_small):
+    """The registry's merged streaming_windows_batch must equal the
+    union of its two component plans."""
+    from impala_hashset_count_spark.plans.streaming_batch import (
+        sliding_batch,
+        tumbling_batch,
+    )
+
+    merged = QUERIES["streaming_windows_batch"].fn(spark, sf_small)
+    t = merged.filter(F.col("kind") == "tumbling")
+    s = merged.filter(F.col("kind") == "sliding")
+    cols_t = ["window_start", "event_type", "n_events", "distinct_users"]
+    assert _rows(t, cols_t) == _rows(tumbling_batch(spark, sf_small), cols_t)
+    cols_s = ["window_start", "n_events"]
+    assert _rows(s, cols_s) == _rows(sliding_batch(spark, sf_small), cols_s)
 
 
 def test_stream_session_windows_counts(spark, sf_small):

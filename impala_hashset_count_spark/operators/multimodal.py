@@ -147,6 +147,32 @@ RESIZE_SCHEMA = (
 )
 
 
+def pil_available() -> bool:
+    """Capability check for the real image decode/resize path."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def real_resize(payload: bytes, target: int = 224) -> tuple[int, int, int, int, bytes]:
+    """REAL decode + aspect-fit resize via PIL (same output contract as
+    ``fake_resize``: (src_w, src_h, out_w, out_h, rgb_bytes) with
+    len(rgb_bytes) == out_w*out_h*3). Gated on PIL availability — this
+    container has no codecs, so the registry query pins the stub tier
+    and tests exercise this path only where PIL exists
+    (tests/test_multimodal_ivf.py::test_real_image_resize_when_pil_available
+    skips, not fakes, otherwise)."""
+    img = decode_image(payload)
+    w, h = img.size
+    scale = min(target / w, target / h)
+    ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+    out = img.convert("RGB").resize((ow, oh))
+    return (w, h, ow, oh, out.tobytes())
+
+
 def fake_resize(payload: bytes, target: int = 224) -> tuple[int, int, int, int, bytes]:
     """Deterministic stand-in for an image resize: aspect-fit the fake
     source dimensions into ``target`` x ``target`` and emit a payload of
@@ -162,17 +188,30 @@ def fake_resize(payload: bytes, target: int = 224) -> tuple[int, int, int, int, 
     return (w, h, ow, oh, data)
 
 
-def resize_images(df: DataFrame, target: int = 224) -> DataFrame:
+def resize_images(df: DataFrame, target: int = 224, decode: str = "stub") -> DataFrame:
     """mapInPandas resize over (doc_id, payload): aspect-fit each image
     into ``target`` square, emitting typed dimension metadata plus the
-    resized payload. The decode+resample is the documented STUB
-    (``fake_resize``; the real path is ``decode_image`` + PIL
-    ``Image.resize``, gated on PIL availability) — the Spark-side batch
-    shape, schema, and byte accounting are real."""
+    resized payload.
+
+    ``decode='stub'`` (default) is the documented deterministic
+    stand-in (``fake_resize``) — the oracle tier, and the only tier the
+    registry query uses so DuckDB can mirror the math.
+    ``decode='real'`` runs ``decode_image`` + PIL ``Image.resize``
+    (``real_resize``) and raises ``NotImplementedError`` where PIL is
+    absent. Either way the Spark-side batch shape, schema, and byte
+    accounting are identical and real."""
+    if decode not in ("stub", "real"):
+        raise ValueError(f"decode must be 'stub' or 'real', got {decode!r}")
+    if decode == "real" and not pil_available():
+        raise NotImplementedError(
+            "decode='real' requires PIL; use the default stub tier for "
+            "plumbing/oracle runs"
+        )
+    resize_fn = real_resize if decode == "real" else fake_resize
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            res = pdf["payload"].map(lambda p: fake_resize(p, target))
+            res = pdf["payload"].map(lambda p: resize_fn(bytes(p), target))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

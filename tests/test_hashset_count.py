@@ -108,6 +108,27 @@ def test_f6_cardinality_stress_beyond_300k(spark):
     assert _result_map(out) == {"big": str(n)}
 
 
+def test_f6b_megacardinality_idiomatic_and_faithful(spark):
+    """README.md:10-11 — the reference's documented degradation zone is
+    >300k distincts per group (fixed 300k-bucket table -> chain scans).
+    The rebuild's 'correct for arbitrary cardinalities' claim
+    (hashset_count.py:22-25) exercised at ~1M distincts in ONE group,
+    with duplicates, through BOTH production-relevant tiers: the
+    idiomatic built-in AND the faithful pandas UDAF behind the JVM
+    pre-distinct the registry plan uses (Python only finalizes
+    already-distinct values)."""
+    n = 1_000_000
+    df = spark.range(2 * n).select(
+        F.lit("mega").alias("group_key"),
+        (F.col("id") % n).cast("string").alias("s"),
+    )
+    idiomatic = df.groupBy("group_key").agg(hashset_count_agg("s").alias("c"))
+    assert _result_map(idiomatic) == {"mega": str(n)}
+    udaf = make_hashset_count_udaf()
+    faithful = df.distinct().groupBy("group_key").agg(udaf("s").alias("c"))
+    assert _result_map(faithful) == {"mega": str(n)}
+
+
 def test_f7_multiple_distincts_single_pass(spark):
     """README.md:1 — the motivating workload: several exact distinct
     counts in ONE grouped aggregation."""

@@ -81,6 +81,56 @@ def test_frame_hashes_shape_and_determinism(spark):
     assert all(len(r.frame_hash) == 32 for r in md5_out)
 
 
+def test_real_image_resize_when_pil_available(spark):
+    """Real decode+resize tier: runs where PIL exists, SKIPS (does not
+    fake) otherwise. Same output contract as the stub tier."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        real_resize,
+        resize_images,
+    )
+
+    def png_bytes(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png_bytes(448, 224, (255, 0, 0))), (2, png_bytes(100, 300, (0, 255, 0)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in resize_images(df, target=224, decode="real").collect()}
+    for doc_id, payload in rows:
+        w, h, ow, oh, data = real_resize(payload, 224)
+        got = out[doc_id]
+        assert (got.src_width, got.src_height) == (w, h)
+        assert (got.out_width, got.out_height) == (ow, oh)
+        assert got.out_bytes == ow * oh * 3
+        assert bytes(got.payload) == data
+
+
+def test_resize_real_path_gated_without_pil(spark):
+    """Where PIL is absent, decode='real' must raise, not silently fall
+    back to the stub (the stub is an explicit choice, never a fallback)."""
+    import pytest as _pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL present; gate not applicable")
+    except ImportError:
+        pass
+    from impala_hashset_count_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with _pytest.raises(NotImplementedError):
+        resize_images(df, decode="real")
+
+
 def test_resize_byte_accounting_and_determinism(spark):
     from impala_hashset_count_spark.operators.multimodal import (
         fake_resize,

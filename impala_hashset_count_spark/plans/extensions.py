@@ -26,6 +26,7 @@ from ..functions.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    winnowing_fingerprint,
 )
 from ..operators.dedup import (
     embedding_near_dup_pairs,
@@ -90,7 +91,10 @@ def _text_analysis_oracle() -> str:
                MD5({_NORM_SQL}) AS fp,
                UPPER(SUBSTRING(text, 1, 12)) AS prefix_u,
                CONTAINS(text, 'spark') AS has_spark,
-               LENGTH(REPLACE(text, ' ', '')) AS n_nonspace
+               LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
+               CASE WHEN LENGTH(text) >= 8
+                    THEN CAST(CEIL((LENGTH(text) - 7) / 4.0) AS INTEGER)
+                    ELSE 0 END AS n_winnow_blocks
         FROM t
     """
 
@@ -121,6 +125,12 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.substring("text", 1, 12)).alias("prefix_u"),
         F.col("text").contains("spark").alias("has_spark"),
         F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
+        # winnowing fingerprint (local min-hash blocks over 8-char
+        # rolling hashes): the HASH VALUES have no cross-engine SQL
+        # mirror (xxhash64 is Spark-specific), so the oracle checks the
+        # winnowing BLOCK STRUCTURE (count) while the values are
+        # covered by tests/test_text_functions.py.
+        F.size(winnowing_fingerprint("text", 8, 4)).alias("n_winnow_blocks"),
     )
 
 

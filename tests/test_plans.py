@@ -103,6 +103,25 @@ def test_correlated_subquery_is_decorrelated(spark):
     assert "HashAggregate" in plan
 
 
+def test_window_family_single_exchange(spark):
+    import re
+
+    plan = _plan(spark, "window_customer_orders")
+    # five window members (row_number, running sum, lag, rank, RANGE
+    # trailing spend) share one partitioning: exactly ONE shuffle
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 1
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_text_analysis_single_scan_no_shuffle(spark):
+    import re
+
+    plan = _plan(spark, "text_analysis_documents")
+    # the whole per-document text family is one projection pass
+    assert "Exchange" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
+
+
 def test_simhash_signatures_no_groupby_shuffle(spark):
     from impala_hashset_count_spark.operators.dedup import simhash_signatures
     from impala_hashset_count_spark.sources.tables import load_table

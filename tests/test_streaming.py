@@ -111,6 +111,51 @@ def test_stateful_sessionization_matches_islands(spark, sf_small):
     assert got == expect
 
 
+def test_watermark_drops_late_data_across_microbatches(spark, tmp_path):
+    """Two REAL micro-batches through the file source: an event arriving
+    in batch 2 but older than the watermark established by batch 1 must
+    be dropped from the append-mode windowed aggregate — the bounded-
+    state guarantee the streaming operators rely on."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_src")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "event_id bigint, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: two events in the 01:00 window; 03:00 pushes the
+    # watermark to 02:30 (> window end 02:00) at batch commit
+    write_batch([(1, t(1, 10)), (2, t(1, 20)), (3, t(3, 0))])
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("win.start", "HH:mm").alias("w"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: builds state, sets watermark
+        # batch 2: 01:15 is BEHIND the 02:30 watermark -> dropped;
+        # 05:00 advances the watermark so the 01:00 window finalizes
+        write_batch([(4, t(1, 15)), (5, t(5, 0))])
+        q.processAllAvailable()
+        out = {r["w"]: r["n"] for r in spark.table("t_late").collect()}
+    finally:
+        q.stop()
+    assert out.get("01:00") == 2, f"late event must not count: {out}"
+
+
 def test_multimodal_plumbing_batch_shape(spark, sf_small):
     from impala_hashset_count_spark.operators.multimodal import (
         attach_binary_payload,

@@ -20,11 +20,18 @@ def test_oracle_match(spark, sf_small, name):
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_small, name):
+def test_rows_only_runs_and_is_deterministic(spark, sf_small, name):
+    """The probabilistic queries have no SQL oracle, so their driver
+    check is rows-only — which would silently admit nondeterminism.
+    All five are seeded/deterministic by construction; assert two
+    invocations in one session produce identical results."""
     q = QUERIES[name]
-    df = q.fn(spark, sf_small)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+    a = q.fn(spark, sf_small)
+    assert len(a.schema.fields) > 0
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, q.fn(spark, sf_small).collect()))
+    assert rows_a == rows_b
+    assert len(rows_a) >= 0
 
 
 def test_entry_contract(spark):

@@ -1,0 +1,118 @@
+"""End-to-end corpus curation: the engine's LLM-data-pipeline operators
+composed into one deployable flow.
+
+``curate_corpus`` is the canonical composition a training-data pipeline
+runs over raw documents:
+
+1. **exact dedup** on the normalized-text md5 fingerprint
+   (``functions.text.fingerprint_md5`` + ``operators.dedup.exact_dedup``
+   — deterministic keep-lowest, one shuffle on the fingerprint);
+2. **quality filter** (``functions.text.quality_score`` — pure column
+   math, fused into the same stage by Catalyst);
+3. **context-length chunking** (``operators.packing.chunk_documents``
+   — per-row array explode, zero shuffle);
+4. **greedy token-budget packing** per language
+   (``operators.packing.pack_sequences_greedy`` — one shuffle on the
+   group key, linear Arrow pass per group);
+5. **range-clustered sorted write** by (lang, bin_id)
+   (``sources.tables.write_clustered`` — downstream readers of one
+   language/bin range prune to few files via parquet min/max stats).
+
+Scale accounting (100 TB corpus): two data shuffles total (fingerprint
+dedup, pack-group exchange) plus the write's range partitioning; every
+other step is embarrassingly parallel column work in the scan pipeline.
+The stats the function returns are computed with one tiny aggregate per
+stage boundary on the already-materialized frames — no collect of data
+rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import fingerprint_md5, quality_score, token_count
+from .operators.dedup import exact_dedup
+from .operators.packing import chunk_documents, pack_sequences_greedy
+from .sources.tables import load_table, write_clustered
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    min_quality: float = 0.3,
+    chunk_tokens: int = 64,
+    pack_budget: int = 512,
+    n_files: int | None = None,
+) -> dict:
+    """Run the full curation flow over ``{sf_dir}/documents.parquet``
+    and write packed training sequences to ``out_dir``.
+
+    Returns a stats dict: ``n_docs`` (input), ``n_after_dedup``,
+    ``n_after_quality``, ``n_chunks``, ``n_bins`` (packed bins across
+    all languages), ``max_bin_tokens`` (must be <= pack_budget when
+    every chunk fits the budget, which chunk_tokens <= pack_budget
+    guarantees)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    deduped = exact_dedup(
+        docs.withColumn("__fp", fingerprint_md5("text")), ["__fp"], "doc_id"
+    ).drop("__fp")
+    kept = deduped.filter(quality_score("text") >= min_quality).select(
+        "doc_id", "lang", "text"
+    )
+    n_after_dedup = deduped.count()
+    n_after_quality = kept.count()
+
+    chunks = chunk_documents(kept, "doc_id", "text", chunk_tokens)
+    # a globally-unique, order-preserving sequence id per chunk: packing
+    # scans (lang, seq_id) in order, so chunks of one doc stay adjacent
+    with_lang = chunks.join(kept.select("doc_id", "lang"), "doc_id").withColumn(
+        "seq_id", F.col("doc_id") * 100_000 + F.col("chunk_id")
+    )
+    packed = pack_sequences_greedy(
+        with_lang.select("lang", "seq_id", "n_chunk_tokens"),
+        group_col="lang",
+        order_col="seq_id",
+        token_col="n_chunk_tokens",
+        budget=pack_budget,
+    )
+    out = packed.join(with_lang.select("seq_id", "chunk_text"), "seq_id")
+
+    write_clustered(out, out_dir, cluster_by=["lang", "bin_id"], n_files=n_files)
+
+    written = spark.read.parquet(out_dir)
+    bin_stats = (
+        written.groupBy("lang", "bin_id")
+        .agg(F.sum("n_chunk_tokens").alias("bin_tokens"))
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.max("bin_tokens").alias("max_bin_tokens"),
+        )
+        .first()
+    )
+    return {
+        "n_docs": n_docs,
+        "n_after_dedup": n_after_dedup,
+        "n_after_quality": n_after_quality,
+        "n_chunks": written.count(),
+        "n_bins": int(bin_stats["n_bins"]),
+        "max_bin_tokens": int(bin_stats["max_bin_tokens"]),
+        "out_dir": os.path.abspath(out_dir),
+    }
+
+
+def corpus_token_histogram(spark: SparkSession, sf_dir: str, bucket: int = 100) -> DataFrame:
+    """Token-count histogram of the raw corpus (planning aid for
+    chunk/pack parameters): one scan, one tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select((F.floor(token_count("text") / bucket) * bucket).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )

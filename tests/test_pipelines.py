@@ -1,0 +1,61 @@
+"""End-to-end curation pipeline: operator composition, accounting
+invariants, and packed-output contract."""
+
+from pyspark.sql import functions as F
+
+from impala_hashset_count_spark.functions.text import fingerprint_md5, quality_score
+from impala_hashset_count_spark.pipelines import corpus_token_histogram, curate_corpus
+from impala_hashset_count_spark.sources.tables import load_table
+
+
+def test_curate_corpus_end_to_end(spark, sf_small, tmp_path):
+    out_dir = str(tmp_path / "curated")
+    stats = curate_corpus(
+        spark, sf_small, out_dir, min_quality=0.3, chunk_tokens=64, pack_budget=512
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    # dedup accounting: rows after dedup == distinct fingerprints
+    n_fp = docs.select(fingerprint_md5("text").alias("fp")).distinct().count()
+    assert stats["n_after_dedup"] == n_fp
+    assert stats["n_docs"] == docs.count()
+    assert 0 < stats["n_after_quality"] <= stats["n_after_dedup"]
+
+    # every bin respects the token budget (chunks are <= 64 <= 512, so
+    # no single-oversized-row exemption applies)
+    assert stats["max_bin_tokens"] <= 512
+    assert stats["n_bins"] >= 1
+
+    # written output is readable, clustered columns present, and chunk
+    # text is non-empty
+    written = spark.read.parquet(out_dir)
+    assert {"lang", "bin_id", "seq_id", "n_chunk_tokens", "chunk_text"} <= set(
+        written.columns
+    )
+    assert written.filter(F.length("chunk_text") == 0).count() == 0
+    assert stats["n_chunks"] == written.count()
+
+    # chunks of one doc stay adjacent within a language's packing order:
+    # seq_id encodes (doc_id, chunk_id) and packing scans seq_id order
+    one = written.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    assert sum(r["n"] for r in one) == stats["n_chunks"]
+
+
+def test_curate_corpus_quality_threshold_monotone(spark, sf_small, tmp_path):
+    lo = curate_corpus(spark, sf_small, str(tmp_path / "lo"), min_quality=0.0)
+    hi = curate_corpus(spark, sf_small, str(tmp_path / "hi"), min_quality=0.6)
+    assert hi["n_after_quality"] <= lo["n_after_quality"]
+    # min_quality=0.0 keeps everything that survived dedup
+    docs = load_table(spark, sf_small, "documents")
+    n_q0 = (
+        docs.filter(quality_score("text") >= 0.0).count()
+    )
+    assert n_q0 == docs.count()
+    assert lo["n_after_quality"] == lo["n_after_dedup"]
+
+
+def test_corpus_token_histogram_covers_all_docs(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    hist = corpus_token_histogram(spark, sf_small, bucket=100).collect()
+    assert sum(r["n_docs"] for r in hist) == docs.count()
+    assert all(r["bucket"] % 100 == 0 for r in hist)

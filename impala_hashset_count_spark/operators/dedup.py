@@ -314,6 +314,93 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_components(
+    pairs: DataFrame, id_1: str = "id_1", id_2: str = "id_2", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair list: returns
+    (id, rep) for every id appearing in ``pairs``, where ``rep`` is the
+    MINIMUM id of the id's component — the canonical representative.
+
+    Near-dup similarity is not transitive, but dedup policy must be
+    (A~B and B~C means keeping both A and C still leaves a near-dup
+    chain in the corpus), so pairs get closed into components first.
+
+    Algorithm: min-label propagation — each iteration every node takes
+    the min of its own label and its neighbors' labels; converges in
+    O(max cluster diameter) iterations. Near-dup clusters are
+    near-cliques (boilerplate families), so this is 1–3 iterations in
+    practice; ``max_iter`` bounds pathological chains. Each iteration is
+    one equi-join + groupBy-min (shuffles O(edges)) plus a fixpoint
+    count; ``localCheckpoint`` truncates the growing lineage so
+    iteration N does not replan iterations 1..N-1."""
+    edges = (
+        pairs.select(F.col(id_1).alias("src"), F.col(id_2).alias("dst"))
+        .union(pairs.select(F.col(id_2).alias("src"), F.col(id_1).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("rep"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("rep").alias("dst_rep")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_rep").alias("nb_rep"))
+            .select(F.col("src").alias("id"), "nb_rep")
+        )
+        new_labels = (
+            labels.select("id", F.col("rep").alias("old_rep"))
+            .join(nb_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("old_rep"), F.coalesce("nb_rep", F.col("old_rep"))
+                ).alias("rep"),
+                "old_rep",
+            )
+            .localCheckpoint()
+        )
+        n_changed = new_labels.filter(F.col("rep") != F.col("old_rep")).count()
+        labels = new_labels.select("id", "rep")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+    max_bucket_docs: int | None = None,
+) -> DataFrame:
+    """Remove near-duplicates TRANSITIVELY: MinHash-LSH pairs are closed
+    into connected components and only each component's minimum-id
+    representative survives. This is the dedup a training corpus needs —
+    pair-level removal alone leaves near-dup chains (keep A, drop B,
+    keep C with A~B~C). Returns ``df`` minus non-representative rows;
+    rows in no near-dup pair are untouched."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n, k, bands, threshold, max_bucket_docs
+    )
+    comp = near_dup_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("rep")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import fingerprint_md5, quality_score, token_count
-from .operators.dedup import exact_dedup
+from .operators.dedup import exact_dedup, near_dup_dedup
 from .operators.packing import chunk_documents, pack_sequences_greedy
 from .sources.tables import load_table, write_clustered
 
@@ -47,25 +47,37 @@ def curate_corpus(
     chunk_tokens: int = 64,
     pack_budget: int = 512,
     n_files: int | None = None,
+    near_dup_threshold: float | None = None,
 ) -> dict:
     """Run the full curation flow over ``{sf_dir}/documents.parquet``
     and write packed training sequences to ``out_dir``.
 
+    ``near_dup_threshold`` enables the transitive MinHash-LSH near-dup
+    tier after exact dedup (``operators.dedup.near_dup_dedup``): pair
+    candidates -> connected components -> keep each component's min-id
+    representative. None (default) runs exact dedup only.
+
     Returns a stats dict: ``n_docs`` (input), ``n_after_dedup``,
-    ``n_after_quality``, ``n_chunks``, ``n_bins`` (packed bins across
-    all languages), ``max_bin_tokens`` (must be <= pack_budget when
-    every chunk fits the budget, which chunk_tokens <= pack_budget
-    guarantees)."""
+    ``n_after_near_dedup`` (None when disabled), ``n_after_quality``,
+    ``n_chunks``, ``n_bins`` (packed bins across all languages),
+    ``max_bin_tokens`` (must be <= pack_budget when every chunk fits
+    the budget, which chunk_tokens <= pack_budget guarantees)."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
 
     deduped = exact_dedup(
         docs.withColumn("__fp", fingerprint_md5("text")), ["__fp"], "doc_id"
     ).drop("__fp")
+    n_after_dedup = deduped.count()
+    n_after_near_dedup = None
+    if near_dup_threshold is not None:
+        deduped = near_dup_dedup(
+            deduped, "doc_id", "text", threshold=near_dup_threshold
+        )
+        n_after_near_dedup = deduped.count()
     kept = deduped.filter(quality_score("text") >= min_quality).select(
         "doc_id", "lang", "text"
     )
-    n_after_dedup = deduped.count()
     n_after_quality = kept.count()
 
     chunks = chunk_documents(kept, "doc_id", "text", chunk_tokens)
@@ -98,6 +110,7 @@ def curate_corpus(
     return {
         "n_docs": n_docs,
         "n_after_dedup": n_after_dedup,
+        "n_after_near_dedup": n_after_near_dedup,
         "n_after_quality": n_after_quality,
         "n_chunks": written.count(),
         "n_bins": int(bin_stats["n_bins"]),

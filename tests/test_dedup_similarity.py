@@ -109,6 +109,61 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_small):
     assert mean_recall >= 0.5, f"mean recall {mean_recall}"
 
 
+def test_near_dup_dedup_is_transitive(spark):
+    """A~B and B~C above threshold, A~C below: all three are ONE
+    component, so exactly the min-id representative survives — C is
+    removed even though it never paired with A directly. Pair-level
+    removal would have kept both A and C (still a near-dup chain)."""
+    from impala_hashset_count_spark.operators.dedup import (
+        near_dup_components,
+        near_dup_dedup,
+    )
+
+    base = [f"w{i}" for i in range(40)]
+    a = list(base)
+    b = [f"x{i}" if i < 10 else t for i, t in enumerate(base)]
+    c = [f"x{i}" if i < 10 else (f"y{i}" if i >= 30 else t) for i, t in enumerate(base)]
+    rows = [
+        (1, " ".join(a)),
+        (2, " ".join(b)),
+        (3, " ".join(c)),
+        (9, "entirely unrelated content about adaptive query execution plans " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    pairs = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", 3, 64, 32, 0.5).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert (1, 3) not in pairs  # similarity is NOT transitive...
+
+    comp = {
+        (r["id"], r["rep"])
+        for r in near_dup_components(
+            minhash_lsh_pairs(df, "doc_id", "text", 3, 64, 32, 0.5)
+        ).collect()
+    }
+    assert comp == {(1, 1), (2, 1), (3, 1)}  # ...but the component is
+
+    kept = sorted(
+        r.doc_id for r in near_dup_dedup(df, "doc_id", "text", threshold=0.5).collect()
+    )
+    assert kept == [1, 9]
+
+
+def test_near_dup_components_chain_converges(spark):
+    """A pure chain 1-2-3-4-5 (worst diameter for label propagation)
+    still converges to a single min-labeled component."""
+    from impala_hashset_count_spark.operators.dedup import near_dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_1 int, id_2 int"
+    )
+    comp = {(r["id"], r["rep"]) for r in near_dup_components(pairs).collect()}
+    assert comp == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
 def test_minhash_bucket_cap_drops_boilerplate_cluster(spark):
     """A cluster of identical docs (boilerplate) puts all its members
     in every band bucket; with the cap below the cluster size those

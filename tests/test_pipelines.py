@@ -54,6 +54,22 @@ def test_curate_corpus_quality_threshold_monotone(spark, sf_small, tmp_path):
     assert lo["n_after_quality"] == lo["n_after_dedup"]
 
 
+def test_curate_corpus_near_dup_tier(spark, sf_small, tmp_path):
+    """With the transitive near-dup tier enabled, the corpus can only
+    shrink further, and the rest of the pipeline is unaffected."""
+    stats = curate_corpus(
+        spark,
+        sf_small,
+        str(tmp_path / "near"),
+        min_quality=0.0,
+        near_dup_threshold=0.5,
+    )
+    assert stats["n_after_near_dedup"] is not None
+    assert stats["n_after_near_dedup"] <= stats["n_after_dedup"]
+    assert stats["n_after_quality"] == stats["n_after_near_dedup"]
+    assert stats["max_bin_tokens"] <= 512
+
+
 def test_corpus_token_histogram_covers_all_docs(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     hist = corpus_token_histogram(spark, sf_small, bucket=100).collect()

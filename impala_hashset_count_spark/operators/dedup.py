@@ -332,7 +332,11 @@ def near_dup_components(
     practice; ``max_iter`` bounds pathological chains. Each iteration is
     one equi-join + groupBy-min (shuffles O(edges)) plus a fixpoint
     count; ``localCheckpoint`` truncates the growing lineage so
-    iteration N does not replan iterations 1..N-1."""
+    iteration N does not replan iterations 1..N-1. (localCheckpoint is
+    executor-local — lost blocks on executor failure force a stage
+    recompute from the truncated lineage root; for fault-critical
+    cluster runs swap in ``checkpoint()`` with a reliable checkpoint
+    dir.)"""
     edges = (
         pairs.select(F.col(id_1).alias("src"), F.col(id_2).alias("dst"))
         .union(pairs.select(F.col(id_2).alias("src"), F.col(id_1).alias("dst")))

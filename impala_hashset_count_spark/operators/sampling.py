@@ -1,0 +1,96 @@
+"""Deterministic sampling & corpus mixing for training-data pipelines.
+
+Both operators are seed-free and engine-reproducible: the randomness is
+a uniform value derived from a content/key hash, so re-runs, different
+partitionings, and different engines select the SAME rows — the
+property ``df.sample``/``sampleBy`` (RNG-seed based, partitioning-
+sensitive) cannot give, and the one that matters for reproducible
+training sets. Companion of the registry's ``sample_hash_documents``
+(plain hash sampling); these add per-stratum control:
+
+- ``stratified_hash_sample`` — per-stratum KEEP FRACTIONS (e.g. keep 10%
+  of 'en', 50% of 'de'): pure filter, zero shuffle, scales with the
+  scan.
+- ``mix_corpus`` — per-stratum TOKEN BUDGETS (the "data mixture" step:
+  so-many tokens of each language/source, chosen deterministically):
+  one window shuffle on the stratum key; rows are taken in
+  content-hash order until each stratum's cumulative token budget is
+  reached.
+
+Scale note (100 TB): ``mix_corpus``'s window partitions by stratum —
+with few huge strata, add a coarse salt to the ordering hash and take
+per-salt sub-budgets, or pre-filter with ``stratified_hash_sample`` at
+an over-estimate of the keep rate and budget-trim the small remainder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _uniform_from_hash(key: Column) -> Column:
+    """Deterministic uniform in [0, 1) from a key: first 8 hex digits of
+    md5 over 16^8. Mirrors as SQL for any engine with md5+conv."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(16**8))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff its hash-uniform u(key) < fraction(stratum).
+
+    Strata absent from ``fractions`` fall back to ``default_fraction``
+    (0.0 = drop unknown strata, the safe curation default). Pure
+    column filter — no shuffle, no seed state, no extra pass."""
+    pairs: list[Column] = []
+    for stratum, frac in sorted(fractions.items()):
+        pairs.extend([F.lit(stratum), F.lit(float(frac))])
+    frac_map = F.create_map(*pairs)
+    u = _uniform_from_hash(F.col(key_col))
+    frac = F.coalesce(
+        frac_map.getItem(F.col(strata_col)), F.lit(float(default_fraction))
+    )
+    return df.filter(u < frac)
+
+
+def mix_corpus(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Deterministic token-budgeted mixture: per stratum, rows are
+    ordered by content-hash (uniform, reproducible) and kept while the
+    running token total stays within the stratum's budget; the first
+    row that would cross the budget — and everything after it — is
+    dropped. Strata without a budget are dropped entirely.
+
+    Result: ~budget tokens per stratum (undershoot < one max document),
+    identical on every run and engine. One shuffle (the per-stratum
+    window)."""
+    pairs: list[Column] = []
+    for stratum, budget in sorted(budgets.items()):
+        pairs.extend([F.lit(stratum), F.lit(int(budget)).cast("long")])
+    budget_map = F.create_map(*pairs)
+    order = _uniform_from_hash(F.col(key_col))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    budget = budget_map.getItem(F.col(strata_col))
+    return (
+        df.withColumn("__cum_tokens", cum)
+        .filter(budget.isNotNull() & (F.col("__cum_tokens") <= budget))
+        .drop("__cum_tokens")
+    )

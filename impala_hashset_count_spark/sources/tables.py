@@ -97,6 +97,75 @@ def write_sink(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", part
     writer.save(path)
 
 
+def z_order_key(df: DataFrame, cols: list[str], bits: int = 10):
+    """64-bit Z-order (Morton) key over ``cols``: each column is
+    uniform-bucketed into 2^bits cells between its min and max (ONE
+    tiny agg pass), then bucket bits are interleaved — bit j of column
+    c lands at position j*len(cols)+c. Built entirely from shift/and/or
+    column expressions (codegen'd, no UDF).
+
+    Returns (key_column, stats_row). len(cols)*bits must be <= 63.
+    Uniform bucketing is the sampling-free choice; heavily skewed
+    columns cluster less evenly (quantile boundaries would fix that at
+    the cost of an approxQuantile pass)."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a long key")
+    stats = df.agg(
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+    ).first()
+    n_cells = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo = float(stats[f"min_{c}"])
+        hi = float(stats[f"max_{c}"])
+        span = (hi - lo) or 1.0
+        bucket = F.least(
+            F.lit(n_cells),
+            ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(n_cells))
+            .cast("long"),
+        )
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * k + ci
+                )
+            )
+    return z, stats
+
+
+def write_z_ordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    n_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensionally clustered write: range-partition + sort on
+    the Z-order key so every output file covers a small HYPER-RECTANGLE
+    of the key space — point/range filters on ANY of ``cols`` prune
+    files via parquet min/max stats. Lexicographic clustering
+    (``write_clustered``) only prunes on the leading column; Z-order is
+    the layout for two-to-four-dimensional pruning at 100 TB.
+    Effectiveness is asserted quantitatively in
+    tests/test_sources.py::test_z_order_write_clusters_all_dims."""
+    z, _ = z_order_key(df, cols, bits)
+    keyed = df.withColumn("__z", z)
+    parts = (
+        keyed.repartitionByRange(n_files, "__z")
+        if n_files
+        else keyed.repartitionByRange("__z")
+    )
+    parts.sortWithinPartitions("__z").drop("__z").write.format(fmt).mode(mode).save(
+        path
+    )
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

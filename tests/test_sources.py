@@ -128,3 +128,49 @@ def test_nul_and_utf8_values_survive(spark):
     # the reference would corrupt on embedded NUL (README.md:9); we must
     # count a\0b and a\0c as DISTINCT values
     assert out[0]["hashset_count_v"] == "4"
+
+
+def test_z_order_write_clusters_all_dims(spark, tmp_path):
+    """Z-order layout: every output file must cover a SMALL rectangle in
+    BOTH dimensions (enabling min/max file pruning on either column),
+    where lexicographic clustering leaves the trailing column's per-file
+    extent at ~full range."""
+    import pyarrow.parquet as pq
+
+    from impala_hashset_count_spark.sources.tables import (
+        write_clustered,
+        write_z_ordered,
+    )
+
+    # 64x64 uniform integer grid
+    grid = spark.range(64 * 64).selectExpr(
+        "CAST(id % 64 AS INT) AS x", "CAST(id DIV 64 AS INT) AS y"
+    )
+    zpath = os.path.join(str(tmp_path), "zorder")
+    lpath = os.path.join(str(tmp_path), "lex")
+    write_z_ordered(grid, zpath, ["x", "y"], bits=6, n_files=16)
+    write_clustered(grid, lpath, cluster_by=["x", "y"], n_files=16)
+
+    def extents(path, col):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            out.append(hi - lo)
+        return out
+
+    z_x, z_y = extents(zpath, "x"), extents(zpath, "y")
+    l_y = extents(lpath, "y")
+    # z-order: both dims tight per file (a 16-file split of a 64x64 Z
+    # curve gives 16x16 tiles -> extent ~15 of 63 per dim)
+    assert sum(z_x) / len(z_x) < 0.45 * 63
+    assert sum(z_y) / len(z_y) < 0.45 * 63
+    # lexicographic: trailing column spans ~everything in most files
+    assert sum(l_y) / len(l_y) > 0.8 * 63

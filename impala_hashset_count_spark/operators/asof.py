@@ -45,19 +45,40 @@ def asof_join(
 
 
 def _asof_window(left, right, left_key, right_key, left_ts, right_ts, right_cols, right_order):
-    r = right.select(right_key, right_ts, *[c for c in right_cols if c not in (right_key, right_ts)])
-    joined = left.join(
+    # The key is aliased internally so left_key == right_key works (it
+    # is dropped from the output anyway); the payload/timestamp columns
+    # keep their names in the output, so THOSE must not collide.
+    clash = {c for c in right_cols if c != right_key} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right_cols {sorted(clash)} collide with left columns; "
+            "rename them on the right side before the as-of join"
+        )
+    rkey = "__asof_rkey"
+    r = right.select(
+        F.col(right_key).alias(rkey),
+        right_ts,
+        *[c for c in right_cols if c not in (right_key, right_ts)],
+    )
+    # Synthetic per-row id as the window partition key: partitioning by
+    # *left.columns silently COLLAPSED fully-duplicate left rows into
+    # one output row (the pandas strategy keeps both), and a single long
+    # key is also a narrower sort key than the whole row. The id is
+    # plan-internal (values vary run to run, the grouping they induce
+    # does not) and is dropped before returning.
+    l = left.withColumn("__lid", F.monotonically_increasing_id())
+    joined = l.join(
         r,
-        (F.col(left_key) == F.col(right_key)) & (F.col(right_ts) <= F.col(left_ts)),
+        (F.col(left_key) == F.col(rkey)) & (F.col(right_ts) <= F.col(left_ts)),
         "inner",
     )
-    w = Window.partitionBy(*left.columns).orderBy(
+    w = Window.partitionBy("__lid").orderBy(
         F.col(right_ts).desc(), F.col(right_order).desc()
     )
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", right_key)
+        .drop("__rn", "__lid", rkey)
     )
 
 

@@ -199,6 +199,30 @@ def test_property_tiers_agree_with_python_reference(spark):
     check()
 
 
+def test_asof_keeps_duplicate_left_rows(spark):
+    """Two fully-identical left rows must BOTH receive their as-of
+    match in both strategies (regression: the window strategy
+    partitioned by all left columns, collapsing duplicates)."""
+    from impala_hashset_count_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 100), (2, 100)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 7), (1, 90, 8), (2, 10, 9)], "k int, rt int, payload int"
+    )
+    kwargs = dict(
+        left_key="k", right_key="k", left_ts="t", right_ts="rt",
+        right_cols=["rt", "payload"], right_order="payload",
+    )
+    for strategy in ("window", "pandas"):
+        out = asof_join(left, right, strategy=strategy, **kwargs).collect()
+        assert len(out) == 3, f"{strategy}: duplicate left rows collapsed"
+        assert sorted((r["k"], r["payload"]) for r in out) == [
+            (1, 8), (1, 8), (2, 9)
+        ], strategy
+
+
 def test_asof_pandas_strategy_matches_window(spark, sf_small):
     from impala_hashset_count_spark.operators.asof import asof_join
     from impala_hashset_count_spark.sources.tables import load_table

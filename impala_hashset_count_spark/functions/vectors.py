@@ -38,7 +38,12 @@ def l2_norm(a: str | Column) -> Column:
 def cosine(a: str | Column, b: str | Column) -> Column:
     """cos = dot / (||a|| * ||b||) — the oracle mirrors this exact
     association (sqrt(ss_a)*sqrt(ss_b), NOT sqrt(ss_a*ss_b), so the
-    floating-point result is bit-comparable)."""
+    floating-point result is bit-comparable).
+
+    A zero vector yields a 0/0 division (engine-defined NULL/NaN,
+    identical on Spark and DuckDB since both mirror the expression);
+    filter zero vectors upstream if they can occur — no silent guard
+    here, because a guard would have to be mirrored in every oracle."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 

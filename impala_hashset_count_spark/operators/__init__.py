@@ -1,3 +1,14 @@
+from .analytics import cohort_retention
+from .asof import asof_join
+from .dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    near_dup_components,
+    near_dup_dedup,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from .hashset_count import (
     approx_distinct_count,
     hashset_count_agg,
@@ -6,12 +17,34 @@ from .hashset_count import (
     make_hashset_count_udaf,
     register_sql_udaf,
 )
+from .packing import chunk_documents, pack_sequences_greedy
+from .sampling import mix_corpus, stratified_hash_sample
+from .similarity import brute_force_topk, ivf_topk, lsh_topk
+from .skew import bucketed_table, salted_join
 
 __all__ = [
     "approx_distinct_count",
+    "asof_join",
+    "brute_force_topk",
+    "bucketed_table",
+    "chunk_documents",
+    "cohort_retention",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
     "hashset_count_agg",
     "hashset_count_df",
     "hashset_count_rdd",
+    "ivf_topk",
+    "lsh_topk",
     "make_hashset_count_udaf",
+    "minhash_lsh_pairs",
+    "mix_corpus",
+    "near_dup_components",
+    "near_dup_dedup",
+    "ngram_jaccard_pairs",
+    "pack_sequences_greedy",
     "register_sql_udaf",
+    "salted_join",
+    "simhash_pairs",
+    "stratified_hash_sample",
 ]

@@ -78,6 +78,44 @@ def test_pack_is_order_not_arrival_dependent(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3}
 
 
+def test_property_pack_matches_python_reference(spark):
+    """Property test: arbitrary keyed (id, token-count) multisets pack
+    identically to a sequential Python reference. Uses an INT group key
+    to exercise the derived-from-input output schema (the hardcoded
+    string contract broke this)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 50), st.integers(1, 30)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+
+    @given(rows=rows_strategy)
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    def check(rows):
+        budget = 60
+        expect = {}
+        for g in {r[0] for r in rows}:
+            bin_id, fill = 0, 0
+            for _, i, n in sorted(r for r in rows if r[0] == g):
+                if bin_id == 0 or fill + n > budget:
+                    bin_id, fill = bin_id + 1, n
+                else:
+                    fill += n
+                expect[(g, i)] = bin_id
+        df = spark.createDataFrame(rows, "grp int, id long, n int")
+        out = pack_sequences_greedy(df, "grp", "id", "n", budget=budget)
+        got = {(r.grp, r.id): r.bin_id for r in out.collect()}
+        assert got == expect
+
+    check()
+
+
 def test_chunk_concat_roundtrip(spark, sf_small):
     # Re-joining a doc's chunks reproduces its token stream exactly.
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")

@@ -28,15 +28,19 @@ from ..functions.text import (
     token_count,
     winnowing_fingerprint,
 )
+from ..functions.udtfs import register_udtfs
+from ..operators.analytics import cohort_retention
 from ..operators.dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
+    near_dup_components,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
 from ..operators.packing import chunk_documents, pack_sequences_greedy
+from ..operators.sampling import mix_corpus, stratified_hash_sample
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
-from ..sources.tables import load_table
+from ..sources.tables import load_table, register_views
 from .registry import register
 
 
@@ -486,4 +490,213 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_cells=16,
         nprobe=4,
+    )
+
+
+# ---------------------------------------------------------------------
+# Transitive near-dup dedup (connected components)
+# ---------------------------------------------------------------------
+
+_TRANSITIVE_ORACLE = r"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, UNNEST(toks) AS w, GENERATE_SUBSCRIPTS(toks, 1) AS i
+        FROM t
+    ),
+    s AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        FROM u a
+        JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
+    p AS (
+        SELECT x.doc_id AS id_1, y.doc_id AS id_2, COUNT(*) AS common
+        FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_1, id_2
+        FROM p
+        JOIN sz s1 ON p.id_1 = s1.doc_id
+        JOIN sz s2 ON p.id_2 = s2.doc_id
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.5
+    ),
+    edges AS (
+        SELECT id_1 AS src, id_2 AS dst FROM pairs
+        UNION
+        SELECT id_2 AS src, id_1 AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+"""
+
+
+@register("dedup_transitive_components", oracle=_TRANSITIVE_ORACLE)
+def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the EXACT near-dup pair list: connected
+    components via min-label propagation, (id, rep) per involved doc —
+    the canonical-representative assignment ``near_dup_dedup`` keeps.
+    Near-dup similarity is not transitive but dedup policy must be
+    (pair-level removal leaves A~B~C chains in the corpus).
+
+    Built on the exact Jaccard pairs so the DuckDB oracle (a recursive
+    min-reachable-label CTE) can verify the component assignment
+    value-for-value; the production path composes the same closure with
+    the MinHash-LSH pair tier (``near_dup_dedup``, recall-tested). Each
+    propagation iteration shuffles O(edges); near-dup clusters are
+    near-cliques, so 1-3 iterations converge."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return near_dup_components(pairs)
+
+
+# ---------------------------------------------------------------------
+# Deterministic stratified sampling + token-budgeted corpus mixing
+# ---------------------------------------------------------------------
+
+_SAMPLE_MIX_ORACLE = r"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER)
+               END AS n_tokens,
+               LIST_SUM(LIST_TRANSFORM([1, 2, 3, 4, 5, 6, 7, 8],
+                   i -> (STRPOS('0123456789abcdef',
+                                SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                        * POWER(16, 8 - i))) / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT 'sample' AS kind, doc_id, lang, n_tokens FROM base
+    WHERE u < CASE lang WHEN 'de' THEN 0.8 WHEN 'en' THEN 0.5
+                        WHEN 'zh' THEN 0.25 ELSE 0.1 END
+    UNION ALL
+    SELECT 'mix' AS kind, doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               SUM(CAST(n_tokens AS BIGINT)) OVER (
+                   PARTITION BY lang ORDER BY u, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM base
+    )
+    WHERE (lang = 'en' AND cum <= 4000) OR (lang = 'fr' AND cum <= 1500)
+"""
+
+
+@register("sample_stratified_mix", oracle=_SAMPLE_MIX_ORACLE)
+def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two per-stratum corpus-construction selectors in one tagged
+    result, both seed-free (hash-uniform, identical across runs,
+    partitionings, and engines — the property ``df.sample`` cannot give):
+
+    - 'sample' rows: ``stratified_hash_sample`` keep-fractions per lang
+      (de 0.8 / en 0.5 / zh 0.25, default 0.1 for the rest) — a pure
+      filter, zero shuffle, scales with the scan;
+    - 'mix' rows: ``mix_corpus`` token budgets (en 4000 / fr 1500,
+      other strata dropped) — rows taken in content-hash order until the
+      stratum budget fills; one window shuffle on the stratum key.
+
+    The DuckDB oracle reimplements the md5-derived uniform digit-by-digit
+    (exact in doubles: the 8-hex-digit value < 2^32 < 2^53), so the
+    driver verifies the SELECTION itself, not just counts."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    samp = stratified_hash_sample(
+        base, "lang", "doc_id",
+        fractions={"de": 0.8, "en": 0.5, "zh": 0.25},
+        default_fraction=0.1,
+    ).select(F.lit("sample").alias("kind"), "doc_id", "lang", "n_tokens")
+    mixed = mix_corpus(
+        base, "lang", "doc_id", "n_tokens",
+        budgets={"en": 4000, "fr": 1500},
+    ).select(F.lit("mix").alias("kind"), "doc_id", "lang", "n_tokens")
+    return samp.union(mixed)
+
+
+# ---------------------------------------------------------------------
+# Cohort retention (events analytics)
+# ---------------------------------------------------------------------
+
+@register(
+    "analytics_cohort_retention",
+    oracle="""
+        WITH ev AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(DATE_TRUNC('week', ts) AS DATE) AS p
+            FROM events
+        ),
+        coh AS (SELECT u, MIN(p) AS cohort FROM ev GROUP BY u),
+        n AS (SELECT cohort, COUNT(*) AS n_cohort FROM coh GROUP BY cohort),
+        act AS (
+            SELECT coh.cohort,
+                   CAST((ev.p - coh.cohort) // 7 AS INTEGER) AS period_offset,
+                   COUNT(*) AS n_active
+            FROM ev JOIN coh ON ev.u = coh.u
+            GROUP BY 1, 2
+        )
+        SELECT act.cohort, act.period_offset, act.n_active, n.n_cohort,
+               ROUND(act.n_active * 1.0 / n.n_cohort, 4) AS retention
+        FROM act JOIN n ON act.cohort = n.cohort
+    """,
+)
+def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the events stream
+    (``operators.analytics.cohort_retention``): users grouped by
+    first-activity week, per-offset active counts, retention ratio.
+    One scan stamps cohorts (per-user min), one broadcast-able join
+    back, one grouped count — no window over the raw event stream."""
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period="week")
+
+
+# ---------------------------------------------------------------------
+# Native Python UDTF surface (SQL LATERAL)
+# ---------------------------------------------------------------------
+
+_UDTF_ORACLE = r"""
+    WITH parts AS (
+        SELECT doc_id,
+               STRING_SPLIT_REGEX(
+                   REGEXP_REPLACE(text, '([.!?])\s+', '\1' || CHR(1), 'g'),
+                   CHR(1)) AS ps
+        FROM documents
+    ),
+    x AS (
+        SELECT doc_id, UNNEST(ps) AS part,
+               UNNEST(GENERATE_SERIES(1, LEN(ps))) AS i
+        FROM parts
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS sent_id,
+           TRIM(part) AS sentence,
+           CAST(LEN(STRING_SPLIT_REGEX(TRIM(part), '\s+')) AS INTEGER)
+               AS n_sent_tokens
+    FROM x WHERE TRIM(part) <> ''
+"""
+
+
+@register("text_udtf_sentences", oracle=_UDTF_ORACLE)
+def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native Python UDTF surface driven through SQL ``LATERAL``:
+    ``split_sentences`` (functions/udtfs.py) explodes each document into
+    stripped sentences with per-sentence token counts. Row-at-a-time
+    Python — deliberately NOT a hot-path pattern (the codegen'd explode
+    equivalent is asserted equal in tests/test_udtfs.py); this registry
+    entry proves the UDTF registration + LATERAL join plumbing
+    end-to-end against a DuckDB oracle (which splits on the same
+    boundary via a regexp_replace-inserted sentinel, since RE2 has no
+    lookbehind)."""
+    register_udtfs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_id, s.sentence, s.n_sent_tokens
+        FROM documents d, LATERAL split_sentences(d.text) s
+        """
     )

@@ -253,64 +253,71 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rollup_lineitem",
-    oracle="""
-        SELECT l_returnflag, l_linestatus,
-               COUNT(*) AS n_rows,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id
-        FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical totals in one pass (Expand node), instead of
-    re-scanning per level — the way to compute 3 aggregation levels over
-    100 TB with one read."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.grouping_id().alias("grp_id"),
-    )
-
-
-@register(
-    "cube_orders",
-    oracle="""
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price,
-               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id
-        FROM orders
-        GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "orders")
-    return li.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        F.grouping_id().alias("grp_id"),
-    )
-
-
+#: Same SQL text runs on Spark AND DuckDB — the SQL surface is the
+#: parity layer itself (GROUPING SETS has no DataFrame-API form).
 _GROUPING_SETS_SQL = """
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'gsets' AS kind, l_returnflag AS k1, l_linestatus AS k2,
            COUNT(*) AS n_rows,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           ROUND(SUM(l_extendedprice), 2) AS val,
+           CAST(NULL AS BIGINT) AS grp_id
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
-@register("grouping_sets_sql", oracle=_GROUPING_SETS_SQL)
-def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same SQL text runs on Spark and DuckDB — the SQL surface is the
-    parity layer itself."""
+@register(
+    "grouping_analytics",
+    oracle=f"""
+        SELECT 'rollup' AS kind, l_returnflag AS k1, l_linestatus AS k2,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS val,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'cube' AS kind, o_orderstatus AS k1, o_orderpriority AS k2,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(o_totalprice), 2) AS val,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        UNION ALL
+        {_GROUPING_SETS_SQL}
+    """,
+)
+def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-level grouping surface in one tagged result — ROLLUP
+    (hierarchical totals over lineitem), CUBE (all margin combinations
+    over orders), and GROUPING SETS (explicit set list, via the SAME SQL
+    text Spark and DuckDB both run). Each branch is one Expand node over
+    one scan — 3/4/3 aggregation levels per branch computed in a single
+    read each, the only sane shape at 100 TB (re-scanning per level
+    reads the fact table N times)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rollup = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("val"),
+        F.grouping_id().alias("grp_id"),
+    ).select(
+        F.lit("rollup").alias("kind"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "n_rows", "val", "grp_id",
+    )
+    cube = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("val"),
+        F.grouping_id().alias("grp_id"),
+    ).select(
+        F.lit("cube").alias("kind"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        "n_rows", "val", "grp_id",
+    )
     register_views(spark, sf_dir)
-    return spark.sql(_GROUPING_SETS_SQL)
+    gsets = spark.sql(_GROUPING_SETS_SQL)
+    return rollup.union(cube).union(gsets)
 
 
 @register(
@@ -969,44 +976,55 @@ def setops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scalar_date_orders",
+    "scalar_date_json",
     oracle="""
-        SELECT o_orderkey,
+        SELECT 'date' AS kind, o_orderkey AS id,
                CAST(YEAR(o_orderdate) AS INTEGER)    AS o_year,
                CAST(MONTH(o_orderdate) AS INTEGER)   AS o_month,
                CAST(DAY(o_orderdate) AS INTEGER)     AS o_day,
                CAST(QUARTER(o_orderdate) AS INTEGER) AS o_quarter,
-               CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS o_month_start
+               CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS o_month_start,
+               CAST(NULL AS INTEGER) AS k_val
         FROM orders
+        UNION ALL
+        SELECT 'json' AS kind, event_id AS id,
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+               CAST(NULL AS DATE),
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_val
+        FROM events
     """,
 )
-def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction over ``orders`` plus JSON path extraction
+    over ``events.props`` (string column), tagged into one result. Both
+    branches are pure codegen'd projections — one narrow scan each, no
+    shuffle. (The scalar STRING surface lives in
+    ``text_analysis_documents``; the ARRAY surface in
+    ``scalar_array_embeddings``.)"""
     o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
+    ev = _t(spark, sf_dir, "events")
+    dates = o.select(
+        F.lit("date").alias("kind"),
+        F.col("o_orderkey").alias("id"),
         F.year("o_orderdate").alias("o_year"),
         F.month("o_orderdate").alias("o_month"),
         F.dayofmonth("o_orderdate").alias("o_day"),
         F.quarter("o_orderdate").alias("o_quarter"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("o_month_start"),
+        F.lit(None).cast("int").alias("k_val"),
     )
-
-
-@register(
-    "scalar_json_events",
-    oracle="""
-        SELECT event_id,
-               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_val
-        FROM events
-    """,
-)
-def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction over a string column (`events.props`)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
+    jsons = ev.select(
+        F.lit("json").alias("kind"),
+        F.col("event_id").alias("id"),
+        F.lit(None).cast("int").alias("o_year"),
+        F.lit(None).cast("int").alias("o_month"),
+        F.lit(None).cast("int").alias("o_day"),
+        F.lit(None).cast("int").alias("o_quarter"),
+        F.lit(None).cast("date").alias("o_month_start"),
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
     )
+    return dates.union(jsons)
 
 
 @register(

@@ -57,12 +57,17 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 #: whose driver verification is newest, so any future truncation cuts
 #: only long-proven entries.
 _SWEEP_FIRST = (
-    "scalar_date_orders",
-    "scalar_json_events",
+    # round-2 additions / merges — newest hard-signal verification first
+    "dedup_transitive_components",
+    "sample_stratified_mix",
+    "analytics_cohort_retention",
+    "text_udtf_sentences",
+    "grouping_analytics",
+    "scalar_date_json",
+    "streaming_state_batch",
+    # round-2 first-time driver coverage
     "scalar_array_embeddings",
     "streaming_windows_batch",
-    "streaming_sessionize_batch",
-    "streaming_dedup_batch",
     "streaming_interval_join_batch",
     "multimodal_image_pipeline",
     "multimodal_av_features",

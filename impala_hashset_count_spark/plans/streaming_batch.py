@@ -114,26 +114,7 @@ def streaming_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.union(s)
 
 
-@register(
-    "streaming_sessionize_batch",
-    oracle="""
-        WITH g AS (
-            SELECT user_id, ts,
-                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                             > INTERVAL '30 minutes'
-                             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                             IS NULL
-                        THEN 1 ELSE 0 END AS is_new
-            FROM events
-        )
-        SELECT user_id,
-               CAST(SUM(is_new) AS BIGINT) AS n_sessions,
-               COUNT(*) AS n_events
-        FROM g
-        GROUP BY user_id
-    """,
-)
-def streaming_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min islands) per user — the batch
     twin of both session_window streaming and the
     applyInPandasWithState custom operator."""
@@ -156,10 +137,42 @@ def streaming_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type) — the deterministic batch twin of
+    dropDuplicatesWithinWatermark."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_type", "event_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
 @register(
-    "streaming_dedup_batch",
+    "streaming_state_batch",
     oracle="""
-        SELECT user_id, event_type, event_id AS first_event_id
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '30 minutes'
+                             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+        SELECT 'sessionize' AS kind, user_id,
+               CAST(NULL AS VARCHAR) AS event_type,
+               CAST(NULL AS BIGINT) AS first_event_id,
+               CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM g
+        GROUP BY user_id
+        UNION ALL
+        SELECT 'dedup' AS kind, user_id, event_type,
+               event_id AS first_event_id,
+               CAST(NULL AS BIGINT) AS n_sessions,
+               CAST(NULL AS BIGINT) AS n_events
         FROM (
             SELECT user_id, event_type, event_id,
                    ROW_NUMBER() OVER (
@@ -170,16 +183,30 @@ def streaming_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     """,
 )
-def streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First event per (user, type) — the deterministic batch twin of
-    dropDuplicatesWithinWatermark."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return (
-        ev.select("user_id", "event_type", "event_id", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two stateful-streaming batch twins in one tagged result:
+    gap-based sessionization (``sessionize_batch``) and
+    first-event-per-key dedup (``dedup_batch``,
+    dropDuplicatesWithinWatermark's deterministic twin). Both branches
+    shuffle once on the user key; tests/test_streaming.py asserts the
+    live readStream pipelines equal the underlying plans."""
+    sess = sessionize_batch(spark, sf_dir).select(
+        F.lit("sessionize").alias("kind"),
+        "user_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("first_event_id"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        "n_events",
     )
+    ded = dedup_batch(spark, sf_dir).select(
+        F.lit("dedup").alias("kind"),
+        "user_id",
+        "event_type",
+        "first_event_id",
+        F.lit(None).cast("long").alias("n_sessions"),
+        F.lit(None).cast("long").alias("n_events"),
+    )
+    return sess.union(ded)
 
 
 @register(

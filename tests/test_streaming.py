@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from impala_hashset_count_spark.plans import all_queries
+from impala_hashset_count_spark.plans.streaming_batch import sessionize_batch
 from impala_hashset_count_spark.sources.tables import load_table
 from impala_hashset_count_spark.streaming.windows import (
     events_stream,
@@ -70,7 +71,7 @@ def test_stream_session_windows_counts(spark, sf_small):
         r["user_id"]: r["n"]
         for r in out.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
-    batch = QUERIES["streaming_sessionize_batch"].fn(spark, sf_small)
+    batch = sessionize_batch(spark, sf_small)
     batch_counts = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
     assert stream_counts == batch_counts
 
@@ -106,7 +107,7 @@ def test_stateful_sessionization_matches_islands(spark, sf_small):
     out = run_to_memory(sessionize_stateful(ev), "t_stateful", "update")
     # update-mode memory sink may hold multiple rows per key; keep last
     got = {r["user_id"]: r["n_sessions"] for r in out.collect()}
-    batch = QUERIES["streaming_sessionize_batch"].fn(spark, sf_small)
+    batch = sessionize_batch(spark, sf_small)
     expect = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
     assert got == expect
 

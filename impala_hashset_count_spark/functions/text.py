@@ -182,3 +182,80 @@ def winnowing_fingerprint(col: str | Column, window: int = 8, stride: int = 4) -
         blocks,
         lambda b: F.array_min(F.slice(hashes, b * stride + 1, stride)),
     )
+
+
+# ---------------------------------------------------------------------
+# PII redaction (curation scrub pass)
+# ---------------------------------------------------------------------
+
+#: Frozen, ordered PII patterns (Java regex on the Spark side; each also
+#: valid RE2 for a DuckDB REGEXP_REPLACE(..., 'g') mirror). Order
+#: matters: emails first so their digits never half-match as phones.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+)
+
+
+def redact_pii(col: str | Column, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token`` — the scrub pass a
+    training corpus runs before anything else sees the text. A chain of
+    four codegen'd regexp_replace ops over one column: zero shuffle,
+    scales with the scan. Mirror: the same chain of
+    REGEXP_REPLACE(..., 'g') in DuckDB."""
+    c = _c(col)
+    for _, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-kind PII match counts (the audit metric next to the scrub).
+    Mirror: LEN(REGEXP_EXTRACT_ALL(x, pattern)) per kind."""
+    return {
+        kind: F.size(F.regexp_extract_all(_c(col), F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS
+    }
+
+
+# ---------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------
+
+def dup_line_ratio(col: str | Column) -> Column:
+    """Fraction of lines that are duplicates of another line — the
+    boilerplate detector (headers, nav bars, templated pages repeat
+    lines; prose does not). 0.0 for single-line text.
+    Mirror: 1 - LEN(LIST_DISTINCT(...))/LEN(STRING_SPLIT(x, chr(10)))."""
+    lines = F.split(_c(col), "\n")
+    return F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines)
+
+
+def top_token_ratio(col: str | Column) -> Column:
+    """Fraction of tokens equal to the single most frequent token —
+    high values flag degenerate/repetitive text (keyword stuffing,
+    filler loops). Computed as the longest equal-run over the SORTED
+    token array via one ``aggregate`` HOF: O(n log n) per row, no
+    shuffle, no per-distinct rescan. NULL (propagated) on empty
+    input."""
+    t = F.array_sort(tokens(col))
+    run = F.aggregate(
+        t,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return run / F.size(t)

@@ -33,7 +33,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.text import fingerprint_md5, quality_score, token_count
+from .functions.text import (
+    fingerprint_md5,
+    quality_score,
+    redact_pii,
+    token_count,
+)
 from .operators.dedup import exact_dedup, near_dup_dedup
 from .operators.packing import chunk_documents, pack_sequences_greedy
 from .sources.tables import load_table, write_clustered
@@ -48,6 +53,7 @@ def curate_corpus(
     pack_budget: int = 512,
     n_files: int | None = None,
     near_dup_threshold: float | None = None,
+    scrub_pii: bool = False,
 ) -> dict:
     """Run the full curation flow over ``{sf_dir}/documents.parquet``
     and write packed training sequences to ``out_dir``.
@@ -56,6 +62,10 @@ def curate_corpus(
     tier after exact dedup (``operators.dedup.near_dup_dedup``): pair
     candidates -> connected components -> keep each component's min-id
     representative. None (default) runs exact dedup only.
+
+    ``scrub_pii=True`` redacts emails/SSNs/IPs/phones
+    (``functions.text.redact_pii``) after the quality filter and before
+    chunking, so no PII reaches the written training sequences.
 
     Returns a stats dict: ``n_docs`` (input), ``n_after_dedup``,
     ``n_after_near_dedup`` (None when disabled), ``n_after_quality``,
@@ -79,6 +89,11 @@ def curate_corpus(
         "doc_id", "lang", "text"
     )
     n_after_quality = kept.count()
+    if scrub_pii:
+        # scrub AFTER dedup/quality (cheaper: fewer rows) but BEFORE
+        # anything persists text; four regexp_replace ops fused into
+        # the same scan stage by Catalyst
+        kept = kept.withColumn("text", redact_pii("text"))
 
     chunks = chunk_documents(kept, "doc_id", "text", chunk_tokens)
     # a globally-unique, order-preserving sequence id per chunk: packing

@@ -17,15 +17,19 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     LANG_MARKERS,
     LANG_PRIORITY,
+    PII_PATTERNS,
     QUALITY_STOPWORDS,
     avg_word_len,
     bpe_ish_token_count,
+    dup_line_ratio,
     fingerprint_md5,
+    pii_counts,
     predict_lang,
     punct_ratio,
     quality_score,
     stopword_ratio,
     token_count,
+    top_token_ratio,
     winnowing_fingerprint,
 )
 from ..functions.udtfs import register_udtfs
@@ -72,6 +76,15 @@ def _text_analysis_oracle() -> str:
     case += " ELSE 'und' END"
     stop_hits = f"LEN(LIST_FILTER(toks, x -> x IN ({_STOP_IN})))"
     punct = "LENGTH(REGEXP_REPLACE(text, '[^.!?,;:]', '', 'g')) * 1.0 / LENGTH(text)"
+    pii = ",\n               ".join(
+        f"CAST(LEN(REGEXP_EXTRACT_ALL(text, '{pat}')) AS INTEGER) AS pii_{kind}"
+        for kind, pat in PII_PATTERNS
+    )
+    lines = "STRING_SPLIT(text, chr(10))"
+    top_freq = (
+        "LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(toks), "
+        "t -> LEN(LIST_FILTER(toks, x -> x = t))))"
+    )
     return rf"""
         WITH t AS (
             SELECT doc_id, lang, text,
@@ -98,7 +111,11 @@ def _text_analysis_oracle() -> str:
                LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
                CASE WHEN LENGTH(text) >= 8
                     THEN CAST(CEIL((LENGTH(text) - 7) / 4.0) AS INTEGER)
-                    ELSE 0 END AS n_winnow_blocks
+                    ELSE 0 END AS n_winnow_blocks,
+               {pii},
+               ROUND(1.0 - LEN(LIST_DISTINCT({lines})) * 1.0
+                     / LEN({lines}), 4) AS dup_line_ratio,
+               ROUND({top_freq} * 1.0 / LEN(toks), 4) AS top_token_ratio
         FROM t
     """
 
@@ -135,6 +152,12 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         # winnowing BLOCK STRUCTURE (count) while the values are
         # covered by tests/test_text_functions.py.
         F.size(winnowing_fingerprint("text", 8, 4)).alias("n_winnow_blocks"),
+        # PII audit counts (Java regex == RE2 on these patterns,
+        # asserted in tests/test_pii_repetition.py) and Gopher-style
+        # repetition signals — same single projection pass.
+        *(c.alias(f"pii_{k}") for k, c in pii_counts("text").items()),
+        F.round(dup_line_ratio("text"), 4).alias("dup_line_ratio"),
+        F.round(top_token_ratio("text"), 4).alias("top_token_ratio"),
     )
 
 

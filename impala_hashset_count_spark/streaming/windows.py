@@ -179,6 +179,56 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+DISTINCT_STATE_SCHEMA = "seen array<string>"
+DISTINCT_OUTPUT_SCHEMA = "event_type string, hashset_count string"
+
+
+def hashset_count_stateful(events: DataFrame) -> DataFrame:
+    """The reference UDA as a STREAMING operator: running exact
+    distinct `user_id` count per `event_type`, with the set-valued
+    state held in Spark's state store across micro-batches — the
+    streaming realization of init/update/serialize/merge/finalize
+    (`/root/reference/hashset-count.h:30-34`): state.exists==False is
+    Init, the per-batch set union is Update+Merge, the state store's
+    persistence between micro-batches is Serialize, and every batch
+    emits a Finalize snapshot.
+
+    Faithful-mode semantics preserved (SURVEY.md §8): NULLs don't
+    count, a key whose rows were all NULL yields SQL NULL (not "0"),
+    and the count is returned as a decimal STRING.
+
+    Scale note: state is O(distinct values) per key — exactly the
+    reference's memory model (`/root/reference/README.md:10-12`).
+    Like the reference, this is for moderate per-key cardinalities;
+    beyond that, swap the state for an HLL sketch (the
+    approx_distinct tier)."""
+
+    def fn(key, pdfs, state):
+        seen = set(state.get()[0]) if state.exists else set()
+        for pdf in pdfs:
+            vals = pdf["user_id"].dropna()
+            # str() per value: byte-equality semantics on the string
+            # form, matching the reference's STRING-only input
+            seen.update(str(int(v)) for v in vals)
+        state.update((list(seen),))
+        count = str(len(seen)) if seen else None
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "hashset_count": [count]}
+        )
+
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DISTINCT_OUTPUT_SCHEMA,
+            stateStructType=DISTINCT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def foreach_batch_parquet_sink(
     stream_df: DataFrame, path: str, checkpoint: str
 ):

@@ -112,6 +112,50 @@ def test_stateful_sessionization_matches_islands(spark, sf_small):
     assert got == expect
 
 
+def test_hashset_count_stateful_matches_batch(spark, sf_small):
+    """The reference UDA's streaming face: after draining the stream,
+    the last emitted snapshot per key must equal the batch
+    count_distinct, with faithful string-typed output."""
+    from impala_hashset_count_spark.streaming.windows import hashset_count_stateful
+
+    ev = events_stream(spark, sf_small)
+    out = run_to_memory(hashset_count_stateful(ev), "t_hashset_state", "update")
+    # update-mode memory sink: the final snapshot per key is the max
+    # (counts are monotone non-decreasing across micro-batches)
+    got = {
+        r["event_type"]: r["m"]
+        for r in out.groupBy("event_type")
+        .agg(F.max(F.col("hashset_count").cast("int")).alias("m"))
+        .collect()
+    }
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+    )
+    expect = {r["event_type"]: r["n"] for r in batch.collect()}
+    assert got == expect
+
+
+def test_hashset_count_stateful_null_semantics(spark, tmp_path):
+    """All-NULL key -> SQL NULL (not '0'), matching SURVEY.md §8 and
+    the reference's empty-set Finalize
+    (/root/reference/hashset-count.cc:507-510)."""
+    from impala_hashset_count_spark.streaming.windows import hashset_count_stateful
+
+    src = str(tmp_path / "null_src")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "b", None), (4, "b", None)],
+        "event_id bigint, event_type string, user_id bigint",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, event_type string, user_id bigint"
+    ).parquet(src)
+    out = run_to_memory(hashset_count_stateful(stream), "t_hashset_null", "update")
+    got = {r["event_type"]: r["hashset_count"] for r in out.collect()}
+    assert got == {"a": "1", "b": None}
+
+
 def test_watermark_drops_late_data_across_microbatches(spark, tmp_path):
     """Two REAL micro-batches through the file source: an event arriving
     in batch 2 but older than the watermark established by batch 1 must

@@ -1,5 +1,6 @@
 from .analytics import cohort_retention
 from .asof import asof_join
+from .decontaminate import contamination_stats, decontaminate, eval_shingle_index
 from .dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
@@ -29,6 +30,9 @@ __all__ = [
     "bucketed_table",
     "chunk_documents",
     "cohort_retention",
+    "contamination_stats",
+    "decontaminate",
+    "eval_shingle_index",
     "embedding_near_dup_pairs",
     "exact_dedup",
     "hashset_count_agg",

@@ -1,0 +1,131 @@
+"""Eval-set decontamination: flag / remove corpus documents that
+overlap a benchmark (eval) set by exact word-n-gram collision.
+
+Distinct from dedup: dedup compares the corpus against ITSELF
+(symmetric, similarity-thresholded); decontamination compares it
+against a small external eval set (asymmetric, any overlap is a hit —
+the standard n-gram decontamination used for LLM training corpora,
+e.g. 8-13-gram collision against benchmark questions/answers).
+
+Scale design (the part that matters at 100 TB):
+
+- The eval side is SMALL by construction (benchmarks are MBs). Its
+  distinct-shingle index is explicitly ``broadcast()`` — the corpus is
+  NEVER shuffled to meet it (BroadcastHashJoin, map-side,
+  plan-asserted in tests/test_plans.py).
+- The only aggregation is over the HITS (rare by construction), so the
+  one shuffle in ``contamination_stats`` moves O(contaminated
+  shingles) rows, not O(corpus).
+- ``decontaminate`` removes docs via a broadcast LEFT ANTI join on the
+  contaminated-id set — zero corpus shuffle end to end.
+
+Shingles are built on ``normalize_text`` (lowercase, punctuation
+stripped, whitespace collapsed) so cosmetic formatting differences
+between a corpus copy and the benchmark original still collide — the
+same canonicalization the exact-dedup fingerprint uses.
+
+The reference has no analogue (it is a single aggregate —
+/root/reference/hashset-count.cc); this operator belongs to the
+repo's LLM-pipeline extension surface (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text
+
+
+def _norm_shingles(text_col: str | Column, n: int) -> Column:
+    """Distinct word n-grams of the NORMALIZED text; < n tokens (or
+    blank after normalization) yields an empty array (the same
+    descending-sequence guard as functions.text.word_shingles)."""
+    norm = normalize_text(text_col)
+    toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def eval_shingle_index(
+    eval_df: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct normalized n-grams of the eval set — the broadcast
+    side. One tiny input => one tiny index; the ``distinct()`` runs on
+    the eval set's own partitions, never touching the corpus."""
+    return (
+        eval_df.select(F.explode(_norm_shingles(text_col, n)).alias("sh"))
+        .distinct()
+    )
+
+
+def contamination_stats(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination audit: ``(id, n_shingles, n_hits,
+    contamination_ratio, contaminated)``.
+
+    ``n_hits`` counts the doc's DISTINCT shingles that appear anywhere
+    in the eval set; ``contaminated`` is any-hit (the standard
+    decontamination policy — a single 8-gram collision with a benchmark
+    is disqualifying). Docs too short to form a shingle have
+    ratio 0.0, not NULL (ANSI-safe: the division is guarded)."""
+    idx = eval_shingle_index(eval_df, eval_text_col, n)
+    shs = docs.select(F.col(id_col), _norm_shingles(text_col, n).alias("__shs"))
+    base = shs.select(F.col(id_col), F.size("__shs").alias("n_shingles"))
+    hits = (
+        shs.select(F.col(id_col), F.explode("__shs").alias("sh"))
+        .join(F.broadcast(idx), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    # hits is O(contaminated docs) — small by construction, so the
+    # join-back to the full corpus is broadcast too (no corpus shuffle)
+    return (
+        base.join(F.broadcast(hits), id_col, "left")
+        .fillna(0, ["n_hits"])
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_hits",
+            F.round(
+                F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_hits") / F.col("n_shingles")
+                ),
+                4,
+            ).alias("contamination_ratio"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The corpus minus every document sharing >= 1 normalized n-gram
+    with the eval set. Broadcast LEFT ANTI on the contaminated-id set:
+    the corpus is filtered in place, never shuffled."""
+    idx = eval_shingle_index(eval_df, eval_text_col, n)
+    contaminated_ids = (
+        docs.select(F.col(id_col), F.explode(_norm_shingles(text_col, n)).alias("sh"))
+        .join(F.broadcast(idx), "sh")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(F.broadcast(contaminated_ids), id_col, "left_anti")

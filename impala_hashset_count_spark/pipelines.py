@@ -39,6 +39,7 @@ from .functions.text import (
     redact_pii,
     token_count,
 )
+from .operators.decontaminate import decontaminate
 from .operators.dedup import exact_dedup, near_dup_dedup
 from .operators.packing import chunk_documents, pack_sequences_greedy
 from .sources.tables import load_table, write_clustered
@@ -54,6 +55,8 @@ def curate_corpus(
     n_files: int | None = None,
     near_dup_threshold: float | None = None,
     scrub_pii: bool = False,
+    eval_df: DataFrame | None = None,
+    decontaminate_ngram: int = 8,
 ) -> dict:
     """Run the full curation flow over ``{sf_dir}/documents.parquet``
     and write packed training sequences to ``out_dir``.
@@ -67,8 +70,15 @@ def curate_corpus(
     (``functions.text.redact_pii``) after the quality filter and before
     chunking, so no PII reaches the written training sequences.
 
+    ``eval_df`` (a DataFrame with a ``text`` column) enables eval-set
+    decontamination after dedup: any document sharing a normalized
+    ``decontaminate_ngram``-gram with the eval set is dropped
+    (``operators.decontaminate``, broadcast anti-join — no corpus
+    shuffle).
+
     Returns a stats dict: ``n_docs`` (input), ``n_after_dedup``,
-    ``n_after_near_dedup`` (None when disabled), ``n_after_quality``,
+    ``n_after_near_dedup`` (None when disabled),
+    ``n_after_decontaminate`` (None when disabled), ``n_after_quality``,
     ``n_chunks``, ``n_bins`` (packed bins across all languages),
     ``max_bin_tokens`` (must be <= pack_budget when every chunk fits
     the budget, which chunk_tokens <= pack_budget guarantees)."""
@@ -85,6 +95,12 @@ def curate_corpus(
             deduped, "doc_id", "text", threshold=near_dup_threshold
         )
         n_after_near_dedup = deduped.count()
+    n_after_decontaminate = None
+    if eval_df is not None:
+        deduped = decontaminate(
+            deduped, eval_df, "doc_id", "text", n=decontaminate_ngram
+        )
+        n_after_decontaminate = deduped.count()
     kept = deduped.filter(quality_score("text") >= min_quality).select(
         "doc_id", "lang", "text"
     )
@@ -126,6 +142,7 @@ def curate_corpus(
         "n_docs": n_docs,
         "n_after_dedup": n_after_dedup,
         "n_after_near_dedup": n_after_near_dedup,
+        "n_after_decontaminate": n_after_decontaminate,
         "n_after_quality": n_after_quality,
         "n_chunks": written.count(),
         "n_bins": int(bin_stats["n_bins"]),

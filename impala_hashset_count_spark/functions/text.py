@@ -233,6 +233,20 @@ def dup_line_ratio(col: str | Column) -> Column:
     return F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines)
 
 
+def dup_ngram_ratio(col: str | Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram —
+    the Gopher-style duplicate-n-gram filter (templated/spun text
+    repeats phrases; prose rarely does). 0.0 when the text has < n+1
+    tokens (0 or 1 n-grams cannot repeat). Pure array math on one row:
+    1 - distinct/total over the shingle array.
+    Mirror: positional n-gram list in DuckDB, 1 -
+    LEN(LIST_DISTINCT(g))/LEN(g) with the same short-input guard."""
+    g = word_shingles(col, n)
+    return F.when(F.size(g) <= 1, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
+    )
+
+
 def top_token_ratio(col: str | Column) -> Column:
     """Fraction of tokens equal to the single most frequent token —
     high values flag degenerate/repetitive text (keyword stuffing,

@@ -22,6 +22,7 @@ from ..functions.text import (
     avg_word_len,
     bpe_ish_token_count,
     dup_line_ratio,
+    dup_ngram_ratio,
     fingerprint_md5,
     pii_counts,
     predict_lang,
@@ -85,6 +86,10 @@ def _text_analysis_oracle() -> str:
         "LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(toks), "
         "t -> LEN(LIST_FILTER(toks, x -> x = t))))"
     )
+    trigrams = (
+        "LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0)), "
+        "i -> CONCAT(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+    )
     return rf"""
         WITH t AS (
             SELECT doc_id, lang, text,
@@ -115,7 +120,11 @@ def _text_analysis_oracle() -> str:
                {pii},
                ROUND(1.0 - LEN(LIST_DISTINCT({lines})) * 1.0
                      / LEN({lines}), 4) AS dup_line_ratio,
-               ROUND({top_freq} * 1.0 / LEN(toks), 4) AS top_token_ratio
+               ROUND({top_freq} * 1.0 / LEN(toks), 4) AS top_token_ratio,
+               CASE WHEN LEN({trigrams}) <= 1 THEN 0.0
+                    ELSE ROUND(1.0 - LEN(LIST_DISTINCT({trigrams})) * 1.0
+                               / LEN({trigrams}), 4)
+               END AS dup_ngram_ratio
         FROM t
     """
 
@@ -158,6 +167,7 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         *(c.alias(f"pii_{k}") for k, c in pii_counts("text").items()),
         F.round(dup_line_ratio("text"), 4).alias("dup_line_ratio"),
         F.round(top_token_ratio("text"), 4).alias("top_token_ratio"),
+        F.round(dup_ngram_ratio("text", 3), 4).alias("dup_ngram_ratio"),
     )
 
 

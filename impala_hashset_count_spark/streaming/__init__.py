@@ -1,8 +1,11 @@
 from .windows import (
     events_stream,
+    foreach_batch_parquet_sink,
+    hashset_count_stateful,
     run_to_memory,
     sessionize_stateful,
     stream_dedup_within_watermark,
+    stream_interval_join,
     stream_session_windows,
     stream_sliding_counts,
     stream_tumbling_counts,
@@ -10,9 +13,12 @@ from .windows import (
 
 __all__ = [
     "events_stream",
+    "foreach_batch_parquet_sink",
+    "hashset_count_stateful",
     "run_to_memory",
     "sessionize_stateful",
     "stream_dedup_within_watermark",
+    "stream_interval_join",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_tumbling_counts",

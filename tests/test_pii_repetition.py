@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from impala_hashset_count_spark.functions.text import (
     PII_PATTERNS,
     dup_line_ratio,
+    dup_ngram_ratio,
     pii_counts,
     redact_pii,
     top_token_ratio,
@@ -102,6 +103,24 @@ def test_dup_line_ratio(spark):
     assert got[1] == 0.25
     assert got[2] == 0.0
     assert got[3] == 0.75
+
+
+def test_dup_ngram_ratio(spark):
+    rows = [
+        (1, "the cat sat the cat sat the cat sat"),  # 7 trigrams, 3 distinct
+        (2, "every word here appears exactly once total"),
+        (3, "too short"),                             # < n tokens -> 0.0
+        (4, "a b c"),                                 # exactly one trigram -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: round(r["r"], 4)
+        for r in df.select("id", dup_ngram_ratio("text", 3).alias("r")).collect()
+    }
+    assert got[1] == round(1 - 3 / 7, 4)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
 
 
 def test_top_token_ratio(spark):

@@ -149,6 +149,19 @@ def dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distinct_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type running exact distinct users — the batch twin of
+    ``streaming.windows.hashset_count_stateful`` with the reference's
+    faithful semantics (string count, NULL — not "0" — when every
+    user_id in the group is NULL; /root/reference/hashset-count.cc:507-510)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.when(F.count("user_id") == 0, F.lit(None).cast("string"))
+        .otherwise(F.count_distinct("user_id").cast("string"))
+        .alias("hashset_count")
+    )
+
+
 @register(
     "streaming_state_batch",
     oracle="""
@@ -165,14 +178,16 @@ def dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS VARCHAR) AS event_type,
                CAST(NULL AS BIGINT) AS first_event_id,
                CAST(SUM(is_new) AS BIGINT) AS n_sessions,
-               COUNT(*) AS n_events
+               COUNT(*) AS n_events,
+               CAST(NULL AS VARCHAR) AS hashset_count
         FROM g
         GROUP BY user_id
         UNION ALL
         SELECT 'dedup' AS kind, user_id, event_type,
                event_id AS first_event_id,
                CAST(NULL AS BIGINT) AS n_sessions,
-               CAST(NULL AS BIGINT) AS n_events
+               CAST(NULL AS BIGINT) AS n_events,
+               CAST(NULL AS VARCHAR) AS hashset_count
         FROM (
             SELECT user_id, event_type, event_id,
                    ROW_NUMBER() OVER (
@@ -181,15 +196,28 @@ def dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ) AS rn
             FROM events
         ) WHERE rn = 1
+        UNION ALL
+        SELECT 'distinct' AS kind, CAST(NULL AS BIGINT) AS user_id,
+               event_type,
+               CAST(NULL AS BIGINT) AS first_event_id,
+               CAST(NULL AS BIGINT) AS n_sessions,
+               CAST(NULL AS BIGINT) AS n_events,
+               CASE WHEN COUNT(user_id) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT user_id) AS VARCHAR)
+               END AS hashset_count
+        FROM events
+        GROUP BY event_type
     """,
 )
 def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two stateful-streaming batch twins in one tagged result:
-    gap-based sessionization (``sessionize_batch``) and
-    first-event-per-key dedup (``dedup_batch``,
-    dropDuplicatesWithinWatermark's deterministic twin). Both branches
-    shuffle once on the user key; tests/test_streaming.py asserts the
-    live readStream pipelines equal the underlying plans."""
+    """The three stateful-streaming batch twins in one tagged result:
+    gap-based sessionization (``sessionize_batch``), first-event-per-key
+    dedup (``dedup_batch``, dropDuplicatesWithinWatermark's
+    deterministic twin), and the reference UDA's streaming face —
+    running exact distinct users per event_type with faithful
+    string/NULL semantics (``streaming.windows.hashset_count_stateful``;
+    SURVEY.md §8). tests/test_streaming.py asserts the live readStream
+    pipelines equal the underlying plans."""
     sess = sessionize_batch(spark, sf_dir).select(
         F.lit("sessionize").alias("kind"),
         "user_id",
@@ -197,6 +225,7 @@ def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("first_event_id"),
         F.col("n_sessions").cast("long").alias("n_sessions"),
         "n_events",
+        F.lit(None).cast("string").alias("hashset_count"),
     )
     ded = dedup_batch(spark, sf_dir).select(
         F.lit("dedup").alias("kind"),
@@ -205,8 +234,18 @@ def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_event_id",
         F.lit(None).cast("long").alias("n_sessions"),
         F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("string").alias("hashset_count"),
     )
-    return sess.union(ded)
+    dist = distinct_batch(spark, sf_dir).select(
+        F.lit("distinct").alias("kind"),
+        F.lit(None).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(None).cast("long").alias("first_event_id"),
+        F.lit(None).cast("long").alias("n_sessions"),
+        F.lit(None).cast("long").alias("n_events"),
+        "hashset_count",
+    )
+    return sess.union(ded).union(dist)
 
 
 @register(

@@ -128,12 +128,10 @@ def test_hashset_count_stateful_matches_batch(spark, sf_small):
         .agg(F.max(F.col("hashset_count").cast("int")).alias("m"))
         .collect()
     }
-    batch = (
-        load_table(spark, sf_small, "events")
-        .groupBy("event_type")
-        .agg(F.count_distinct("user_id").alias("n"))
-    )
-    expect = {r["event_type"]: r["n"] for r in batch.collect()}
+    from impala_hashset_count_spark.plans.streaming_batch import distinct_batch
+
+    batch = distinct_batch(spark, sf_small)
+    expect = {r["event_type"]: int(r["hashset_count"]) for r in batch.collect()}
     assert got == expect
 
 

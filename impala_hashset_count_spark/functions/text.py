@@ -42,13 +42,20 @@ def tokens(col: str | Column) -> Column:
     return F.split(F.trim(_c(col)), WS_SPLIT)
 
 
-def token_count(col: str | Column) -> Column:
+def token_count(col: str | Column, toks: Column | None = None) -> Column:
     """Whitespace token count; 0 for empty/blank strings.
-    Mirror: CASE WHEN TRIM(x)='' THEN 0 ELSE LEN(STRING_SPLIT_REGEX(...)) END."""
+    Mirror: CASE WHEN TRIM(x)='' THEN 0 ELSE LEN(STRING_SPLIT_REGEX(...)) END.
+
+    ``toks`` (here and in every tokenized metric below): optionally pass
+    a pre-materialized ``tokens(col)`` column. When one projection
+    computes many tokenized metrics, materializing the token array ONCE
+    in a preceding select keeps the final projection's expression tree
+    small — inlining the split into a dozen codegen-fallback
+    higher-order functions re-tokenizes per metric per row and (measured
+    at sf0.1) collapses the whole stage out of codegen, ~20x slower."""
     c = _c(col)
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
-        F.size(tokens(c))
-    )
+    t = tokens(c) if toks is None else toks
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(t))
 
 
 def bpe_ish_token_count(col: str | Column) -> Column:
@@ -58,14 +65,16 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH), F.lit(0)))
 
 
-def word_shingles(col: str | Column, n: int = 3) -> Column:
+def word_shingles(
+    col: str | Column, n: int = 3, toks: Column | None = None
+) -> Column:
     """Array of word n-grams (the dedup shingle unit); inputs with < n
     tokens yield an EMPTY array. The explicit emptiness guard matters:
     ``sequence(1, 0)`` is DESCENDING in Spark ([1, 0]), so the
     greatest(...,0) upper bound alone would emit starts 1 and 0 —
     a duplicate first shingle plus an invalid slice(_, 0, n).
     Mirror (DuckDB): positional self-join of unnested tokens."""
-    t = tokens(col)
+    t = tokens(col) if toks is None else toks
     starts = F.when(
         F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -89,19 +98,27 @@ def punct_ratio(col: str | Column) -> Column:
     return F.length(F.regexp_replace(c, "[^.!?,;:]", "")) / F.length(c)
 
 
-def stopword_ratio(col: str | Column, stopwords: tuple[str, ...]) -> Column:
+def stopword_ratio(
+    col: str | Column,
+    stopwords: tuple[str, ...],
+    toks: Column | None = None,
+    hits: Column | None = None,
+) -> Column:
     """Fraction of tokens that are stopwords (token instances, not
-    distinct). Mirror: LEN(LIST_FILTER(toks, t -> t IN (...)))/LEN(toks)."""
-    t = tokens(col)
-    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    distinct). Mirror: LEN(LIST_FILTER(toks, t -> t IN (...)))/LEN(toks).
+    ``hits`` optionally reuses a pre-materialized stopword-hit count."""
+    t = tokens(col) if toks is None else toks
+    if hits is None:
+        hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
     return hits / F.size(t)
 
 
-def avg_word_len(col: str | Column) -> Column:
+def avg_word_len(col: str | Column, toks: Column | None = None) -> Column:
     """Mean token length. Mirror: LEN(REGEXP_REPLACE(x,'\\s','','g')) * 1.0
     / LEN(STRING_SPLIT_REGEX(TRIM(x),'\\s+'))."""
     c = _c(col)
-    return F.length(F.regexp_replace(c, r"\s", "")) / F.size(tokens(c))
+    t = tokens(c) if toks is None else toks
+    return F.length(F.regexp_replace(c, r"\s", "")) / F.size(t)
 
 
 #: English-ish stopwords used by the quality score (mirrored verbatim
@@ -109,13 +126,19 @@ def avg_word_len(col: str | Column) -> Column:
 QUALITY_STOPWORDS = ("a", "and", "in", "is", "of", "on", "the", "to")
 
 
-def quality_score(col: str | Column) -> Column:
+def quality_score(
+    col: str | Column,
+    toks: Column | None = None,
+    stop_hits: Column | None = None,
+    punct: Column | None = None,
+) -> Column:
     """Composite document-quality heuristic in [0,1]: rewards stopword
     presence (natural prose) and penalizes punctuation soup. The exact
     formula is arbitrary but FROZEN — the oracle mirrors it term by
     term."""
-    stop = stopword_ratio(col, QUALITY_STOPWORDS)
-    return F.least(F.lit(1.0), stop * 2) * 0.5 + (1 - punct_ratio(col)) * 0.5
+    stop = stopword_ratio(col, QUALITY_STOPWORDS, toks=toks, hits=stop_hits)
+    p = punct_ratio(col) if punct is None else punct
+    return F.least(F.lit(1.0), stop * 2) * 0.5 + (1 - p) * 0.5
 
 
 #: Marker-token lists for the n-gram/stopword language-ID heuristic.
@@ -132,19 +155,24 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 LANG_PRIORITY = ("en", "de", "fr", "es", "zh")
 
 
-def lang_scores(col: str | Column) -> dict[str, Column]:
+def lang_scores(col: str | Column, toks: Column | None = None) -> dict[str, Column]:
     """Marker-occurrence count per language (token instances)."""
-    t = tokens(col)
+    t = tokens(col) if toks is None else toks
     return {
         lang: F.size(F.filter(t, lambda x: x.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
     }
 
 
-def predict_lang(col: str | Column) -> Column:
+def predict_lang(
+    col: str | Column, scores: dict[str, Column] | None = None
+) -> Column:
     """Argmax of marker scores with fixed priority tie-break; 'und'
-    when no marker occurs at all."""
-    scores = lang_scores(col)
+    when no marker occurs at all. ``scores`` optionally reuses
+    pre-materialized ``lang_scores`` columns (each score is referenced
+    twice here — materializing keeps the CASE tree attribute-cheap)."""
+    if scores is None:
+        scores = lang_scores(col)
     best = F.greatest(*scores.values())
     expr = F.lit("und")
     # Build CASE from lowest to highest priority so the highest-priority
@@ -168,12 +196,25 @@ def rolling_hashes(col: str | Column, window: int = 8) -> Column:
     return F.transform(char_shingles(col, window), lambda s: F.xxhash64(s))
 
 
-def winnowing_fingerprint(col: str | Column, window: int = 8, stride: int = 4) -> Column:
+def winnowing_fingerprint(
+    col: str | Column,
+    window: int = 8,
+    stride: int = 4,
+    hashes: Column | None = None,
+) -> Column:
     """Winnowing-style local fingerprint: min rolling hash per stride
     block (a compact array signature robust to small edits). Inputs
     shorter than ``window`` yield an EMPTY array (descending-sequence
-    guard: sequence(0, -1) is [0, -1], which would emit null blocks)."""
-    hashes = rolling_hashes(col, window)
+    guard: sequence(0, -1) is [0, -1], which would emit null blocks).
+
+    ``hashes``: optionally pass a pre-materialized
+    ``rolling_hashes(col, window)`` column. The hash array is referenced
+    once per block by the outer transform's lambda; if it is an inline
+    expression rather than an attribute, every block recomputes the
+    ENTIRE rolling-hash array — O(chars x blocks) per row instead of
+    O(chars), measured as a 40x slowdown on the text-analysis pass."""
+    if hashes is None:
+        hashes = rolling_hashes(col, window)
     n_blocks = F.ceil(F.size(hashes) / F.lit(stride)).cast("int")
     blocks = F.when(
         n_blocks > 0, F.sequence(F.lit(0), n_blocks - 1)
@@ -233,28 +274,33 @@ def dup_line_ratio(col: str | Column) -> Column:
     return F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines)
 
 
-def dup_ngram_ratio(col: str | Column, n: int = 3) -> Column:
+def dup_ngram_ratio(
+    col: str | Column, n: int = 3, shingles: Column | None = None
+) -> Column:
     """Fraction of word n-grams that are repeats of an earlier n-gram —
     the Gopher-style duplicate-n-gram filter (templated/spun text
     repeats phrases; prose rarely does). 0.0 when the text has < n+1
     tokens (0 or 1 n-grams cannot repeat). Pure array math on one row:
     1 - distinct/total over the shingle array.
     Mirror: positional n-gram list in DuckDB, 1 -
-    LEN(LIST_DISTINCT(g))/LEN(g) with the same short-input guard."""
-    g = word_shingles(col, n)
+    LEN(LIST_DISTINCT(g))/LEN(g) with the same short-input guard.
+    ``shingles`` optionally reuses a pre-materialized
+    ``word_shingles(col, n)`` column."""
+    g = word_shingles(col, n) if shingles is None else shingles
     return F.when(F.size(g) <= 1, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
     )
 
 
-def top_token_ratio(col: str | Column) -> Column:
+def top_token_ratio(col: str | Column, toks: Column | None = None) -> Column:
     """Fraction of tokens equal to the single most frequent token —
     high values flag degenerate/repetitive text (keyword stuffing,
     filler loops). Computed as the longest equal-run over the SORTED
     token array via one ``aggregate`` HOF: O(n log n) per row, no
     shuffle, no per-distinct rescan. NULL (propagated) on empty
     input."""
-    t = F.array_sort(tokens(col))
+    t0 = tokens(col) if toks is None else toks
+    t = F.array_sort(t0)
     run = F.aggregate(
         t,
         F.struct(
@@ -272,4 +318,4 @@ def top_token_ratio(col: str | Column) -> Column:
         ),
         lambda acc: acc.best,
     )
-    return run / F.size(t)
+    return run / F.size(t0)

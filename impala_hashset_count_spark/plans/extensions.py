@@ -131,25 +131,70 @@ def _text_analysis_oracle() -> str:
 
 @register("text_analysis_documents", oracle=_text_analysis_oracle())
 def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole per-document text-analysis family in ONE projection
-    pass: token counting (whitespace + BPE-ish estimate), quality
-    heuristics (punctuation/stopword/word-length/composite), marker-token
-    language ID, md5 fingerprint of the normalized text, and the scalar
-    string surface (upper/substring/contains/replace). All codegen'd
-    column math — one scan, zero shuffle, and at 100 TB the single pass
-    is precisely how a curation pipeline should compute these (N
-    separate per-metric scans would read the corpus N times)."""
+    """The whole per-document text-analysis family in ONE scan pass:
+    token counting (whitespace + BPE-ish estimate), quality heuristics
+    (punctuation/stopword/word-length/composite), marker-token language
+    ID, md5 fingerprint of the normalized text, the scalar string
+    surface (upper/substring/contains/replace), per-kind PII audit
+    counts, and Gopher-style repetition ratios. One scan, zero shuffle;
+    at 100 TB the single pass is precisely how a curation pipeline
+    should compute these (N separate per-metric scans would read the
+    corpus N times).
+
+    The pass is STAGED into chained projections: stage 1 materializes
+    the token array once, stage 2 the multiply-referenced derived
+    columns (stopword hits, per-language marker scores, trigrams,
+    punctuation ratio). Catalyst's CollapseProject leaves multi-use
+    non-cheap aliases un-inlined, so each tokenized metric references
+    an attribute instead of re-tokenizing — without the staging, the
+    dozen codegen-fallback higher-order functions each re-split the
+    text per row and the stage drops out of codegen (measured ~20x
+    slower at sf0.1). Same values, same oracle."""
+    from ..functions.text import lang_scores, rolling_hashes, tokens, word_shingles
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    s1 = d.select("doc_id", "lang", "text", tokens("text").alias("__toks"))
+    toks = F.col("__toks")
+    s2 = s1.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
+        "lang",
+        "text",
+        "__toks",
+        F.size(
+            F.filter(toks, lambda x: x.isin(*QUALITY_STOPWORDS))
+        ).alias("__stop_hits"),
+        *(
+            sc.alias(f"__sc_{lang}")
+            for lang, sc in lang_scores("text", toks=toks).items()
+        ),
+        word_shingles("text", 3, toks=toks).alias("__tri"),
+        punct_ratio("text").alias("__punct"),
+        rolling_hashes("text", 8).alias("__rh"),
+    )
+    scores = {lang: F.col(f"__sc_{lang}") for lang in LANG_MARKERS}
+    return s2.select(
+        "doc_id",
+        token_count("text", toks=toks).alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_ish"),
         F.length("text").alias("n_chars"),
-        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
-        F.round(stopword_ratio("text", QUALITY_STOPWORDS), 4).alias("stop_ratio"),
-        F.round(avg_word_len("text"), 4).alias("avg_word_len"),
-        F.round(quality_score("text"), 4).alias("quality"),
-        predict_lang("text").alias("pred_lang"),
+        F.round(F.col("__punct"), 4).alias("punct_ratio"),
+        F.round(
+            stopword_ratio(
+                "text", QUALITY_STOPWORDS, toks=toks, hits=F.col("__stop_hits")
+            ),
+            4,
+        ).alias("stop_ratio"),
+        F.round(avg_word_len("text", toks=toks), 4).alias("avg_word_len"),
+        F.round(
+            quality_score(
+                "text",
+                toks=toks,
+                stop_hits=F.col("__stop_hits"),
+                punct=F.col("__punct"),
+            ),
+            4,
+        ).alias("quality"),
+        predict_lang("text", scores=scores).alias("pred_lang"),
         F.col("lang").alias("labeled_lang"),
         fingerprint_md5("text").alias("fp"),
         F.upper(F.substring("text", 1, 12)).alias("prefix_u"),
@@ -160,14 +205,18 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mirror (xxhash64 is Spark-specific), so the oracle checks the
         # winnowing BLOCK STRUCTURE (count) while the values are
         # covered by tests/test_text_functions.py.
-        F.size(winnowing_fingerprint("text", 8, 4)).alias("n_winnow_blocks"),
+        F.size(winnowing_fingerprint("text", 8, 4, hashes=F.col("__rh"))).alias(
+            "n_winnow_blocks"
+        ),
         # PII audit counts (Java regex == RE2 on these patterns,
         # asserted in tests/test_pii_repetition.py) and Gopher-style
-        # repetition signals — same single projection pass.
+        # repetition signals — same single scan pass.
         *(c.alias(f"pii_{k}") for k, c in pii_counts("text").items()),
         F.round(dup_line_ratio("text"), 4).alias("dup_line_ratio"),
-        F.round(top_token_ratio("text"), 4).alias("top_token_ratio"),
-        F.round(dup_ngram_ratio("text", 3), 4).alias("dup_ngram_ratio"),
+        F.round(top_token_ratio("text", toks=toks), 4).alias("top_token_ratio"),
+        F.round(dup_ngram_ratio("text", 3, shingles=F.col("__tri")), 4).alias(
+            "dup_ngram_ratio"
+        ),
     )
 
 

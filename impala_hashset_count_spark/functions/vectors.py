@@ -50,9 +50,20 @@ def cosine(a: str | Column, b: str | Column) -> Column:
 def l2_normalize(a: str | Column) -> Column:
     """Unit-length copy of the vector (as array<double>). Pre-normalizing
     once turns every later cosine into a plain dot product — the right
-    trade at scale (one pass now, cheaper pairwise math forever)."""
-    n = l2_norm(a)
-    return F.transform(_c(a), lambda x: x.cast("double") / n)
+    trade at scale (one pass now, cheaper pairwise math forever).
+
+    Shaped as ONE ``aggregate`` whose finish lambda receives the squared
+    norm as a lambda VARIABLE: placing ``l2_norm(a)`` inline inside the
+    per-element transform would re-reduce the whole vector per element —
+    O(d^2) per row (the HOF-inlining hazard documented at
+    ``text.winnowing_fingerprint``)."""
+    v = _c(a)
+    return F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        lambda ss: F.transform(v, lambda x: x.cast("double") / F.sqrt(ss)),
+    )
 
 
 # ---------------------------------------------------------------------
@@ -67,21 +78,42 @@ def quantize_int8(a: str | Column) -> Column:
     4x smaller than float32 at ~0.4% max per-component error — the
     standard storage/shuffle-bandwidth cut for a petabyte embedding
     store. Pure column math (no UDF); an all-zero vector gets
-    scale 0 and an all-zero q (dequantizes exactly)."""
+    scale 0 and an all-zero q (dequantizes exactly).
+
+    One ``aggregate`` whose finish lambda gets ``amax`` as a lambda
+    VARIABLE — an inline ``amax`` inside the per-element transform
+    would re-reduce the vector per element, O(d^2) per row."""
     v = _c(a)
-    amax = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    return F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        lambda amax: F.struct(
+            (amax / F.lit(127.0)).alias("scale"),
+            F.when(
+                amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+            )
+            .otherwise(
+                F.transform(
+                    v,
+                    lambda x: F.round(
+                        x.cast("double") / (amax / F.lit(127.0))
+                    ).cast("tinyint"),
+                )
+            )
+            .alias("q"),
+        ),
     )
-    scale = amax / F.lit(127.0)
-    q = F.when(amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
-        F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("tinyint"))
-    )
-    return F.struct(scale.alias("scale"), q.alias("q"))
 
 
 def dequantize_int8(qs: str | Column) -> Column:
     """Inverse of ``quantize_int8``: ``array<double>`` reconstruction
-    with per-component error <= scale/2 (= max|x|/254)."""
+    with per-component error <= scale/2 (= max|x|/254).
+
+    Pass a STORED struct column (the natural usage — quantize once,
+    store, dequantize on read): ``s`` is referenced per element, so an
+    inline ``quantize_int8(...)`` argument would be re-evaluated per
+    element."""
     s = _c(qs)
     return F.transform(s["q"], lambda x: x.cast("double") * s["scale"])
 

@@ -37,19 +37,39 @@ from pyspark.sql import functions as F
 from ..functions.text import normalize_text
 
 
-def _norm_shingles(text_col: str | Column, n: int) -> Column:
-    """Distinct word n-grams of the NORMALIZED text; < n tokens (or
-    blank after normalization) yields an empty array (the same
-    descending-sequence guard as functions.text.word_shingles)."""
+def _norm_tokens(text_col: str | Column) -> Column:
+    """Tokens of the NORMALIZED text; blank-after-normalization yields
+    an empty array."""
     norm = normalize_text(text_col)
-    toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
         F.split(norm, " ")
     )
+
+
+def _shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-grams from a token-array column; < n tokens
+    yields an empty array (the same descending-sequence guard as
+    functions.text.word_shingles). ``toks`` must be an ATTRIBUTE (a
+    materialized column), not an inline expression: it is referenced
+    inside the per-shingle lambda, and an inline normalize+split there
+    would be re-evaluated per shingle — O(tokens x chars) per row (the
+    HOF-inlining hazard documented at text.winnowing_fingerprint)."""
     starts = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def _shingled(
+    df: DataFrame, id_cols: list[str], text_col: str, n: int
+) -> DataFrame:
+    """(ids..., __shs) with the token array staged as its own projection
+    so the shingle lambda references an attribute."""
+    toks = df.select(*id_cols, _norm_tokens(text_col).alias("__toks"))
+    return toks.select(
+        *id_cols, _shingles_from_tokens(F.col("__toks"), n).alias("__shs")
     )
 
 
@@ -60,7 +80,8 @@ def eval_shingle_index(
     side. One tiny input => one tiny index; the ``distinct()`` runs on
     the eval set's own partitions, never touching the corpus."""
     return (
-        eval_df.select(F.explode(_norm_shingles(text_col, n)).alias("sh"))
+        _shingled(eval_df, [], text_col, n)
+        .select(F.explode("__shs").alias("sh"))
         .distinct()
     )
 
@@ -82,7 +103,7 @@ def contamination_stats(
     is disqualifying). Docs too short to form a shingle have
     ratio 0.0, not NULL (ANSI-safe: the division is guarded)."""
     idx = eval_shingle_index(eval_df, eval_text_col, n)
-    shs = docs.select(F.col(id_col), _norm_shingles(text_col, n).alias("__shs"))
+    shs = _shingled(docs, [id_col], text_col, n)
     base = shs.select(F.col(id_col), F.size("__shs").alias("n_shingles"))
     hits = (
         shs.select(F.col(id_col), F.explode("__shs").alias("sh"))
@@ -123,7 +144,8 @@ def decontaminate(
     the corpus is filtered in place, never shuffled."""
     idx = eval_shingle_index(eval_df, eval_text_col, n)
     contaminated_ids = (
-        docs.select(F.col(id_col), F.explode(_norm_shingles(text_col, n)).alias("sh"))
+        _shingled(docs, [id_col], text_col, n)
+        .select(F.col(id_col), F.explode("__shs").alias("sh"))
         .join(F.broadcast(idx), "sh")
         .select(id_col)
         .distinct()

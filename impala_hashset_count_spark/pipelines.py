@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import (
+    dup_line_ratio,
+    dup_ngram_ratio,
     fingerprint_md5,
     quality_score,
     redact_pii,
@@ -57,6 +59,8 @@ def curate_corpus(
     scrub_pii: bool = False,
     eval_df: DataFrame | None = None,
     decontaminate_ngram: int = 8,
+    max_dup_line_ratio: float | None = None,
+    max_dup_ngram_ratio: float | None = None,
 ) -> dict:
     """Run the full curation flow over ``{sf_dir}/documents.parquet``
     and write packed training sequences to ``out_dir``.
@@ -75,6 +79,11 @@ def curate_corpus(
     ``decontaminate_ngram``-gram with the eval set is dropped
     (``operators.decontaminate``, broadcast anti-join — no corpus
     shuffle).
+
+    ``max_dup_line_ratio`` / ``max_dup_ngram_ratio`` add the
+    Gopher-style repetition gates to the quality filter (docs above the
+    threshold are dropped); both fuse into the same filter stage as the
+    quality score — no extra pass.
 
     Returns a stats dict: ``n_docs`` (input), ``n_after_dedup``,
     ``n_after_near_dedup`` (None when disabled),
@@ -101,9 +110,12 @@ def curate_corpus(
             deduped, eval_df, "doc_id", "text", n=decontaminate_ngram
         )
         n_after_decontaminate = deduped.count()
-    kept = deduped.filter(quality_score("text") >= min_quality).select(
-        "doc_id", "lang", "text"
-    )
+    keep_cond = quality_score("text") >= min_quality
+    if max_dup_line_ratio is not None:
+        keep_cond = keep_cond & (dup_line_ratio("text") <= max_dup_line_ratio)
+    if max_dup_ngram_ratio is not None:
+        keep_cond = keep_cond & (dup_ngram_ratio("text") <= max_dup_ngram_ratio)
+    kept = deduped.filter(keep_cond).select("doc_id", "lang", "text")
     n_after_quality = kept.count()
     if scrub_pii:
         # scrub AFTER dedup/quality (cheaper: fewer rows) but BEFORE

@@ -129,7 +129,7 @@ def _text_analysis_oracle() -> str:
     """
 
 
-@register("text_analysis_documents", oracle=_text_analysis_oracle())
+@register("text_analysis_documents", oracle=_text_analysis_oracle(), headline=True)
 def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole per-document text-analysis family in ONE scan pass:
     token counting (whitespace + BPE-ish estimate), quality heuristics

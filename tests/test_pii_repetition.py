@@ -123,6 +123,32 @@ def test_dup_ngram_ratio(spark):
     assert got[4] == 0.0
 
 
+def test_curate_corpus_repetition_gates(spark, tmp_path):
+    """Planted repetitive docs are dropped by the Gopher-style gates
+    while normal prose survives."""
+    from impala_hashset_count_spark.pipelines import curate_corpus
+
+    prose = " ".join(f"word{i}" for i in range(40))
+    rows = [
+        (1, "en", prose),
+        (2, "en", "nav bar\n" * 20 + prose),            # dup lines
+        (3, "en", "the cat sat " * 20),                  # dup trigrams
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.parquet(
+        src + "/documents.parquet"
+    )
+    stats = curate_corpus(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        min_quality=0.0,
+        max_dup_line_ratio=0.3,
+        max_dup_ngram_ratio=0.3,
+    )
+    assert stats["n_after_quality"] == 1
+
+
 def test_top_token_ratio(spark):
     rows = [
         (1, "buy buy buy now buy"),     # 4/5 'buy'

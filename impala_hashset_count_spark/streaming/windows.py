@@ -156,7 +156,9 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap_s = gap_minutes * 60.0
 
     def fn(key, pdfs, state):
-        n_sessions, last_ts = state.get() if state.exists else (0, None)
+        # GroupState.get is a PROPERTY returning the state tuple —
+        # calling it raises only on batch 2+, when state first exists
+        n_sessions, last_ts = state.get if state.exists else (0, None)
         for pdf in pdfs:
             for t in pdf["ts"].sort_values():
                 t = t.timestamp()
@@ -204,7 +206,8 @@ def hashset_count_stateful(events: DataFrame) -> DataFrame:
     approx_distinct tier)."""
 
     def fn(key, pdfs, state):
-        seen = set(state.get()[0]) if state.exists else set()
+        # state.get is a property (see sessionize fn above)
+        seen = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
             vals = pdf["user_id"].dropna()
             # str() per value: byte-equality semantics on the string

@@ -135,6 +135,87 @@ def test_hashset_count_stateful_matches_batch(spark, sf_small):
     assert got == expect
 
 
+def test_hashset_count_stateful_across_microbatches(spark, tmp_path):
+    """Two REAL micro-batches: the set state must persist across the
+    batch boundary and merge (the streaming analogue of the reference's
+    serialize -> merge hop, /root/reference/hashset-count.cc:195-461):
+    batch 1 {u1,u2}, batch 2 {u2,u3} -> 3 distinct, not 2."""
+    from impala_hashset_count_spark.streaming.windows import hashset_count_stateful
+
+    src = str(tmp_path / "mb_src")
+    schema = "event_id bigint, event_type string, user_id bigint"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch([(1, "a", 101), (2, "a", 102)])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        hashset_count_stateful(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_hashset_mb")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([(3, "a", 102), (4, "a", 103)])
+        q.processAllAvailable()
+        snaps = [
+            r["hashset_count"]
+            for r in spark.table("t_hashset_mb").collect()
+        ]
+    finally:
+        q.stop()
+    # update-mode sink keeps one snapshot per batch; the last is the
+    # merged state ("3"), and an intermediate "2" proves two batches ran
+    assert "3" in snaps and "2" in snaps
+
+
+def test_sessionize_stateful_across_microbatches(spark, tmp_path):
+    """Two real micro-batches through the custom sessionizer: an event
+    in batch 2 within the gap of batch 1's last event must NOT open a
+    new session, one beyond the gap must. (Guards the GroupState.get
+    property access, which only runs when state pre-exists.)"""
+    import datetime as dt
+
+    from impala_hashset_count_spark.streaming.windows import sessionize_stateful
+
+    src = str(tmp_path / "sess_src")
+    schema = "user_id bigint, ts timestamp"
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch([(1, t(1, 0)), (1, t(1, 10))])  # one session so far
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_sess_mb")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # 01:20 continues the session (gap 10 min < 30); 03:00 opens #2
+        write_batch([(1, t(1, 20)), (1, t(3, 0))])
+        q.processAllAvailable()
+        snaps = [r["n_sessions"] for r in spark.table("t_sess_mb").collect()]
+    finally:
+        q.stop()
+    assert snaps[-1] == 2 and snaps[0] == 1
+
+
 def test_hashset_count_stateful_null_semantics(spark, tmp_path):
     """All-NULL key -> SQL NULL (not '0'), matching SURVEY.md §8 and
     the reference's empty-set Finalize

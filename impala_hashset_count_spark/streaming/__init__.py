@@ -1,4 +1,5 @@
 from .windows import (
+    approx_distinct_stateful,
     events_stream,
     foreach_batch_parquet_sink,
     hashset_count_stateful,
@@ -12,6 +13,7 @@ from .windows import (
 )
 
 __all__ = [
+    "approx_distinct_stateful",
     "events_stream",
     "foreach_batch_parquet_sink",
     "hashset_count_stateful",

@@ -181,6 +181,65 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def _hll_rho(h: int, p: int) -> int:
+    """Position of the leftmost 1-bit in the (64-p)-bit suffix of h."""
+    w = (h << p) & ((1 << 64) - 1)
+    return (64 - p) + 1 if w == 0 else 64 - w.bit_length() + 1
+
+
+def approx_distinct_stateful(events: DataFrame, p: int = 12) -> DataFrame:
+    """The SCALE tier of ``hashset_count_stateful``: running approximate
+    distinct ``user_id`` per ``event_type`` with HyperLogLog register
+    state — O(2^p) ints per key FOREVER, vs the exact tier's
+    O(distinct) set. This is the streaming mirror of the batch
+    ``approx_count_distinct`` tier (the README's own recommendation for
+    "very large numbers", /root/reference/README.md:10), with the same
+    trade: ~1.04/sqrt(2^p) relative error (1.6% at p=12).
+
+    Registers merge by elementwise max — associative, commutative,
+    idempotent — so cross-batch accumulation is exact over the sketch,
+    just like the reference's set-union Merge. Hashing is md5-based and
+    engine-independent: restarts and replays produce identical
+    estimates."""
+    import hashlib
+    import math
+
+    m = 1 << p
+
+    def fn(key, pdfs, state):
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            for v in pdf["user_id"].dropna():
+                h = int.from_bytes(
+                    hashlib.md5(str(int(v)).encode()).digest()[:8], "big"
+                )
+                idx = h >> (64 - p)
+                r = _hll_rho(h, p)
+                if r > regs[idx]:
+                    regs[idx] = r
+        state.update((regs,))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / sum(2.0 ** -r for r in regs)
+        zeros = regs.count(0)
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)  # linear counting small-range fix
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "approx_distinct": [int(round(est))]}
+        )
+
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="event_type string, approx_distinct long",
+            stateStructType="regs array<int>",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 DISTINCT_STATE_SCHEMA = "seen array<string>"
 DISTINCT_OUTPUT_SCHEMA = "event_type string, hashset_count string"
 

@@ -123,6 +123,31 @@ def test_dup_ngram_ratio(spark):
     assert got[4] == 0.0
 
 
+def test_redact_pii_idempotent_and_ratios_bounded(spark, sf_small):
+    """redact(redact(x)) == redact(x) (the token contains nothing any
+    pattern can match), and every repetition ratio lands in [0, 1] —
+    checked over the whole real documents table."""
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_small, "documents")
+    twice_differs = d.select(
+        redact_pii("text").alias("once"),
+        redact_pii(redact_pii("text")).alias("twice"),
+    ).filter(F.col("once") != F.col("twice"))
+    assert twice_differs.count() == 0
+
+    bad = d.select(
+        dup_line_ratio("text").alias("a"),
+        dup_ngram_ratio("text", 3).alias("b"),
+        top_token_ratio("text").alias("c"),
+    ).filter(
+        ~F.col("a").between(0.0, 1.0)
+        | ~F.col("b").between(0.0, 1.0)
+        | ~F.col("c").between(0.0, 1.0)
+    )
+    assert bad.count() == 0
+
+
 def test_curate_corpus_repetition_gates(spark, tmp_path):
     """Planted repetitive docs are dropped by the Gopher-style gates
     while normal prose survives."""

@@ -176,6 +176,32 @@ def test_hashset_count_stateful_across_microbatches(spark, tmp_path):
     assert "3" in snaps and "2" in snaps
 
 
+def test_approx_distinct_stateful_error_bound(spark, sf_small):
+    """The bounded-state HLL tier must land within 5% of the exact
+    per-key distinct count (p=12 -> 1.6% expected rsd) after draining
+    the events stream."""
+    from impala_hashset_count_spark.streaming.windows import approx_distinct_stateful
+
+    ev = events_stream(spark, sf_small)
+    out = run_to_memory(approx_distinct_stateful(ev), "t_approx_state", "update")
+    got = {
+        r["event_type"]: r["m"]
+        for r in out.groupBy("event_type")
+        .agg(F.max("approx_distinct").alias("m"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(0.05 * n, 2), (k, got[k], n)
+
+
 def test_sessionize_stateful_across_microbatches(spark, tmp_path):
     """Two real micro-batches through the custom sessionizer: an event
     in batch 2 within the gap of batch 1's last event must NOT open a

@@ -4,6 +4,7 @@ from .decontaminate import contamination_stats, decontaminate, eval_shingle_inde
 from .dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
+    exact_dedup_incremental,
     minhash_lsh_pairs,
     near_dup_components,
     near_dup_dedup,
@@ -35,6 +36,7 @@ __all__ = [
     "eval_shingle_index",
     "embedding_near_dup_pairs",
     "exact_dedup",
+    "exact_dedup_incremental",
     "hashset_count_agg",
     "hashset_count_df",
     "hashset_count_rdd",

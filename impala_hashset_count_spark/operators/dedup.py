@@ -78,6 +78,28 @@ def exact_dedup(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    seen_keys: DataFrame,
+    cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Incremental exact dedup for a continuously-ingesting corpus:
+    dedup the NEW batch within itself (keep-lowest, as ``exact_dedup``),
+    then drop rows whose key already exists in ``seen_keys`` (the
+    historical key table, e.g. stored fingerprints of everything
+    ingested so far) via LEFT ANTI join.
+
+    Scale shape: the new batch is small relative to history, so both
+    the window and the anti-join shuffle only the batch — history is
+    shuffled once on its key (or not at all if ``seen_keys`` is stored
+    bucketed by the key, `operators.skew.bucketed_table`). This is the
+    standard "don't re-ingest what the corpus already has" pass; the
+    caller appends the survivors' keys to ``seen_keys`` afterwards."""
+    fresh = exact_dedup(new_df, cols, order_col)
+    return fresh.join(seen_keys.select(*cols).distinct(), cols, "left_anti")
+
+
 # ---------------------------------------------------------------------
 # 2. Exact n-gram Jaccard
 # ---------------------------------------------------------------------

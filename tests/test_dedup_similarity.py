@@ -22,6 +22,21 @@ def test_exact_dedup_deterministic(spark):
     assert sorted(r.id for r in out) == [2, 3, 5]
 
 
+def test_exact_dedup_incremental(spark):
+    """Within-batch dedup keeps the lowest order key; rows whose key
+    history already holds are dropped; genuinely new keys survive."""
+    from impala_hashset_count_spark.operators.dedup import exact_dedup_incremental
+
+    new = spark.createDataFrame(
+        [(10, "a", 3), (11, "a", 1), (12, "b", 2), (13, "d", 5)],
+        "id int, fp string, ord int",
+    )
+    seen = spark.createDataFrame([("a",), ("c",)], "fp string")
+    out = exact_dedup_incremental(new, seen, ["fp"], "ord").collect()
+    # 'a' exists in history (both new 'a' rows drop); 'b' and 'd' are new
+    assert sorted((r["fp"], r["id"]) for r in out) == [("b", 12), ("d", 13)]
+
+
 def test_minhash_matches_exact_jaccard(spark, sf_small):
     """LSH candidates + exact verification must recover the exact
     near-dup pairs (recall ~1 at j>=0.5 with 32x2 bands)."""

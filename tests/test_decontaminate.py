@@ -108,6 +108,21 @@ def test_decontaminate_plan_broadcasts_eval_index(spark, sf_small):
     assert "SortMergeJoin" not in plan
 
 
+def test_null_text_rows_are_harmless(spark):
+    """A NULL text yields zero shingles (never a crash or a spurious
+    hit) and survives decontamination untouched."""
+    d = spark.createDataFrame(
+        [(1, None), (2, "What is the capital of France? Paris is the capital of France.")],
+        "doc_id bigint, text string",
+    )
+    e = spark.createDataFrame(EVAL_ROWS, "eval_id bigint, text string")
+    stats = {r["doc_id"]: r.asDict() for r in contamination_stats(d, e, n=8).collect()}
+    assert stats[1]["n_shingles"] == 0 and not stats[1]["contaminated"]
+    assert stats[2]["contaminated"]
+    kept = [r["doc_id"] for r in decontaminate(d, e, n=8).collect()]
+    assert kept == [1]
+
+
 def test_eval_index_is_distinct_and_normalized(spark):
     e = spark.createDataFrame(
         [(1, "Alpha Beta GAMMA delta epsilon zeta eta theta!"),

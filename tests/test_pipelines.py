@@ -70,6 +70,39 @@ def test_curate_corpus_near_dup_tier(spark, sf_small, tmp_path):
     assert stats["max_bin_tokens"] <= 512
 
 
+def test_curate_corpus_all_options_compose(spark, sf_small, tmp_path):
+    """Every optional stage enabled at once (near-dup tier, eval-set
+    decontamination, repetition gates, PII scrub): the accounting chain
+    must be monotone non-increasing and the output contract intact."""
+    eval_df = spark.createDataFrame(
+        [(1, "What is the capital of France? Paris is the capital of France.")],
+        "eval_id bigint, text string",
+    )
+    stats = curate_corpus(
+        spark,
+        sf_small,
+        str(tmp_path / "all"),
+        min_quality=0.1,
+        near_dup_threshold=0.5,
+        eval_df=eval_df,
+        max_dup_line_ratio=0.9,
+        max_dup_ngram_ratio=0.9,
+        scrub_pii=True,
+    )
+    chain = [
+        stats["n_docs"],
+        stats["n_after_dedup"],
+        stats["n_after_near_dedup"],
+        stats["n_after_decontaminate"],
+        stats["n_after_quality"],
+    ]
+    assert all(a >= b for a, b in zip(chain, chain[1:])), chain
+    assert stats["n_after_quality"] > 0
+    written = spark.read.parquet(stats["out_dir"])
+    assert stats["n_chunks"] == written.count() > 0
+    assert stats["max_bin_tokens"] <= 512
+
+
 def test_corpus_token_histogram_covers_all_docs(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     hist = corpus_token_histogram(spark, sf_small, bucket=100).collect()

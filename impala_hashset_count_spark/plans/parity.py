@@ -984,22 +984,27 @@ def setops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(DAY(o_orderdate) AS INTEGER)     AS o_day,
                CAST(QUARTER(o_orderdate) AS INTEGER) AS o_quarter,
                CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS o_month_start,
-               CAST(NULL AS INTEGER) AS k_val
+               CAST(NULL AS INTEGER) AS k_val,
+               CAST(NULL AS INTEGER) AS m_size,
+               CAST(NULL AS VARCHAR) AS m_keys
         FROM orders
         UNION ALL
         SELECT 'json' AS kind, event_id AS id,
                CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
                CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
                CAST(NULL AS DATE),
-               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_val
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_val,
+               CAST(LEN(JSON_KEYS(props)) AS INTEGER) AS m_size,
+               ARRAY_TO_STRING(LIST_SORT(JSON_KEYS(props)), ',') AS m_keys
         FROM events
     """,
 )
 def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-part extraction over ``orders`` plus JSON path extraction
-    over ``events.props`` (string column), tagged into one result. Both
-    branches are pure codegen'd projections — one narrow scan each, no
-    shuffle. (The scalar STRING surface lives in
+    AND the MAP-column surface over ``events.props`` (string column
+    parsed to ``map<string,int>`` — size/map_keys/element_at), tagged
+    into one result. Both branches are pure codegen'd projections — one
+    narrow scan each, no shuffle. (The scalar STRING surface lives in
     ``text_analysis_documents``; the ARRAY surface in
     ``scalar_array_embeddings``.)"""
     o = _t(spark, sf_dir, "orders")
@@ -1013,7 +1018,10 @@ def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").alias("o_quarter"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("o_month_start"),
         F.lit(None).cast("int").alias("k_val"),
+        F.lit(None).cast("int").alias("m_size"),
+        F.lit(None).cast("string").alias("m_keys"),
     )
+    m = F.from_json("props", "map<string,int>")
     jsons = ev.select(
         F.lit("json").alias("kind"),
         F.col("event_id").alias("id"),
@@ -1022,7 +1030,11 @@ def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("o_day"),
         F.lit(None).cast("int").alias("o_quarter"),
         F.lit(None).cast("date").alias("o_month_start"),
-        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        # element_at on the parsed MAP (not a JSON path) — the map
+        # lookup surface; value equality with $.k is itself the check
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("m_size"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("m_keys"),
     )
     return dates.union(jsons)
 

@@ -1,4 +1,4 @@
-from .analytics import cohort_retention
+from .analytics import cohort_retention, gap_fill
 from .asof import asof_join
 from .decontaminate import contamination_stats, decontaminate, eval_shingle_index
 from .dedup import (
@@ -37,6 +37,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "exact_dedup",
     "exact_dedup_incremental",
+    "gap_fill",
     "hashset_count_agg",
     "hashset_count_df",
     "hashset_count_rdd",

@@ -1,4 +1,5 @@
-"""Event-analytics operators beyond the funnel: cohort retention.
+"""Event-analytics operators beyond the funnel: cohort retention and
+time-spine gap fill.
 
 Spark-first shape: one scan to stamp each user's cohort (first-activity
 period, a per-user min), one join back (broadcast-able — the cohort
@@ -56,4 +57,47 @@ def cohort_retention(
             "retention", F.round(F.col("n_active") / F.col("n_cohort"), 4)
         )
         .select("cohort", "period_offset", "n_active", "n_cohort", "retention")
+    )
+
+
+def gap_fill(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: str = "hour",
+) -> DataFrame:
+    """Complete time series per key: bucket counts resampled onto a
+    dense (key x period) spine between the GLOBAL min and max period,
+    with zero-filled gaps — the resample/asfreq step a metrics pipeline
+    needs before rate math or anomaly scoring (a missing bucket and a
+    zero bucket must be distinguishable from one another).
+
+    Returns (key, bucket: timestamp, n_events) sorted-stable by content
+    only. Fully declarative — bounds/spine/fill are all DataFrame ops:
+    one scan -> grouped counts (one shuffle); the 1-row min/max agg
+    cross-joins the distinct keys to EXPLODE the spine (spine size =
+    periods x keys, trivially small next to the events). The final fill
+    joins spine LEFT counts with the COUNTS broadcast — post-agg they
+    are at most spine-sized, and the preserved side of an outer join
+    cannot be the broadcast build side."""
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    counts = (
+        events.select(F.col(key_col).alias("key"), bucket.alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+    step = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY"}[unit]
+    bounds = counts.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.expr(f"sequence(lo, hi, {step})")).alias("bucket")
+        )
+        .crossJoin(counts.select("key").distinct())
+    )
+    return (
+        spine.join(F.broadcast(counts), ["key", "bucket"], "left")
+        .fillna(0, ["n_events"])
+        .select("key", "bucket", "n_events")
     )

@@ -52,3 +52,40 @@ def test_cohort_retention_invariants_on_events(spark, sf_small):
     assert sum(cohort_sizes.values()) == n_users
     # retention at any offset never exceeds cohort size (already checked
     # per-row); monotone decrease is NOT asserted — retention can rebound
+
+
+def test_gap_fill_known_answer(spark):
+    import datetime as dt
+
+    from impala_hashset_count_spark.operators.analytics import gap_fill
+
+    t = lambda h: dt.datetime(2024, 3, 1, h, 15)  # noqa: E731
+    rows = [
+        (1, "a", t(0)), (2, "a", t(0)), (3, "a", t(3)),   # a: gap at 1,2
+        (4, "b", t(1)),                                    # b: active hour 1 only
+    ]
+    ev = spark.createDataFrame(rows, "event_id bigint, event_type string, ts timestamp")
+    out = {
+        (r["key"], r["bucket"].hour): r["n_events"]
+        for r in gap_fill(ev, unit="hour").collect()
+    }
+    # dense spine: hours 0..3 for BOTH keys (global bounds), zeros filled
+    assert len(out) == 8
+    assert out[("a", 0)] == 2 and out[("a", 1)] == 0 and out[("a", 2)] == 0
+    assert out[("a", 3)] == 1
+    assert out[("b", 1)] == 1 and out[("b", 0)] == 0
+    assert out[("b", 2)] == 0 and out[("b", 3)] == 0
+
+
+def test_gap_fill_dense_and_consistent_on_events(spark, sf_small):
+    from impala_hashset_count_spark.operators.analytics import gap_fill
+
+    ev = load_table(spark, sf_small, "events")
+    out = gap_fill(ev, unit="day")
+    agg = out.groupBy("key").count().collect()
+    # every key has the SAME number of buckets (dense global spine)
+    counts = {r["key"]: r["count"] for r in agg}
+    assert len(set(counts.values())) == 1
+    # totals are preserved: sum of filled counts == raw event count
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == ev.count()

@@ -61,6 +61,7 @@ def curate_corpus(
     decontaminate_ngram: int = 8,
     max_dup_line_ratio: float | None = None,
     max_dup_ngram_ratio: float | None = None,
+    max_doc_chars: int | None = None,
 ) -> dict:
     """Run the full curation flow over ``{sf_dir}/documents.parquet``
     and write packed training sequences to ``out_dir``.
@@ -85,6 +86,13 @@ def curate_corpus(
     threshold are dropped); both fuse into the same filter stage as the
     quality score — no extra pass.
 
+    ``max_doc_chars`` truncates each document at ingestion (straggler
+    guard: every per-doc metric below is O(len) or O(len log len) on
+    ONE row, so a single pathological multi-GB document would otherwise
+    pin one task while 999 executors idle). Truncation happens BEFORE
+    fingerprinting, so two docs identical up to the cap dedup together
+    — the standard corpus-pipeline behavior.
+
     Returns a stats dict: ``n_docs`` (input), ``n_after_dedup``,
     ``n_after_near_dedup`` (None when disabled),
     ``n_after_decontaminate`` (None when disabled), ``n_after_quality``,
@@ -92,6 +100,10 @@ def curate_corpus(
     ``max_bin_tokens`` (must be <= pack_budget when every chunk fits
     the budget, which chunk_tokens <= pack_budget guarantees)."""
     docs = load_table(spark, sf_dir, "documents")
+    if max_doc_chars is not None:
+        docs = docs.withColumn(
+            "text", F.substring("text", 1, int(max_doc_chars))
+        )
     n_docs = docs.count()
 
     deduped = exact_dedup(

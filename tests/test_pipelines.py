@@ -103,6 +103,24 @@ def test_curate_corpus_all_options_compose(spark, sf_small, tmp_path):
     assert stats["max_bin_tokens"] <= 512
 
 
+def test_curate_corpus_max_doc_chars_truncates(spark, tmp_path):
+    """The straggler guard caps text length before any metric runs, and
+    two docs identical up to the cap dedup together."""
+    long_tail_a = "shared prefix " * 20 + "unique tail alpha " * 10
+    long_tail_b = "shared prefix " * 20 + "unique tail beta " * 10
+    rows = [(1, "en", long_tail_a), (2, "en", long_tail_b)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.parquet(
+        src + "/documents.parquet"
+    )
+    stats = curate_corpus(
+        spark, src, str(tmp_path / "out"), min_quality=0.0, max_doc_chars=100
+    )
+    assert stats["n_after_dedup"] == 1  # identical within the cap
+    written = spark.read.parquet(stats["out_dir"])
+    assert written.filter(F.length("chunk_text") > 100).count() == 0
+
+
 def test_corpus_token_histogram_covers_all_docs(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     hist = corpus_token_histogram(spark, sf_small, bucket=100).collect()

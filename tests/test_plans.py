@@ -141,3 +141,18 @@ def test_bruteforce_topk_broadcasts_queries_not_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the corpus must not be globally sorted — ranking is windowed
     assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_text_analysis_no_hof_inlining_regression(spark):
+    """Regression lock for the quadratic HOF-inlining bug (150x at
+    sf0.1): tokenization must appear exactly once in the plan (the
+    staged __toks projection), and the winnowing block lambda must
+    slice a materialized attribute — never an inline transform that
+    would recompute the whole rolling-hash array per block."""
+    import re
+
+    plan = _plan(spark, "text_analysis_documents")
+    assert len(re.findall(r"split\(trim\(", plan)) == 1, "tokenize once"
+    assert not re.search(r"array_min\(slice\(transform", plan), (
+        "winnowing must slice the materialized hash array"
+    )

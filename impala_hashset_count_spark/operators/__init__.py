@@ -9,6 +9,8 @@ from .dedup import (
     near_dup_components,
     near_dup_dedup,
     ngram_jaccard_pairs,
+    semantic_dedup,
+    semantic_dedup_components,
     simhash_pairs,
 )
 from .hashset_count import (
@@ -52,6 +54,8 @@ __all__ = [
     "pack_sequences_greedy",
     "register_sql_udaf",
     "salted_join",
+    "semantic_dedup",
+    "semantic_dedup_components",
     "simhash_pairs",
     "stratified_hash_sample",
 ]

@@ -228,3 +228,44 @@ def test_ngram_jaccard_identical_docs(spark):
     df = spark.createDataFrame(rows, "doc_id int, text string")
     pairs = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.99).collect()
     assert [(p.id_1, p.id_2, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_semantic_dedup_transitive_in_one_cell(spark):
+    """SemDeDup recipe: within-cell cosine pairs closed transitively.
+    2-D unit vectors at 0/10/20 degrees with threshold 0.97: a~b and
+    b~c qualify (cos 10deg ~ 0.985), a~c does not (cos 20deg ~ 0.940) —
+    yet all three are ONE component, so only the min id survives. A
+    180-degree vector pairs with nothing and is untouched (with k=2 it
+    gets its own cell — k-means refuses k=1)."""
+    import math
+
+    from impala_hashset_count_spark.operators.dedup import semantic_dedup
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [float(math.cos(r)), float(math.sin(r))]
+
+    rows = [(1, unit(0)), (2, unit(10)), (3, unit(20)), (9, unit(180))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = semantic_dedup(df, "vec_id", "embedding", threshold=0.97, n_cells=2)
+    assert sorted(r.vec_id for r in out.select("vec_id").collect()) == [1, 9]
+
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_small):
+    """Exact-copy embeddings land in the same k-means cell by
+    construction, so SemDeDup must drop every planted copy and keep its
+    original (the lower id) — on the real embeddings table, through the
+    real quantizer."""
+    from impala_hashset_count_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id").isin(1, 2, 3)).collect()
+    copies = spark.createDataFrame(
+        [(10000 + r.vec_id, r.embedding, r.label) for r in base], emb.schema
+    )
+    out = semantic_dedup(
+        emb.union(copies), "vec_id", "embedding", threshold=0.9999, n_cells=8
+    )
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    assert {1, 2, 3} <= ids
+    assert not ids & {10001, 10002, 10003}

@@ -121,9 +121,14 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # `ts` may arrive as TIMESTAMP or TIMESTAMP_NTZ depending on how the
+    # parquet writer flagged isAdjustedToUTC; NTZ forbids direct numeric
+    # casts, so widen to TIMESTAMP first (a no-op for LTZ). The gap is a
+    # difference of two identically-shifted instants, so the session-tz
+    # offset cancels.
+    secs = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
     is_new = F.when(
-        prev.isNull()
-        | (F.col("ts").cast("double") - prev.cast("double") > 30 * 60),
+        prev.isNull() | (secs(F.col("ts")) - secs(prev) > 30 * 60),
         1,
     ).otherwise(0)
     return (

@@ -35,8 +35,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The file source requires a DIRECTORY (it tails new files as they
     land — the production shape); the driver testdata is a single
-    parquet file, so we stage a symlink dir. The nanos `ts` is read as
-    long and normalized to a timestamp exactly like the batch scan."""
+    parquet file, so we stage a symlink dir. readStream needs an
+    explicit schema, so we take it from the parquet footer via a batch
+    read (a metadata-only job) — this keeps the stream in lockstep with
+    the batch scan whether `ts` is physically TIMESTAMP(NANOS) (read as
+    long, normalized to a microsecond timestamp) or a real timestamp
+    column."""
     import os
     import tempfile
 
@@ -49,14 +53,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    ).parquet(stage)
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    footer_schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(footer_schema).parquet(stage)
+    if isinstance(footer_schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    elif isinstance(footer_schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks demand TIMESTAMP (LTZ); the session TZ is pinned
+        # UTC, so this cast is wall-clock exact and the batch twins
+        # (which keep NTZ) render identical window strings.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def stream_tumbling_counts(events: DataFrame) -> DataFrame:

@@ -1,5 +1,12 @@
 from .analytics import cohort_retention, gap_fill
 from .asof import asof_join
+from .corpus_stats import (
+    bm25_topn,
+    doc_frequency,
+    term_doc_stats,
+    tfidf_top_terms,
+    top_tokens,
+)
 from .decontaminate import contamination_stats, decontaminate, eval_shingle_index
 from .dedup import (
     embedding_near_dup_pairs,
@@ -28,6 +35,11 @@ from .skew import bucketed_table, salted_join
 
 __all__ = [
     "approx_distinct_count",
+    "bm25_topn",
+    "doc_frequency",
+    "term_doc_stats",
+    "tfidf_top_terms",
+    "top_tokens",
     "asof_join",
     "brute_force_topk",
     "bucketed_table",

@@ -35,6 +35,7 @@ from ..functions.text import (
 )
 from ..functions.udtfs import register_udtfs
 from ..operators.analytics import cohort_retention
+from ..operators.corpus_stats import bm25_topn, tfidf_top_terms, top_tokens
 from ..operators.dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
@@ -546,32 +547,26 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_lsh_topk")  # probabilistic recall => no SQL oracle.
-def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (8 bands x 4 bits): candidate set is
-    the union of bucket matches; exact cosine on candidates only —
-    the sub-linear scale path."""
-    e = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(
-        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, dim=64
-    )
+@register("similarity_ann_topk")  # probabilistic / quantizer-dependent
+# recall => no SQL oracle; tests measure each tier's recall against the
+# brute-force tier. (Round-2 merge of similarity_lsh_topk +
+# similarity_ivf_topk — same operators, one registry slot.)
+def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN scale tiers, tagged:
 
-
-@register("similarity_ivf_topk")  # quantizer-dependent recall => no SQL
-# oracle; tests measure recall against the brute-force tier.
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: seeded k-means coarse quantizer (16 cells), each
-    query probes its 4 nearest cells — candidates ~ corpus/4, and the
-    cell id doubles as a physical bucketing key at 100 TB."""
+    - ``lsh``: random-hyperplane LSH (8 bands x 4 bits) — candidates
+      are bucket collisions, exact cosine on candidates only.
+    - ``ivf``: IVF-flat — seeded k-means coarse quantizer (16 cells),
+      each query probes its 4 nearest cells; the cell id doubles as a
+      physical bucketing key at 100 TB."""
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        e,
-        e.filter(F.col("vec_id") < 5),
-        "vec_id",
-        "embedding",
-        k=10,
-        n_cells=16,
-        nprobe=4,
+    q = e.filter(F.col("vec_id") < 5)
+    lsh = lsh_topk(e, q, "vec_id", "embedding", k=10, dim=64)
+    ivf = ivf_topk(e, q, "vec_id", "embedding", k=10, n_cells=16, nprobe=4)
+    return (
+        lsh.withColumn("tier", F.lit("lsh"))
+        .unionByName(ivf.withColumn("tier", F.lit("ivf")))
+        .select("tier", "query_id", "neighbor_id", "cos_sim", "rank")
     )
 
 
@@ -782,3 +777,128 @@ def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# ---------------------------------------------------------------------
+# Corpus-level term statistics (TF-IDF / BM25 / heavy hitters)
+# ---------------------------------------------------------------------
+
+#: BM25 probe query — terms from the synthetic corpus vocabulary; a
+#: term absent at some SF simply contributes no df/tf rows (both
+#: engines agree on that semantics).
+_BM25_TERMS = ("hash", "merge", "scan")
+
+_CORPUS_STATS_ORACLE = r"""
+    WITH base AS (
+        SELECT doc_id,
+               STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                               t -> t <> '')) AS dl
+        FROM documents
+        WHERE text IS NOT NULL AND TRIM(text) <> ''
+    ),
+    tok AS (
+        SELECT doc_id, UNNEST(toks) AS term FROM base
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok WHERE term <> '' GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM base),
+    tfidf_scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * (LN((1 + n.n_docs) / (1 + dfreq.df)) + 1),
+                     6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    tfidf_ranked AS (
+        SELECT doc_id, term, tf, tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rank
+        FROM tfidf_scored
+    ),
+    qtf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, UNNEST(toks) AS term FROM base)
+        WHERE term IN ('hash', 'merge', 'scan')
+        GROUP BY 1, 2, 3
+    ),
+    qdf AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS nn, AVG(dl) AS avgdl FROM base),
+    contrib AS (
+        SELECT qtf.doc_id,
+               LN(1 + (stats.nn - qdf.df + 0.5) / (qdf.df + 0.5))
+               * qtf.tf * (1.2 + 1)
+               / (qtf.tf + 1.2 * (1 - 0.75 + 0.75 * qtf.dl / stats.avgdl))
+               AS c
+        FROM qtf JOIN qdf USING (term) CROSS JOIN stats
+    ),
+    bm25 AS (
+        SELECT doc_id, ROUND(SUM(c), 6) AS score, COUNT(*) AS n_matched
+        FROM contrib GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    per_term AS (
+        SELECT term, COUNT(*) AS nrun FROM tok WHERE term <> '' GROUP BY 1
+    ),
+    toptok AS (
+        SELECT per_term.term, per_term.nrun, dfreq.df AS n_docs
+        FROM per_term JOIN dfreq USING (term)
+        ORDER BY per_term.nrun DESC, per_term.term LIMIT 20
+    )
+    SELECT 'tfidf' AS tag, doc_id, term,
+           tf AS n1, tfidf AS v, rank AS n2
+    FROM tfidf_ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'bm25', doc_id, NULL, n_matched, score, NULL FROM bm25
+    UNION ALL
+    SELECT 'toptok', NULL, term, nrun, NULL, n_docs FROM toptok
+"""
+
+
+@register("corpus_stats_documents", oracle=_CORPUS_STATS_ORACLE, headline=True)
+def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level lexical statistics, tagged into one result:
+
+    - ``tfidf``: top-3 characteristic terms per document (smoothed
+      TF-IDF, sklearn formula) — (doc_id, term, tf->n1, tfidf->v,
+      rank->n2).
+    - ``bm25``: Okapi BM25 top-20 documents for the bag-of-words query
+      ``hash merge scan`` — (doc_id, n_matched->n1, score->v).
+    - ``toptok``: corpus-wide top-20 tokens with doc frequency — the
+      boilerplate detector — (term, n->n1, n_docs->n2).
+
+    The corpus is exploded ONCE per statistic family with map-side
+    partial aggregation before the (doc, term) shuffle; the
+    vocabulary-sized df/idf tables broadcast back (the corpus never
+    shuffles for the join); top-k outputs are rank-limited windows /
+    TakeOrderedAndProject, never a full sort. See
+    operators/corpus_stats.py for the 100 TB shuffle accounting."""
+    d = _t(spark, sf_dir, "documents")
+    tfidf = tfidf_top_terms(d, k=3).select(
+        F.lit("tfidf").alias("tag"),
+        "doc_id",
+        "term",
+        F.col("tf").alias("n1"),
+        F.col("tfidf").alias("v"),
+        F.col("rank").cast("long").alias("n2"),
+    )
+    bm = bm25_topn(d, list(_BM25_TERMS), n=20).select(
+        F.lit("bm25").alias("tag"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("n_matched").alias("n1"),
+        F.col("score").alias("v"),
+        F.lit(None).cast("long").alias("n2"),
+    )
+    tt = top_tokens(d, k=20).select(
+        F.lit("toptok").alias("tag"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "term",
+        F.col("n").alias("n1"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("n_docs").alias("n2"),
+    )
+    return tfidf.unionByName(bm).unionByName(tt)

@@ -58,6 +58,8 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 #: only long-proven entries.
 _SWEEP_FIRST = (
     # round-2 additions / merges — newest hard-signal verification first
+    "corpus_stats_documents",
+    "similarity_ann_topk",
     "dedup_transitive_components",
     "sample_stratified_mix",
     "analytics_cohort_retention",

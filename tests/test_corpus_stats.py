@@ -1,0 +1,183 @@
+"""Corpus-level term statistics: TF-IDF, BM25, heavy hitters.
+
+The registry query `corpus_stats_documents` is oracle-checked by
+tests/test_oracle.py; here we pin the semantics on planted corpora
+(known answers a human can re-derive) and the plan shapes that make the
+operators scale."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from impala_hashset_count_spark.operators.corpus_stats import (
+    bm25_topn,
+    doc_frequency,
+    term_doc_stats,
+    tfidf_top_terms,
+    top_tokens,
+)
+
+from .test_plans import explain_str
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "apple apple apple durian"),
+        (4, None),
+        (5, "   "),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_term_doc_stats_and_df(tiny):
+    tf = {
+        (r.doc_id, r.term): r.tf for r in term_doc_stats(tiny).collect()
+    }
+    assert tf[(1, "apple")] == 2
+    assert tf[(1, "banana")] == 1
+    assert tf[(3, "apple")] == 3
+    assert (4, None) not in tf  # NULL text contributes nothing
+    assert not any(doc == 5 for doc, _ in tf)  # blank text too
+    dfreq = {r.term: r.df for r in doc_frequency(term_doc_stats(tiny)).collect()}
+    assert dfreq == {"apple": 2, "banana": 2, "cherry": 1, "durian": 1}
+
+
+def test_tfidf_known_answer(tiny):
+    out = tfidf_top_terms(tiny, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # N = 3 non-blank docs; smooth idf = ln((1+N)/(1+df)) + 1.
+    idf = lambda df: math.log((1 + 3) / (1 + df)) + 1  # noqa: E731
+    # doc 1: apple tf=2 (df=2), banana tf=1 (df=2) -> apple first.
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.term for r in d1] == ["apple", "banana"]
+    assert d1[0].tfidf == pytest.approx(round(2 * idf(2), 6))
+    # doc 2: banana and cherry both tf=1, cherry rarer (df=1) -> higher.
+    d2 = sorted(by_doc[2], key=lambda r: r.rank)
+    assert [r.term for r in d2] == ["cherry", "banana"]
+    # rank never exceeds k even where the doc has more distinct terms
+    assert all(r.rank <= 2 for r in out)
+
+
+def test_bm25_ranks_matching_docs(tiny):
+    out = bm25_topn(tiny, ["apple"], n=10).collect()
+    # Only docs containing 'apple' appear.
+    assert sorted(r.doc_id for r in out) == [1, 3]
+    top = out[0]
+    # doc 3 has higher tf (3 vs 2) and shorter-per-term length; BM25
+    # must rank it first.
+    assert top.doc_id == 3
+    assert all(r.n_matched == 1 for r in out)
+    # Hand-computed: N=3, df('apple')=2 (docs 1 and 3),
+    # idf = ln(1 + (3-2+0.5)/(2+0.5)); dl: doc1=3, doc3=4,
+    # avgdl = (3+2+4)/3.
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    avgdl = (3 + 2 + 4) / 3
+    k1, b = 1.2, 0.75
+
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    got = {r.doc_id: r.score for r in out}
+    assert got[3] == pytest.approx(round(score(3, 4), 6))
+    assert got[1] == pytest.approx(round(score(2, 3), 6))
+
+
+def test_bm25_multi_term_and_empty_query(tiny):
+    out = bm25_topn(tiny, ["banana", "cherry"], n=10).collect()
+    got = {r.doc_id: r.n_matched for r in out}
+    assert got == {1: 1, 2: 2}
+    with pytest.raises(ValueError):
+        bm25_topn(tiny, [])
+
+
+def test_bm25_absent_term_contributes_nothing(tiny):
+    both = {r.doc_id: r.score for r in bm25_topn(tiny, ["apple"], n=10).collect()}
+    plus = {
+        r.doc_id: r.score
+        for r in bm25_topn(tiny, ["apple", "zzz_not_here"], n=10).collect()
+    }
+    assert both == plus
+
+
+def test_top_tokens_counts(tiny):
+    out = top_tokens(tiny, k=10).collect()
+    got = {r.term: (r.n, r.n_docs) for r in out}
+    assert got["apple"] == (5, 2)
+    assert got["banana"] == (2, 2)
+    assert got["cherry"] == (1, 1)
+    # ordered by n desc then term
+    assert out[0].term == "apple"
+
+
+def test_top_tokens_k_limit(spark, sf_small):
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = top_tokens(d, k=7)
+    assert out.count() == 7
+
+
+def test_tfidf_plan_broadcasts_vocab_and_rank_limits(spark, sf_small):
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = explain_str(tfidf_top_terms(d, k=3))
+    # vocabulary-sized df table broadcast back onto the (doc, term)
+    # side: the corpus-proportional side must not shuffle for the join
+    assert "BroadcastHashJoin" in plan
+    # per-doc top-k via rank-limited window, not a global sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_bm25_and_toptok_plans_use_top_k_sort(spark, sf_small):
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    assert "TakeOrderedAndProject" in explain_str(bm25_topn(d, ["scan"], n=5))
+    assert "TakeOrderedAndProject" in explain_str(top_tokens(d, k=5))
+
+
+def test_tfidf_sort_merge_fallback_matches_broadcast(tiny):
+    fast = sorted(map(tuple, tfidf_top_terms(tiny, k=2, broadcast_vocab=True).collect()))
+    slow = sorted(map(tuple, tfidf_top_terms(tiny, k=2, broadcast_vocab=False).collect()))
+    assert fast == slow
+
+
+def test_property_tf_df_toptok_match_python_reference(spark):
+    """Random small corpora: term_doc_stats / doc_frequency /
+    top_tokens must equal a direct Python computation (the same
+    whitespace tokenization, re.split)."""
+    import re
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab c\t\n", min_size=0, max_size=12)
+    corpus = st.lists(word, min_size=1, max_size=8)
+
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(corpus)
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        expected_tf = Counter()
+        for i, t in rows:
+            for tok in re.split(r"\s+", t.strip()):
+                if tok:
+                    expected_tf[(i, tok)] += 1
+        tf_rows = term_doc_stats(df).collect()
+        assert {(r.doc_id, r.term): r.tf for r in tf_rows} == dict(expected_tf)
+        expected_df = Counter(term for (_, term) in expected_tf)
+        dfreq = doc_frequency(term_doc_stats(df)).collect()
+        assert {r.term: r.df for r in dfreq} == dict(expected_df)
+        expected_n = Counter()
+        for (_, term), c in expected_tf.items():
+            expected_n[term] += c
+        tt = top_tokens(df, k=1000).collect()
+        assert {r.term: r.n for r in tt} == dict(expected_n)
+        assert {r.term: r.n_docs for r in tt} == dict(expected_df)
+
+    run()

@@ -7,6 +7,7 @@ from .windows import (
     sessionize_stateful,
     stream_dedup_within_watermark,
     stream_interval_join,
+    stream_interval_join_left_outer,
     stream_session_windows,
     stream_sliding_counts,
     stream_tumbling_counts,
@@ -21,6 +22,7 @@ __all__ = [
     "sessionize_stateful",
     "stream_dedup_within_watermark",
     "stream_interval_join",
+    "stream_interval_join_left_outer",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_tumbling_counts",

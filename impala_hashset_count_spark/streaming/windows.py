@@ -155,6 +155,40 @@ def stream_interval_join(left: DataFrame, right: DataFrame) -> DataFrame:
     )
 
 
+def stream_interval_join_left_outer(
+    left: DataFrame, right: DataFrame
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: like
+    ``stream_interval_join`` but events with NO follow-up within 10
+    minutes still emit, null-padded. Outer stream-stream joins have a
+    subtler contract than inner: a left row is provably unmatched only
+    once the GLOBAL watermark (min across both sources) passes
+    ``l_ts + 10 minutes``, at which point Spark evicts its join state
+    and emits the null-padded row — so unmatched results trail the
+    data by watermark-delay + interval, and BOTH sides must keep
+    advancing for anything to finalize (an idle right stream stalls
+    left-side emission). Two-real-microbatch eviction proof in
+    tests/test_streaming.py."""
+    l = left.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            "l_user = r_user AND r_ts > l_ts "
+            "AND r_ts <= l_ts + INTERVAL 10 MINUTES"
+        ),
+        "leftOuter",
+    ).select(F.col("l_user").alias("user_id"), "l_event", "r_event")
+
+
 SESSION_STATE_SCHEMA = "n_sessions int, last_ts double"
 SESSION_OUTPUT_SCHEMA = "user_id bigint, n_sessions int"
 

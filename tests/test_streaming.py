@@ -334,3 +334,63 @@ def test_decode_image_gated(spark):
         pass
     with pytest.raises(NotImplementedError):
         decode_image(b"not-an-image")
+
+
+def test_stream_interval_join_left_outer_evicts_and_null_pads(spark, tmp_path):
+    """Two REAL micro-batches: a left event with a right match within
+    the 10-minute interval emits joined; a left event with NO match
+    emits null-padded — but only after the GLOBAL watermark (min of
+    both sides) passes l_ts + 10 minutes and evicts its join state."""
+    import datetime as dt
+
+    from impala_hashset_count_spark.streaming.windows import (
+        stream_interval_join_left_outer,
+    )
+
+    lsrc = str(tmp_path / "lo_left")
+    rsrc = str(tmp_path / "lo_right")
+    schema = "event_id bigint, user_id bigint, ts timestamp"
+
+    def write(path, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: user 1 has a follow-up within 10 min; user 2 has none.
+    write(lsrc, [(10, 1, t(1, 0)), (20, 2, t(1, 0))])
+    write(rsrc, [(11, 1, t(1, 5))])
+
+    joined = stream_interval_join_left_outer(
+        spark.readStream.schema(schema).parquet(lsrc),
+        spark.readStream.schema(schema).parquet(rsrc),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_lo_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        early = {
+            (r.user_id, r.l_event, r.r_event)
+            for r in spark.table("t_lo_join").collect()
+        }
+        # the unmatched left row must NOT have emitted yet — the
+        # watermark hasn't passed l_ts + 10 min, so user 2 might still
+        # get a match.
+        assert (2, 20, None) not in early
+        # batch 2: both sides advance to 05:00 -> global watermark
+        # 04:00 > 01:10 evicts user 2's state, emitting the null pad.
+        write(lsrc, [(90, 9, t(5, 0))])
+        write(rsrc, [(91, 9, t(5, 0))])
+        q.processAllAvailable()
+        out = {
+            (r.user_id, r.l_event, r.r_event)
+            for r in spark.table("t_lo_join").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, 10, 11) in out, f"matched pair missing: {out}"
+    assert (2, 20, None) in out, f"unmatched row not null-padded: {out}"

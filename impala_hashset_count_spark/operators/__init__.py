@@ -20,6 +20,7 @@ from .dedup import (
     semantic_dedup_components,
     simhash_pairs,
 )
+from .line_dedup import boilerplate_lines, strip_boilerplate_lines
 from .hashset_count import (
     approx_distinct_count,
     hashset_count_agg,
@@ -36,6 +37,8 @@ from .skew import bucketed_table, salted_join
 __all__ = [
     "approx_distinct_count",
     "bm25_topn",
+    "boilerplate_lines",
+    "strip_boilerplate_lines",
     "doc_frequency",
     "term_doc_stats",
     "tfidf_top_terms",

@@ -43,6 +43,7 @@ from .functions.text import (
 )
 from .operators.decontaminate import decontaminate
 from .operators.dedup import exact_dedup, near_dup_dedup
+from .operators.line_dedup import boilerplate_lines, strip_boilerplate_lines
 from .operators.packing import chunk_documents, pack_sequences_greedy
 from .sources.tables import load_table, write_clustered
 
@@ -62,6 +63,7 @@ def curate_corpus(
     max_dup_line_ratio: float | None = None,
     max_dup_ngram_ratio: float | None = None,
     max_doc_chars: int | None = None,
+    strip_boilerplate_min_docs: int | None = None,
 ) -> dict:
     """Run the full curation flow over ``{sf_dir}/documents.parquet``
     and write packed training sequences to ``out_dir``.
@@ -93,7 +95,16 @@ def curate_corpus(
     fingerprinting, so two docs identical up to the cap dedup together
     — the standard corpus-pipeline behavior.
 
-    Returns a stats dict: ``n_docs`` (input), ``n_after_dedup``,
+    ``strip_boilerplate_min_docs`` enables C4/RefinedWeb-style
+    cross-document boilerplate line removal BEFORE fingerprinting
+    (``operators.line_dedup``): trimmed lines appearing in at least that
+    many distinct documents are removed from every document, so docs
+    differing only in a shared license header / nav menu dedup together
+    in the next stage. Adds one corpus shuffle (the document
+    reassembly) when enabled.
+
+    Returns a stats dict: ``n_docs`` (input), ``n_boilerplate_lines``
+    (None when stripping is disabled), ``n_after_dedup``,
     ``n_after_near_dedup`` (None when disabled),
     ``n_after_decontaminate`` (None when disabled), ``n_after_quality``,
     ``n_chunks``, ``n_bins`` (packed bins across all languages),
@@ -105,6 +116,15 @@ def curate_corpus(
             "text", F.substring("text", 1, int(max_doc_chars))
         )
     n_docs = docs.count()
+    n_boilerplate_lines = None
+    if strip_boilerplate_min_docs is not None:
+        # corpus-level boilerplate removal BEFORE fingerprinting: two
+        # documents differing only in a shared license header / nav menu
+        # dedup together afterwards (operators/line_dedup.py; the
+        # reassembly groupBy is the stage's one corpus shuffle)
+        bp = boilerplate_lines(docs, min_docs=strip_boilerplate_min_docs)
+        n_boilerplate_lines = bp.count()
+        docs = strip_boilerplate_lines(docs, "doc_id", "text", boilerplate=bp)
 
     deduped = exact_dedup(
         docs.withColumn("__fp", fingerprint_md5("text")), ["__fp"], "doc_id"
@@ -164,6 +184,7 @@ def curate_corpus(
     )
     return {
         "n_docs": n_docs,
+        "n_boilerplate_lines": n_boilerplate_lines,
         "n_after_dedup": n_after_dedup,
         "n_after_near_dedup": n_after_near_dedup,
         "n_after_decontaminate": n_after_decontaminate,

@@ -256,19 +256,35 @@ def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_interval_join_batch",
     oracle="""
-        SELECT l.user_id AS user_id,
+        SELECT 'pair' AS tag,
+               l.user_id AS user_id,
                l.event_id AS l_event,
                r.event_id AS r_event
         FROM events l JOIN events r
           ON l.user_id = r.user_id
          AND r.ts > l.ts
          AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        UNION ALL
+        SELECT 'lone', l.user_id, l.event_id, NULL
+        FROM events l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events r
+            WHERE r.user_id = l.user_id
+              AND r.ts > l.ts
+              AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        )
     """,
 )
 def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of the stream-stream interval join (same-user event
-    pairs within 10 minutes): equi-key on user_id keeps it a hash join
-    with a range residual — never a time-only cross join."""
+    """Batch twin of BOTH stream-stream interval joins, tagged:
+    ``pair`` rows are the INNER semantics (same-user follow-up within
+    10 minutes); ``lone`` rows are events with NO follow-up — exactly
+    the rows the LEFT OUTER streaming face
+    (``streaming/windows.py::stream_interval_join_left_outer``)
+    null-pads after watermark eviction, here as a LEFT ANTI join
+    (pair + lone == the left-outer result). Equi-key on user_id keeps
+    both branches hash joins with a range residual — never a time-only
+    cross join."""
     ev = _t(spark, sf_dir, "events")
     l = ev.select(
         F.col("user_id").alias("l_user"),
@@ -280,12 +296,24 @@ def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("event_id").alias("r_event"),
         F.col("ts").alias("r_ts"),
     )
-    return l.join(
-        r,
+    cond = (
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") > F.col("l_ts"))
-        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 MINUTES")),
-    ).select(F.col("l_user").alias("user_id"), "l_event", "r_event")
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    pairs = l.join(r, cond).select(
+        F.lit("pair").alias("tag"),
+        F.col("l_user").alias("user_id"),
+        "l_event",
+        "r_event",
+    )
+    lone = l.join(r, cond, "left_anti").select(
+        F.lit("lone").alias("tag"),
+        F.col("l_user").alias("user_id"),
+        "l_event",
+        F.lit(None).cast("long").alias("r_event"),
+    )
+    return pairs.unionByName(lone)
 
 
 @register(

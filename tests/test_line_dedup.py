@@ -1,0 +1,141 @@
+"""Cross-document boilerplate line removal (C4/RefinedWeb-style)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from impala_hashset_count_spark.operators.line_dedup import (
+    boilerplate_lines,
+    strip_boilerplate_lines,
+)
+
+from .test_plans import explain_str
+
+HEADER = "Copyright (c) Example Corp. All rights reserved."
+MENU = "Home | About | Contact"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (1, f"{HEADER}\nunique alpha text\nmore alpha"),
+        (2, f"{HEADER}\n{MENU}\nunique beta text"),
+        (3, f"{MENU}\nunique gamma text\n{HEADER}"),
+        (4, "an original document\nwith no boilerplate at all"),
+        (5, HEADER),          # all-boilerplate -> becomes ""
+        (6, None),            # NULL stays NULL
+        (7, ""),              # empty stays empty
+        (8, f"  {HEADER}  \nindented but same trimmed line"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_boilerplate_table(planted):
+    bp = {r.line: r.n_docs for r in boilerplate_lines(planted, min_docs=3).collect()}
+    # HEADER appears (trimmed) in docs 1, 2, 3, 5, 8 -> 5; MENU only in
+    # 2 and 3 -> below the min_docs=3 bar.
+    assert bp == {HEADER: 5}
+    bp2 = {r.line: r.n_docs for r in boilerplate_lines(planted, min_docs=2).collect()}
+    assert bp2 == {HEADER: 5, MENU: 2}
+
+
+def test_strip_preserves_content_and_order(planted):
+    out = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(planted, min_docs=2).collect()
+    }
+    assert out[1] == "unique alpha text\nmore alpha"
+    assert out[2] == "unique beta text"
+    assert out[3] == "unique gamma text"
+    assert out[4] == "an original document\nwith no boilerplate at all"
+    assert out[5] == ""            # all lines were boilerplate
+    assert out[6] is None          # NULL text untouched
+    assert out[7] == ""            # empty text untouched
+    # kept lines keep their exact bytes (the indented HEADER matched by
+    # TRIM is removed; the remaining line is byte-identical)
+    assert out[8] == "indented but same trimmed line"
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}
+
+
+def test_strip_keeps_other_columns(spark):
+    rows = [(1, "en", f"{HEADER}\nkeep me"), (2, "de", f"{HEADER}\nbehalte mich")]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = strip_boilerplate_lines(df, min_docs=2).collect()
+    got = {(r.doc_id, r.lang, r.text) for r in out}
+    assert got == {(1, "en", "keep me"), (2, "de", "behalte mich")}
+
+
+def test_short_common_lines_never_stripped(spark):
+    # "---" and "" repeat everywhere but are under min_line_chars
+    rows = [(i, f"---\n\nreal content {i}") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.text for r in strip_boilerplate_lines(df, min_docs=2).collect()}
+    assert out[1] == "---\n\nreal content 1"
+
+
+def test_precomputed_table_reuse_and_cap(planted):
+    bp = boilerplate_lines(planted, min_docs=2, max_lines=1)
+    # deterministic cap: highest n_docs first -> HEADER survives the cap
+    assert [r.line for r in bp.collect()] == [HEADER]
+    out = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(planted, boilerplate=bp).collect()
+    }
+    # MENU stayed (capped out of the table)
+    assert out[3] == f"{MENU}\nunique gamma text"
+
+
+def test_matches_duckdb_mirror_on_documents(spark, sf_small):
+    """Full engine cross-check on the real documents table: DuckDB
+    computes the same strip (trim-matched lines in >= 2 docs, >= 4
+    chars) and the rewritten texts must agree doc by doc."""
+    import duckdb
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(
+            d.select("doc_id", "text"), min_docs=2
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    rows = con.execute(
+        r"""
+        WITH lines AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, chr(10))) AS raw,
+                   GENERATE_SUBSCRIPTS(STRING_SPLIT(text, chr(10)), 1) AS pos
+            FROM documents
+        ),
+        bp AS (
+            SELECT TRIM(raw) AS line
+            FROM (SELECT DISTINCT doc_id, TRIM(raw) AS raw FROM lines
+                  WHERE LENGTH(TRIM(raw)) >= 4)
+            GROUP BY 1 HAVING COUNT(*) >= 2
+        ),
+        kept AS (
+            SELECT l.doc_id, l.pos, l.raw FROM lines l
+            LEFT JOIN bp ON TRIM(l.raw) = bp.line
+            WHERE bp.line IS NULL
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(
+                        (SELECT STRING_AGG(k.raw, chr(10) ORDER BY k.pos)
+                         FROM kept k WHERE k.doc_id = d.doc_id), '')
+               END AS text
+        FROM documents d
+        """
+    ).fetchall()
+    expected = dict(rows)
+    assert got == expected
+
+
+def test_plan_single_corpus_shuffle(spark, sf_small):
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id", "text")
+    plan = explain_str(strip_boilerplate_lines(d, min_docs=2))
+    # boilerplate membership test must be broadcast, never a shuffle of
+    # the exploded corpus
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -88,6 +88,7 @@ def test_curate_corpus_all_options_compose(spark, sf_small, tmp_path):
         max_dup_line_ratio=0.9,
         max_dup_ngram_ratio=0.9,
         scrub_pii=True,
+        strip_boilerplate_min_docs=3,
     )
     chain = [
         stats["n_docs"],
@@ -98,6 +99,7 @@ def test_curate_corpus_all_options_compose(spark, sf_small, tmp_path):
     ]
     assert all(a >= b for a, b in zip(chain, chain[1:])), chain
     assert stats["n_after_quality"] > 0
+    assert stats["n_boilerplate_lines"] is not None
     written = spark.read.parquet(stats["out_dir"])
     assert stats["n_chunks"] == written.count() > 0
     assert stats["max_bin_tokens"] <= 512
@@ -126,3 +128,34 @@ def test_corpus_token_histogram_covers_all_docs(spark, sf_small):
     hist = corpus_token_histogram(spark, sf_small, bucket=100).collect()
     assert sum(r["n_docs"] for r in hist) == docs.count()
     assert all(r["bucket"] % 100 == 0 for r in hist)
+
+
+def test_curate_corpus_boilerplate_stage_dedups_header_twins(spark, tmp_path):
+    """Two docs identical except for a shared license header must exact-
+    dedup AFTER the boilerplate strip removes the header from both."""
+    import pyspark.sql.functions as F
+
+    hdr = "Copyright (c) Example Corp. All rights reserved."
+    rows = [
+        (1, "en", f"{hdr}\nthe same body text here"),
+        (2, "en", "the same body text here"),
+        (3, "en", f"{hdr}\na different body entirely"),
+        (4, "en", f"{hdr}\nyet another unique body"),
+    ]
+    src = tmp_path / "bp_sf"
+    (src).mkdir()
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.parquet(
+        str(src / "documents.parquet")
+    )
+    from impala_hashset_count_spark.pipelines import curate_corpus
+
+    stats = curate_corpus(
+        spark,
+        str(src),
+        str(tmp_path / "bp_out"),
+        min_quality=0.0,
+        strip_boilerplate_min_docs=3,
+    )
+    assert stats["n_boilerplate_lines"] == 1
+    # docs 1 and 2 collapse post-strip; 3 and 4 stay
+    assert stats["n_after_dedup"] == 3

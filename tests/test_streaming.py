@@ -99,7 +99,20 @@ def test_stream_interval_join_equals_batch(spark, sf_small):
     )
     batch = QUERIES["streaming_interval_join_batch"].fn(spark, sf_small)
     cols = ["user_id", "l_event", "r_event"]
-    assert _rows(out, cols) == _rows(batch, cols)
+    assert _rows(out, cols) == _rows(batch.filter("tag = 'pair'"), cols)
+    # pair + lone partition the left side: every event is either in a
+    # pair or lone, never both — together they ARE the left-outer
+    # result the outer streaming face converges to
+    paired = {r.l_event for r in batch.filter("tag = 'pair'").collect()}
+    lone_rows = batch.filter("tag = 'lone'").collect()
+    lone_ids = {r.l_event for r in lone_rows}
+    assert paired.isdisjoint(lone_ids)
+    assert all(r.r_event is None for r in lone_rows)
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    assert paired | lone_ids == {
+        r.event_id for r in load_table(spark, sf_small, "events").collect()
+    }
 
 
 def test_stateful_sessionization_matches_islands(spark, sf_small):

@@ -30,7 +30,7 @@ from .hashset_count import (
     register_sql_udaf,
 )
 from .packing import chunk_documents, pack_sequences_greedy
-from .sampling import mix_corpus, stratified_hash_sample
+from .sampling import mix_corpus, shuffle_rows, stratified_hash_sample
 from .similarity import brute_force_topk, ivf_topk, lsh_topk
 from .skew import bucketed_table, salted_join
 
@@ -70,6 +70,7 @@ __all__ = [
     "register_sql_udaf",
     "salted_join",
     "semantic_dedup",
+    "shuffle_rows",
     "semantic_dedup_components",
     "simhash_pairs",
     "stratified_hash_sample",

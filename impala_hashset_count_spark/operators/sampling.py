@@ -94,3 +94,40 @@ def mix_corpus(
         .filter(budget.isNotNull() & (F.col("__cum_tokens") <= budget))
         .drop("__cum_tokens")
     )
+
+
+def shuffle_rows(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "",
+    n_shards: int | None = None,
+    keep_key: bool = False,
+) -> DataFrame:
+    """Deterministic global pseudo-random ordering — the final
+    "shuffle the training data" step before sequences are served.
+
+    Rows are totally ordered by ``md5(seed || key)``: the same seed
+    reproduces the identical order on ANY input partitioning or engine
+    (unlike ``df.orderBy(rand(seed))``, whose RNG stream is
+    partitioning-dependent), and a new seed re-deals the order for the
+    next epoch. The order is realized scalably: ``repartitionByRange``
+    on the hash (range boundaries from a small sample, no single-node
+    sort) + ``sortWithinPartitions`` — shard i holds a contiguous hash
+    range, so concatenating shards in partition order IS the global
+    order; at 100 TB that is exactly the write-sharded layout a data
+    loader streams sequentially.
+
+    ``n_shards`` sizes the output (default: session shuffle
+    parallelism). ``keep_key`` retains the ``__shuffle_key`` column for
+    downstream order verification."""
+    keyed = df.withColumn(
+        "__shuffle_key",
+        F.md5(F.concat(F.lit(str(seed)), F.col(key_col).cast("string"))),
+    )
+    parts = (
+        keyed.repartitionByRange(n_shards, "__shuffle_key")
+        if n_shards
+        else keyed.repartitionByRange("__shuffle_key")
+    )
+    out = parts.sortWithinPartitions("__shuffle_key")
+    return out if keep_key else out.drop("__shuffle_key")

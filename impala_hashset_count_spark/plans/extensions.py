@@ -875,7 +875,14 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized df/idf tables broadcast back (the corpus never
     shuffles for the join); top-k outputs are rank-limited windows /
     TakeOrderedAndProject, never a full sort. See
-    operators/corpus_stats.py for the 100 TB shuffle accounting."""
+    operators/corpus_stats.py for the 100 TB shuffle accounting.
+
+    Note the tagged UNION re-plans the corpus scan per branch (static
+    planning cannot share an Exchange across union arms); a production
+    pipeline at 100 TB materializes ``term_doc_stats`` once and derives
+    every family from it — the operators take that shape already, the
+    union here exists to drive all three through one oracle-checked
+    registry slot."""
     d = _t(spark, sf_dir, "documents")
     tfidf = tfidf_top_terms(d, k=3).select(
         F.lit("tfidf").alias("tag"),

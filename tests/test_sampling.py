@@ -71,3 +71,52 @@ def test_mix_corpus_takes_prefix_in_hash_order(spark):
     assert len(kept) == 5  # 5 x 10 tokens fit a 55-token budget, the 6th would cross
     # the kept set is the hash-order prefix, not doc_id order
     assert kept != [1, 2, 3, 4, 5] or True  # hash order is arbitrary but fixed
+
+
+def test_shuffle_rows_deterministic_permutation(spark):
+    from impala_hashset_count_spark.operators.sampling import shuffle_rows
+
+    rows = [(i, f"doc {i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def order(d, seed, shards=None):
+        out = shuffle_rows(d, "doc_id", seed=seed, n_shards=shards, keep_key=True)
+        collected = []
+        for pid, it in enumerate(
+            out.select("doc_id", "__shuffle_key", F.spark_partition_id().alias("p"))
+            .collect()
+        ):
+            collected.append((it.p, it['__shuffle_key'], it.doc_id))
+        # concatenating shards in partition order realizes the global
+        # hash order
+        return [doc for _, _, doc in sorted(collected)]
+
+    a = order(df, "epoch1", shards=8)
+    # permutation of the input
+    assert sorted(a) == list(range(500))
+    # same seed, different input partitioning and shard count -> same order
+    b = order(df.repartition(13), "epoch1", shards=3)
+    assert a == b
+    # a different seed re-deals
+    c = order(df, "epoch2", shards=8)
+    assert a != c
+    # the realized order is actually shuffled, not the input order
+    assert a != list(range(500))
+
+
+def test_shuffle_rows_shard_ranges_do_not_overlap(spark):
+    from impala_hashset_count_spark.operators.sampling import shuffle_rows
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id bigint")
+    out = shuffle_rows(df, "doc_id", seed="s", n_shards=4, keep_key=True)
+    rows = out.select(
+        F.spark_partition_id().alias("p"), "__shuffle_key"
+    ).collect()
+    bounds = {}
+    for r in rows:
+        k = r['__shuffle_key']
+        lo, hi = bounds.get(r.p, (k, k))
+        bounds[r.p] = (min(lo, k), max(hi, k))
+    ordered = [bounds[p] for p in sorted(bounds)]
+    for (_, hi), (lo, _) in zip(ordered, ordered[1:]):
+        assert hi <= lo, f"shard hash ranges overlap: {ordered}"

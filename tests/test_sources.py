@@ -174,3 +174,58 @@ def test_z_order_write_clusters_all_dims(spark, tmp_path):
     assert sum(z_y) / len(z_y) < 0.45 * 63
     # lexicographic: trailing column spans ~everything in most files
     assert sum(l_y) / len(l_y) > 0.8 * 63
+
+
+def test_corrupt_json_records_quarantined_not_dropped(spark, tmp_path):
+    """Ingestion robustness: PERMISSIVE mode parses good rows and
+    quarantines malformed lines into _corrupt_record (so a 100 TB
+    ingest neither dies on one bad line nor silently loses it);
+    FAILFAST surfaces the error instead."""
+    src = tmp_path / "messy.jsonl"
+    src.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": "wrong type", "v": 3}\n'
+    )
+    from impala_hashset_count_spark.sources.tables import read_source
+
+    df = read_source(
+        spark,
+        "json",
+        str(src),
+        schema="id bigint, v string, _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()  # one pass; the corrupt-record column forbids lazy double-scan
+    try:
+        good = df.filter("_corrupt_record IS NULL")
+        bad = df.filter("_corrupt_record IS NOT NULL")
+        assert {(r.id, r.v) for r in good.collect()} == {(1, "ok"), (2, "also ok")}
+        assert bad.count() == 2  # the non-JSON line and the type mismatch
+    finally:
+        df.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_source(
+            spark, "json", str(src), schema="id bigint, v string", mode="FAILFAST"
+        ).collect()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a column added mid-stream is visible with
+    mergeSchema and NULL-padded for old files — the append-only
+    100 TB table pattern."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, v string").write.parquet(
+        base + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 3.5)], "id bigint, v string, score double"
+    ).write.parquet(base + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "v", "score", "batch"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 3.5

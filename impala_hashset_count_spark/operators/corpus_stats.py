@@ -255,3 +255,50 @@ def top_tokens(
         .limit(k)
         .select("term", "n", "n_docs")
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document: the
+    mean natural-log probability of the document's token instances
+    under the corpus's own unigram distribution,
+
+        mean_lp(d) = sum_t tf(d,t) * ln(c(t) / T) / dl(d)
+
+    with c(t) the corpus count of token t and T the total token count.
+    This is the classic LM-based quality signal (KenLM-style pipelines
+    use a trained n-gram model; self-scoring against the corpus unigram
+    distribution is its model-free floor): documents full of rare
+    garbage tokens score far below prose assembled from common words —
+    a complementary axis to the rule-based ``quality_score``. Smoothing
+    is unnecessary by construction: every scored token occurs in the
+    corpus (c >= 1).
+
+    Returns (id, n_tokens, mean_lp). Shuffle account: the one corpus
+    explode feeds the partial-aggregated (doc, term) shuffle, the
+    token-count table (vocabulary-sized) aggregates on top and
+    broadcasts back, T rides a single-row broadcast cross join, and the
+    per-doc mean is a second corpus-proportional partial aggregation —
+    nothing corpus-sized ever shuffles for a join."""
+    tf = term_doc_stats(df, id_col, text_col)
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    if broadcast_vocab:
+        counts = F.broadcast(counts)
+    total = tf.agg(F.sum("tf").alias("__T"))
+    return (
+        tf.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("c") / F.col("__T")))
+                / F.sum("tf"),
+                6,
+            ).alias("mean_lp"),
+        )
+    )

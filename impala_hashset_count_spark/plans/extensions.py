@@ -35,7 +35,12 @@ from ..functions.text import (
 )
 from ..functions.udtfs import register_udtfs
 from ..operators.analytics import cohort_retention
-from ..operators.corpus_stats import bm25_topn, tfidf_top_terms, top_tokens
+from ..operators.corpus_stats import (
+    bm25_topn,
+    tfidf_top_terms,
+    top_tokens,
+    unigram_logprob_scores,
+)
 from ..operators.dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
@@ -847,6 +852,14 @@ _CORPUS_STATS_ORACLE = r"""
         SELECT per_term.term, per_term.nrun, dfreq.df AS n_docs
         FROM per_term JOIN dfreq USING (term)
         ORDER BY per_term.nrun DESC, per_term.term LIMIT 20
+    ),
+    tot AS (SELECT SUM(tf) AS t FROM tf),
+    ulp AS (
+        SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
+               ROUND(SUM(tf.tf * LN(per_term.nrun * 1.0 / tot.t))
+                     / SUM(tf.tf), 6) AS mean_lp
+        FROM tf JOIN per_term USING (term) CROSS JOIN tot
+        GROUP BY tf.doc_id
     )
     SELECT 'tfidf' AS tag, doc_id, term,
            tf AS n1, tfidf AS v, rank AS n2
@@ -855,6 +868,8 @@ _CORPUS_STATS_ORACLE = r"""
     SELECT 'bm25', doc_id, NULL, n_matched, score, NULL FROM bm25
     UNION ALL
     SELECT 'toptok', NULL, term, nrun, NULL, n_docs FROM toptok
+    UNION ALL
+    SELECT 'unigram_lp', doc_id, NULL, n_tokens, mean_lp, NULL FROM ulp
 """
 
 
@@ -869,6 +884,9 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``hash merge scan`` — (doc_id, n_matched->n1, score->v).
     - ``toptok``: corpus-wide top-20 tokens with doc frequency — the
       boilerplate detector — (term, n->n1, n_docs->n2).
+    - ``unigram_lp``: corpus-trained unigram-LM mean log-probability
+      per document — the model-free LM quality signal —
+      (doc_id, n_tokens->n1, mean_lp->v).
 
     The corpus is exploded ONCE per statistic family with map-side
     partial aggregation before the (doc, term) shuffle; the
@@ -908,4 +926,12 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v"),
         F.col("n_docs").alias("n2"),
     )
-    return tfidf.unionByName(bm).unionByName(tt)
+    ulp = unigram_logprob_scores(d).select(
+        F.lit("unigram_lp").alias("tag"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("n_tokens").alias("n1"),
+        F.col("mean_lp").alias("v"),
+        F.lit(None).cast("long").alias("n2"),
+    )
+    return tfidf.unionByName(bm).unionByName(tt).unionByName(ulp)

@@ -181,3 +181,25 @@ def test_property_tf_df_toptok_match_python_reference(spark):
         assert {r.term: r.n_docs for r in tt} == dict(expected_df)
 
     run()
+
+
+def test_unigram_logprob_known_answer(tiny):
+    from impala_hashset_count_spark.operators.corpus_stats import (
+        unigram_logprob_scores,
+    )
+
+    out = {
+        r.doc_id: (r.n_tokens, r.mean_lp)
+        for r in unigram_logprob_scores(tiny).collect()
+    }
+    # corpus tokens: apple x5, banana x2, cherry x1, durian x1 -> T = 9
+    T = 9.0
+    lp = lambda c: math.log(c / T)  # noqa: E731
+    d1 = round((2 * lp(5) + 1 * lp(2)) / 3, 6)   # "apple banana apple"
+    d3 = round((3 * lp(5) + 1 * lp(1)) / 4, 6)   # "apple apple apple durian"
+    assert out[1] == (3, d1)
+    assert out[3] == (4, d3)
+    # NULL/blank docs score nothing
+    assert 4 not in out and 5 not in out
+    # common-word documents must outscore rare-word documents
+    assert out[1][1] > out[2][1]

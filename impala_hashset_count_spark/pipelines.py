@@ -43,6 +43,7 @@ from .functions.text import (
 )
 from .operators.decontaminate import decontaminate
 from .operators.dedup import exact_dedup, near_dup_dedup
+from .operators.corpus_stats import unigram_logprob_scores
 from .operators.line_dedup import boilerplate_lines, strip_boilerplate_lines
 from .operators.packing import chunk_documents, pack_sequences_greedy
 from .sources.tables import load_table, write_clustered
@@ -64,6 +65,7 @@ def curate_corpus(
     max_dup_ngram_ratio: float | None = None,
     max_doc_chars: int | None = None,
     strip_boilerplate_min_docs: int | None = None,
+    min_unigram_lp: float | None = None,
 ) -> dict:
     """Run the full curation flow over ``{sf_dir}/documents.parquet``
     and write packed training sequences to ``out_dir``.
@@ -87,6 +89,14 @@ def curate_corpus(
     Gopher-style repetition gates to the quality filter (docs above the
     threshold are dropped); both fuse into the same filter stage as the
     quality score — no extra pass.
+
+    ``min_unigram_lp`` adds the corpus-level LM quality gate: documents
+    whose mean log-probability under the corpus's own unigram
+    distribution (``operators.corpus_stats.unigram_logprob_scores``)
+    falls below the threshold are dropped — the model-free axis the
+    per-row heuristics cannot see (rare-token garbage reads as "clean"
+    to punctuation/stopword rules). Costs one corpus explode/agg plus a
+    doc_id join when enabled.
 
     ``max_doc_chars`` truncates each document at ingestion (straggler
     guard: every per-doc metric below is O(len) or O(len log len) on
@@ -148,6 +158,20 @@ def curate_corpus(
     if max_dup_ngram_ratio is not None:
         keep_cond = keep_cond & (dup_ngram_ratio("text") <= max_dup_ngram_ratio)
     kept = deduped.filter(keep_cond).select("doc_id", "lang", "text")
+    if min_unigram_lp is not None:
+        # corpus-level LM gate: unlike the per-row gates above this
+        # needs corpus state (the unigram distribution), so it costs
+        # the corpus-stats explode/agg plus a doc_id join of the
+        # (doc_id, mean_lp) table back onto the kept corpus
+        scores = unigram_logprob_scores(kept, "doc_id", "text")
+        kept = (
+            kept.join(scores.select("doc_id", "mean_lp"), "doc_id", "left")
+            .where(
+                F.col("mean_lp").isNotNull()
+                & (F.col("mean_lp") >= float(min_unigram_lp))
+            )
+            .drop("mean_lp")
+        )
     n_after_quality = kept.count()
     if scrub_pii:
         # scrub AFTER dedup/quality (cheaper: fewer rows) but BEFORE

@@ -159,3 +159,35 @@ def test_curate_corpus_boilerplate_stage_dedups_header_twins(spark, tmp_path):
     assert stats["n_boilerplate_lines"] == 1
     # docs 1 and 2 collapse post-strip; 3 and 4 stay
     assert stats["n_after_dedup"] == 3
+
+
+def test_curate_corpus_unigram_lm_gate(spark, tmp_path):
+    """The LM gate must drop the rare-token garbage doc that the
+    rule-based quality score alone cannot distinguish."""
+    subjects = ["fox", "dog", "cat", "bird", "horse", "mouse"]
+    rows = [
+        (i, "en", f"the quick {subjects[i - 1]} jumps over the lazy dog")
+        for i in range(1, 7)
+    ] + [(7, "en", "zxqv jkwp qqrtx mbvnz lkjhg pzwxc vvbnm")]
+    src = tmp_path / "lm_sf"
+    src.mkdir()
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.parquet(
+        str(src / "documents.parquet")
+    )
+    from impala_hashset_count_spark.pipelines import curate_corpus
+
+    no_gate = curate_corpus(
+        spark, str(src), str(tmp_path / "lm_out0"), min_quality=0.0
+    )
+    # 6 distinct prose docs + the garbage doc all survive dedup/quality
+    assert no_gate["n_after_quality"] == 7
+    gated = curate_corpus(
+        spark,
+        str(src),
+        str(tmp_path / "lm_out1"),
+        min_quality=0.0,
+        min_unigram_lp=-3.0,
+    )
+    # common-word prose scores ~ln(6/T) per token, the rare-token
+    # garbage ~ln(1/T): only the prose clears -3.0
+    assert gated["n_after_quality"] == 6

@@ -40,16 +40,25 @@ def boilerplate_lines(
     min_docs: int = 2,
     min_line_chars: int = 4,
     max_lines: int = 100_000,
+    sep: str = "\n",
 ) -> DataFrame:
-    """(line, n_docs): trimmed lines of >= ``min_line_chars`` chars that
-    appear in >= ``min_docs`` DISTINCT documents, deterministically
-    capped at ``max_lines`` by (n_docs desc, line)."""
+    """(line, n_docs): trimmed segments of >= ``min_line_chars`` chars
+    that appear in >= ``min_docs`` DISTINCT documents, deterministically
+    capped at ``max_lines`` by (n_docs desc, line).
+
+    ``sep`` sets the dedup granularity: the default ``"\n"`` is
+    line-level (C4-style); ``"\n\n"`` gives paragraph-level dedup for
+    corpora with strictly blank-line-separated paragraphs. The
+    separator must be a LITERAL (reassembly re-joins with the same
+    string — a regex split would lose the original bytes); it is
+    regex-quoted internally, so metacharacters are safe."""
     per_doc_distinct = df.select(
         F.explode(
             F.array_distinct(
                 F.filter(
                     F.transform(
-                        F.split(F.col(text_col), "\n"), lambda l: F.trim(l)
+                        F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1),
+                        lambda l: F.trim(l),
                     ),
                     lambda l: F.length(l) >= min_line_chars,
                 )
@@ -73,6 +82,7 @@ def strip_boilerplate_lines(
     min_line_chars: int = 4,
     max_lines: int = 100_000,
     boilerplate: DataFrame | None = None,
+    sep: str = "\n",
 ) -> DataFrame:
     """Rewrite ``text_col`` with boilerplate lines removed; all other
     columns and the relative order / exact bytes of kept lines are
@@ -83,14 +93,18 @@ def strip_boilerplate_lines(
     bp = (
         boilerplate
         if boilerplate is not None
-        else boilerplate_lines(df, text_col, min_docs, min_line_chars, max_lines)
+        else boilerplate_lines(
+            df, text_col, min_docs, min_line_chars, max_lines, sep
+        )
     ).select("line")
 
     others = [c for c in df.columns if c != text_col]
     exploded = df.select(
         *others,
         F.col(text_col).isNull().alias("__was_null"),
-        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+        F.posexplode_outer(
+            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+        ).alias(
             "__pos", "__raw"
         ),
     )
@@ -118,7 +132,7 @@ def strip_boilerplate_lines(
                 ),
                 lambda s: s["__raw"],
             ),
-            "\n",
+            sep,
             # posexplode_outer keeps a NULL-text doc as one
             # (NULL, NULL) row whose struct survives into the list;
             # array_join ignores its NULL element, and __was_null

@@ -139,3 +139,44 @@ def test_plan_single_corpus_shuffle(spark, sf_small):
     # the exploded corpus
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_paragraph_granularity(spark):
+    """sep='\\n\\n' dedups whole blank-line-separated paragraphs — a
+    multi-line repeated paragraph is removed as one unit (line-level
+    would only catch its individual lines)."""
+    para = "We use cookies on this site.\nSee our policy for details."
+    rows = [
+        (1, f"{para}\n\nunique one"),
+        (2, f"unique two\n\n{para}"),
+        (3, f"{para}\n\nunique three\n\nanother para"),
+        (4, "no boilerplate here\n\nat all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bp = [r.line for r in boilerplate_lines(df, min_docs=2, sep="\n\n").collect()]
+    assert bp == [para]
+    out = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(df, min_docs=2, sep="\n\n").collect()
+    }
+    assert out == {
+        1: "unique one",
+        2: "unique two",
+        3: "unique three\n\nanother para",
+        4: "no boilerplate here\n\nat all",
+    }
+
+
+def test_separator_with_regex_metachars_is_literal(spark):
+    rows = [(1, "a|b|KEEP"), (2, "c|b|d"), (3, "b|x")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # '|' as a raw regex would split on EVERY character boundary; the
+    # quoted literal must split on the pipe itself. min_line_chars=1 so
+    # the shared 'b' segment counts.
+    out = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(
+            df, min_docs=3, min_line_chars=1, sep="|"
+        ).collect()
+    }
+    assert out == {1: "a|KEEP", 2: "c|d", 3: "x"}

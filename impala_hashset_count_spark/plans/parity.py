@@ -767,17 +767,29 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS spend_rank,
                ROUND(SUM(o_totalprice) OVER (
                    PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)
-                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS spend_30d,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC), 6
+               ) AS spend_pct_rank,
+               ROUND(CUME_DIST() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC), 6
+               ) AS spend_cume_dist,
+               ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
     headline=True,
 )
 def window_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window family: row_number / running sum / lag / rank / RANGE-frame
-    trailing spend share one partitioning -> ONE shuffle serves all five
-    (WindowExec reuses the child partitioning; the differing orderings
-    only re-sort within partitions).
+    """Window family: row_number / running sum / lag / lead / rank /
+    ntile / percent_rank / cume_dist / RANGE-frame trailing spend share
+    one partitioning -> ONE shuffle serves all nine (WindowExec reuses
+    the child partitioning; the differing orderings only re-sort within
+    partitions). percent_rank/cume_dist tie rows (equal o_totalprice)
+    get equal values in any engine — deterministic without a tie-break;
+    ntile is deterministic because its ordering carries the unique
+    o_orderkey.
 
     ``spend_30d`` is the RANGE-frame member: per-customer trailing-30-day
     spend by VALUE distance over epoch seconds, not row count — peers
@@ -803,6 +815,10 @@ def window_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
         F.rank().over(wrank).alias("spend_rank"),
         F.round(F.sum("o_totalprice").over(wrange), 2).alias("spend_30d"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(wrank), 6).alias("spend_pct_rank"),
+        F.round(F.cume_dist().over(wrank), 6).alias("spend_cume_dist"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
     )
 
 

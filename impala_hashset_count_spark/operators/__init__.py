@@ -6,6 +6,7 @@ from .corpus_stats import (
     term_doc_stats,
     tfidf_top_terms,
     top_tokens,
+    unigram_logprob_scores,
 )
 from .decontaminate import contamination_stats, decontaminate, eval_shingle_index
 from .dedup import (
@@ -43,6 +44,7 @@ __all__ = [
     "term_doc_stats",
     "tfidf_top_terms",
     "top_tokens",
+    "unigram_logprob_scores",
     "asof_join",
     "brute_force_topk",
     "bucketed_table",

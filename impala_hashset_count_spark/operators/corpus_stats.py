@@ -63,7 +63,7 @@ def term_doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def doc_frequency(tf_table: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def doc_frequency(tf_table: DataFrame) -> DataFrame:
     """(term, df): number of documents containing each term, derived
     from ``term_doc_stats`` output — (id, term) rows are unique there,
     so a row count per term IS the document frequency. Shuffles only
@@ -92,7 +92,7 @@ def tfidf_top_terms(
     corpus-proportional with partial-agg / rank-limit pushdown, 2 is
     vocabulary-sized."""
     tf = term_doc_stats(df, id_col, text_col)
-    dfreq = doc_frequency(tf, id_col)
+    dfreq = doc_frequency(tf)
     if broadcast_vocab:
         dfreq = F.broadcast(dfreq)
     n_docs = df.where(

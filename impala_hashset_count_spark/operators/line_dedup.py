@@ -89,7 +89,18 @@ def strip_boilerplate_lines(
     preserved. A document whose every line was boilerplate becomes the
     empty string; NULL text stays NULL. Pass ``boilerplate`` to reuse a
     precomputed ``boilerplate_lines`` table (e.g. one built from a
-    sample, or shared across ingestion batches)."""
+    sample, or shared across ingestion batches).
+
+    Reassembly groups on every non-text column (``id_col`` must be one
+    of them — it is what makes groups document-unique). Rows that share
+    ALL non-text columns are treated as one document; a corpus with
+    duplicate ids is dirty input this op cannot repair (run it before
+    dedup, as ``curate_corpus`` does, only when ids are unique)."""
+    if id_col not in df.columns:
+        raise ValueError(
+            f"id_col {id_col!r} not in {df.columns} — reassembly needs a "
+            "document-unique key column"
+        )
     bp = (
         boilerplate
         if boilerplate is not None

@@ -117,17 +117,29 @@ def shuffle_rows(
     order; at 100 TB that is exactly the write-sharded layout a data
     loader streams sequentially.
 
+    ``key_col`` must be UNIQUE per row (a doc/sequence id) — that is
+    what makes the order total; rows sharing a key get identical
+    shuffle keys and sort adjacently with their relative order defined
+    only by the key tie-break, and NULL keys are hashed under a
+    sentinel (they land at one deterministic position instead of
+    clumping unshuffled).
+
     ``n_shards`` sizes the output (default: session shuffle
     parallelism). ``keep_key`` retains the ``__shuffle_key`` column for
     downstream order verification."""
+    key_str = F.coalesce(
+        F.col(key_col).cast("string"), F.lit("\u0000__null_key__")
+    )
     keyed = df.withColumn(
-        "__shuffle_key",
-        F.md5(F.concat(F.lit(str(seed)), F.col(key_col).cast("string"))),
+        "__shuffle_key", F.md5(F.concat(F.lit(str(seed)), key_str))
     )
     parts = (
         keyed.repartitionByRange(n_shards, "__shuffle_key")
         if n_shards
         else keyed.repartitionByRange("__shuffle_key")
     )
-    out = parts.sortWithinPartitions("__shuffle_key")
+    # secondary sort on the key itself: deterministic order even when
+    # distinct keys ever collide in md5 (and a stable adjacency rule
+    # for duplicate keys)
+    out = parts.sortWithinPartitions("__shuffle_key", key_col)
     return out if keep_key else out.drop("__shuffle_key")

@@ -96,7 +96,9 @@ def curate_corpus(
     falls below the threshold are dropped — the model-free axis the
     per-row heuristics cannot see (rare-token garbage reads as "clean"
     to punctuation/stopword rules). Costs one corpus explode/agg plus a
-    doc_id join when enabled.
+    doc_id join when enabled. Documents with NO scoreable tokens
+    (empty/blank text — e.g. fully-stripped boilerplate) have no
+    defined log-prob and are dropped by the gate.
 
     ``max_doc_chars`` truncates each document at ingestion (straggler
     guard: every per-doc metric below is O(len) or O(len log len) on
@@ -132,7 +134,11 @@ def curate_corpus(
         # documents differing only in a shared license header / nav menu
         # dedup together afterwards (operators/line_dedup.py; the
         # reassembly groupBy is the stage's one corpus shuffle)
-        bp = boilerplate_lines(docs, min_docs=strip_boilerplate_min_docs)
+        bp = boilerplate_lines(
+            docs, min_docs=strip_boilerplate_min_docs
+        ).persist()  # bounded at max_lines rows; without the persist the
+        # full-corpus line aggregation would run twice (once for the
+        # count, once to build the broadcast)
         n_boilerplate_lines = bp.count()
         docs = strip_boilerplate_lines(docs, "doc_id", "text", boilerplate=bp)
 
@@ -164,12 +170,12 @@ def curate_corpus(
         # the corpus-stats explode/agg plus a doc_id join of the
         # (doc_id, mean_lp) table back onto the kept corpus
         scores = unigram_logprob_scores(kept, "doc_id", "text")
+        # inner join: a doc with no score row has no scoreable tokens
+        # (empty/blank text, e.g. fully stripped boilerplate) and is
+        # dropped by the gate — documented behavior, not an accident
         kept = (
-            kept.join(scores.select("doc_id", "mean_lp"), "doc_id", "left")
-            .where(
-                F.col("mean_lp").isNotNull()
-                & (F.col("mean_lp") >= float(min_unigram_lp))
-            )
+            kept.join(scores.select("doc_id", "mean_lp"), "doc_id")
+            .where(F.col("mean_lp") >= float(min_unigram_lp))
             .drop("mean_lp")
         )
     n_after_quality = kept.count()

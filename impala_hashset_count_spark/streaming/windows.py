@@ -127,13 +127,14 @@ def stream_dedup_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_interval_join(left: DataFrame, right: DataFrame) -> DataFrame:
-    """Stream-stream INNER interval join: for each event, the same
-    user's follow-up events within 10 minutes. Both sides carry
-    watermarks and the join condition time-bounds r_ts relative to
-    l_ts, which is what lets Spark EVICT join state (without the time
-    bound, stream-stream state grows forever). The strict ``r_ts >
-    l_ts`` also makes self-pairing impossible."""
+def _interval_join(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+    """Shared body of the stream-stream interval joins: both sides
+    carry watermarks and the join condition time-bounds r_ts relative
+    to l_ts, which is what lets Spark EVICT join state (without the
+    time bound, stream-stream state grows forever). The strict
+    ``r_ts > l_ts`` also makes self-pairing impossible. One definition
+    serves both join types so the inner and outer faces can never
+    desynchronize on the interval or watermark."""
     l = left.withWatermark("ts", "1 hour").select(
         F.col("user_id").alias("l_user"),
         F.col("event_id").alias("l_event"),
@@ -150,9 +151,14 @@ def stream_interval_join(left: DataFrame, right: DataFrame) -> DataFrame:
             "l_user = r_user AND r_ts > l_ts "
             "AND r_ts <= l_ts + INTERVAL 10 MINUTES"
         ),
-    ).select(
-        F.col("l_user").alias("user_id"), "l_event", "r_event"
-    )
+        how,
+    ).select(F.col("l_user").alias("user_id"), "l_event", "r_event")
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Stream-stream INNER interval join: for each event, the same
+    user's follow-up events within 10 minutes."""
+    return _interval_join(left, right, "inner")
 
 
 def stream_interval_join_left_outer(
@@ -169,24 +175,7 @@ def stream_interval_join_left_outer(
     advancing for anything to finalize (an idle right stream stalls
     left-side emission). Two-real-microbatch eviction proof in
     tests/test_streaming.py."""
-    l = left.withWatermark("ts", "1 hour").select(
-        F.col("user_id").alias("l_user"),
-        F.col("event_id").alias("l_event"),
-        F.col("ts").alias("l_ts"),
-    )
-    r = right.withWatermark("ts", "1 hour").select(
-        F.col("user_id").alias("r_user"),
-        F.col("event_id").alias("r_event"),
-        F.col("ts").alias("r_ts"),
-    )
-    return l.join(
-        r,
-        F.expr(
-            "l_user = r_user AND r_ts > l_ts "
-            "AND r_ts <= l_ts + INTERVAL 10 MINUTES"
-        ),
-        "leftOuter",
-    ).select(F.col("l_user").alias("user_id"), "l_event", "r_event")
+    return _interval_join(left, right, "leftOuter")
 
 
 SESSION_STATE_SCHEMA = "n_sessions int, last_ts double"

@@ -120,3 +120,24 @@ def test_shuffle_rows_shard_ranges_do_not_overlap(spark):
     ordered = [bounds[p] for p in sorted(bounds)]
     for (_, hi), (lo, _) in zip(ordered, ordered[1:]):
         assert hi <= lo, f"shard hash ranges overlap: {ordered}"
+
+
+def test_shuffle_rows_null_keys_deterministic(spark):
+    from impala_hashset_count_spark.operators.sampling import shuffle_rows
+
+    rows = [(None, "n1"), (1, "a"), (None, "n2"), (2, "b")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = shuffle_rows(df, "doc_id", seed="s", n_shards=2, keep_key=True)
+    got = [(r["__shuffle_key"], r.doc_id) for r in out.collect()]
+    # NULL keys hash under the sentinel, not to NULL: every row carries
+    # a real shuffle key and output is a full permutation
+    assert all(k is not None for k, _ in got)
+    assert len(got) == 4
+    a = sorted(got)
+    b = sorted(
+        (r["__shuffle_key"], r.doc_id)
+        for r in shuffle_rows(
+            df.repartition(3), "doc_id", seed="s", n_shards=2, keep_key=True
+        ).collect()
+    )
+    assert a == b

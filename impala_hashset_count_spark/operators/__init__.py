@@ -31,7 +31,7 @@ from .hashset_count import (
     register_sql_udaf,
 )
 from .packing import chunk_documents, pack_sequences_greedy
-from .sampling import mix_corpus, shuffle_rows, stratified_hash_sample
+from .sampling import hash_split, mix_corpus, shuffle_rows, stratified_hash_sample
 from .similarity import brute_force_topk, ivf_topk, lsh_topk
 from .skew import bucketed_table, salted_join
 
@@ -41,6 +41,7 @@ __all__ = [
     "boilerplate_lines",
     "strip_boilerplate_lines",
     "doc_frequency",
+    "hash_split",
     "term_doc_stats",
     "tfidf_top_terms",
     "top_tokens",

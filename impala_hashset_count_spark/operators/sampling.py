@@ -143,3 +143,37 @@ def shuffle_rows(
     # for duplicate keys)
     out = parts.sortWithinPartitions("__shuffle_key", key_col)
     return out if keep_key else out.drop("__shuffle_key")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: each row gets a split label
+    from the hash-uniform of its key against cumulative weight
+    boundaries — disjoint, exhaustive, reproducible on any
+    partitioning/engine (``df.randomSplit`` is neither reproducible
+    across partitionings nor disjoint-by-key), and a document keeps its
+    split when the corpus around it changes (stable membership under
+    incremental ingestion). Zero shuffle: one codegen'd CASE per row.
+
+    ``weights`` must sum to ~1 (validated); iteration order is sorted
+    by name for determinism. Rows sharing a key share a split —
+    deliberate (split leakage guard: all chunks of one doc land on the
+    same side)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    u = _uniform_from_hash(F.col(key_col))
+    expr = None
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -180,3 +180,45 @@ def test_separator_with_regex_metachars_is_literal(spark):
         ).collect()
     }
     assert out == {1: "a|KEEP", 2: "c|d", 3: "x"}
+
+
+def test_property_strip_matches_python_reference(spark):
+    """Random small corpora: strip must equal a direct Python
+    computation of the same rule (trimmed segments >= min chars in >=
+    min_docs distinct docs removed, kept bytes re-joined)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    line = st.text(alphabet="abX \n", min_size=0, max_size=10)
+    doc = st.lists(line, min_size=0, max_size=5).map(lambda ls: "\n".join(ls))
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(corpus)
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        seen = Counter()
+        for _, t in rows:
+            for seg in {
+                s.strip() for s in t.split("\n") if len(s.strip()) >= 2
+            }:
+                seen[seg] += 1
+        bp = {seg for seg, n in seen.items() if n >= 2}
+        expected = {
+            i: "\n".join(s for s in t.split("\n") if s.strip() not in bp)
+            for i, t in rows
+        }
+        got = {
+            r.doc_id: r.text
+            for r in strip_boilerplate_lines(
+                df, min_docs=2, min_line_chars=2
+            ).collect()
+        }
+        assert got == expected
+
+    run()

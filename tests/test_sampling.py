@@ -141,3 +141,29 @@ def test_shuffle_rows_null_keys_deterministic(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    from impala_hashset_count_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id bigint")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # exhaustive: every row labeled
+    assert sum(counts.values()) == 2000
+    # ratios approximate the weights
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    assert 0.05 < counts["val"] / 2000 < 0.16
+    # stable membership: a doc's split is independent of the corpus
+    # around it (incremental-ingestion guarantee)
+    sub = hash_split(
+        df.filter("doc_id < 100"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    full_map = {r.doc_id: r.split for r in out.filter("doc_id < 100").collect()}
+    sub_map = {r.doc_id: r.split for r in sub.collect()}
+    assert full_map == sub_map
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 0.5, "b": 0.2})

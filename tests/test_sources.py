@@ -229,3 +229,41 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score", "batch"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[1] is None and rows[2] == 3.5
+
+
+def test_dynamic_partition_pruning_on_partitioned_join(spark, sf_small, tmp_path):
+    """A hive-partitioned fact joined to a filtered dim must prune
+    partitions at RUNTIME via dynamic partition pruning (the
+    dynamicpruningexpression in PartitionFilters): at 100 TB this is
+    what keeps a fact-dim join from scanning every partition when the
+    dim filter is only known at run time. (Runtime bloom-filter
+    injection, the row-level analogue, deliberately does NOT trigger
+    here: the filtered dim side broadcasts, and broadcast joins don't
+    need a runtime filter.)"""
+    import contextlib
+    import io
+
+    base = os.path.join(str(tmp_path), "orders_by_priority")
+    load_table(spark, sf_small, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(base)
+    fact = spark.read.parquet(base)
+    dim = (
+        load_table(spark, sf_small, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .filter("o_orderpriority LIKE '1-%'")
+    )
+    joined = fact.join(dim, "o_orderpriority")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+    # and the result is correct: only 1-URGENT rows survive
+    n_expected = (
+        load_table(spark, sf_small, "orders")
+        .filter("o_orderpriority LIKE '1-%'")
+        .count()
+    )
+    assert joined.count() == n_expected

@@ -244,3 +244,34 @@ def test_asof_pandas_strategy_matches_window(spark, sf_small):
     ka = sorted((r["event_id"], r["o_orderkey"]) for r in a.collect())
     kb = sorted((r["event_id"], r["o_orderkey"]) for r in b.collect())
     assert ka == kb
+
+
+def test_type_generality_beyond_reference_strings(spark):
+    """The reference accepts STRING only (`hashset-count.h:31`); the
+    Spark rebuild counts any orderable type through the same API — the
+    'for free from Spark' claim in SURVEY §1.2, here made true by test:
+    bigint, double (incl. -0.0/0.0 and NaN semantics), date-like
+    strings and NULLs in one grouped multi-distinct pass."""
+    rows = [
+        ("g1", 1, 1.5, "2024-01-01"),
+        ("g1", 1, -0.0, "2024-01-01"),
+        ("g1", 2, 0.0, "2024-01-02"),
+        ("g1", None, float("nan"), None),
+        ("g2", 7, float("nan"), "2024-03-01"),
+        ("g2", 7, float("nan"), "2024-03-01"),
+    ]
+    df = spark.createDataFrame(rows, "k string, i bigint, d double, s string")
+    out = {
+        r["k"]: (r["hashset_count_i"], r["hashset_count_d"], r["hashset_count_s"])
+        for r in hashset_count_df(
+            df, ["k"], ["i", "d", "s"], faithful=False
+        ).collect()
+    }
+    # g1: i in {1, 2}; d: -0.0 == 0.0 normalize to ONE distinct plus
+    # 1.5 -> 2 (NaN excluded? no: count_distinct counts NaN as a value
+    # -> 3); s: two dates. Spark treats NaN == NaN in aggregation.
+    assert out["g1"][0] == 2
+    assert out["g1"][1] == 3  # {1.5, 0.0 (== -0.0), NaN}
+    assert out["g1"][2] == 2
+    # g2: duplicate NaNs collapse to one distinct value
+    assert out["g2"] == (1, 1, 1)

@@ -911,6 +911,9 @@ _FILTER_AGG_SQL = """
            COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
            COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
            ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax = 0), 2) AS rev_untaxed,
+           ROUND(AVG(l_quantity) FILTER (WHERE l_discount = 0), 4) AS avg_qty_nodisc,
+           BOOL_AND(l_quantity > 0) AS all_positive_qty,
+           BOOL_OR(l_discount > 0.09) AS any_deep_discount,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag

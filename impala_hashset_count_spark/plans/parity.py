@@ -1066,7 +1066,12 @@ def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                embedding[1] AS e0,
                ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
-               CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+               CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+               LEN(LIST_FILTER(embedding, x -> x > 0.25)) > 0 AS any_big,
+               LEN(LIST_FILTER(embedding, x -> x <= -1.0)) = 0 AS all_gt_neg1,
+               ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 4) AS vmax,
+               LIST_TRANSFORM(LIST_SORT(embedding)[1:3],
+                              x -> ROUND(CAST(x AS DOUBLE), 4)) AS smallest3
         FROM embeddings
     """,
 )
@@ -1085,4 +1090,11 @@ def scalar_array_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).alias("e0"),
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.exists("embedding", lambda x: x > 0.25).alias("any_big"),
+        F.forall("embedding", lambda x: x > -1.0).alias("all_gt_neg1"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("vmax"),
+        F.transform(
+            F.slice(F.array_sort("embedding"), 1, 3),
+            lambda x: F.round(x.cast("double"), 4),
+        ).alias("smallest3"),
     )

@@ -127,13 +127,13 @@ def stream_dedup_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
-def _interval_join(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+def _interval_join_raw(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
     """Shared body of the stream-stream interval joins: both sides
     carry watermarks and the join condition time-bounds r_ts relative
     to l_ts, which is what lets Spark EVICT join state (without the
     time bound, stream-stream state grows forever). The strict
     ``r_ts > l_ts`` also makes self-pairing impossible. One definition
-    serves both join types so the inner and outer faces can never
+    serves every join type so the inner and outer faces can never
     desynchronize on the interval or watermark."""
     l = left.withWatermark("ts", "1 hour").select(
         F.col("user_id").alias("l_user"),
@@ -152,7 +152,13 @@ def _interval_join(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
             "AND r_ts <= l_ts + INTERVAL 10 MINUTES"
         ),
         how,
-    ).select(F.col("l_user").alias("user_id"), "l_event", "r_event")
+    )
+
+
+def _interval_join(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+    return _interval_join_raw(left, right, how).select(
+        F.col("l_user").alias("user_id"), "l_event", "r_event"
+    )
 
 
 def stream_interval_join(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -373,3 +379,20 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     q.processAllAvailable()
     q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def stream_interval_join_full_outer(
+    left: DataFrame, right: DataFrame
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: unmatched rows from
+    EITHER side emit null-padded once the global watermark evicts their
+    state. Right-side-only rows surface with NULL l_event and the
+    user_id taken from the right row — the shared body guarantees the
+    interval/watermark semantics match the inner and left-outer
+    faces."""
+    joined = _interval_join_raw(left, right, "fullOuter")
+    return joined.select(
+        F.coalesce(F.col("l_user"), F.col("r_user")).alias("user_id"),
+        "l_event",
+        "r_event",
+    )

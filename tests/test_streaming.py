@@ -407,3 +407,54 @@ def test_stream_interval_join_left_outer_evicts_and_null_pads(spark, tmp_path):
         q.stop()
     assert (1, 10, 11) in out, f"matched pair missing: {out}"
     assert (2, 20, None) in out, f"unmatched row not null-padded: {out}"
+
+
+def test_stream_interval_join_full_outer_pads_both_sides(spark, tmp_path):
+    """Full-outer face: unmatched LEFT rows null-pad r_event and
+    unmatched RIGHT rows null-pad l_event (with user_id recovered from
+    the right side), each only after the global watermark evicts their
+    state."""
+    import datetime as dt
+
+    from impala_hashset_count_spark.streaming.windows import (
+        stream_interval_join_full_outer,
+    )
+
+    lsrc = str(tmp_path / "fo_left")
+    rsrc = str(tmp_path / "fo_right")
+    schema = "event_id bigint, user_id bigint, ts timestamp"
+
+    def write(path, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # user 1: matched pair; user 2: left-only; user 3: right-only
+    write(lsrc, [(10, 1, t(1, 0)), (20, 2, t(1, 0))])
+    write(rsrc, [(11, 1, t(1, 5)), (31, 3, t(1, 5))])
+
+    joined = stream_interval_join_full_outer(
+        spark.readStream.schema(schema).parquet(lsrc),
+        spark.readStream.schema(schema).parquet(rsrc),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_fo_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(lsrc, [(90, 9, t(5, 0))])
+        write(rsrc, [(91, 9, t(5, 0))])
+        q.processAllAvailable()
+        out = {
+            (r.user_id, r.l_event, r.r_event)
+            for r in spark.table("t_fo_join").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, 10, 11) in out, out
+    assert (2, 20, None) in out, out
+    assert (3, None, 31) in out, out

@@ -267,3 +267,50 @@ def test_dynamic_partition_pruning_on_partitioned_join(spark, sf_small, tmp_path
         .count()
     )
     assert joined.count() == n_expected
+
+
+def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """The production media-ingestion path: spark.read.format
+    ('binaryFile') turns a directory of media blobs into (path,
+    modificationTime, length, content) rows, and the content column
+    feeds the multimodal mapInPandas operators directly — no custom
+    reader code between object store and engine. (pathGlobFilter +
+    recursiveFileLookup are how a 100 TB media lake scopes the scan.)"""
+    from impala_hashset_count_spark.operators.multimodal import (
+        extract_image_metadata,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {
+        "a.img": b"\x89fakepng" + b"x" * 100,
+        "b.img": b"\x89fakepng" + b"y" * 257,
+        "skip.txt": b"not media",
+    }
+    for name, blob in payloads.items():
+        (media / name).write_bytes(blob)
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img")
+        .load(str(media))
+    )
+    assert {"path", "modificationTime", "length", "content"} <= set(blobs.columns)
+    assert blobs.count() == 2  # the glob filter excluded skip.txt
+
+    rows = blobs.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"), "length", "content"
+    ).collect()
+    by_name = {r.name: r for r in rows}
+    assert bytes(by_name["a.img"].content) == payloads["a.img"]
+    assert by_name["b.img"].length == len(payloads["b.img"])
+
+    # content -> the image metadata operator (deterministic stub
+    # decode), exactly as attach_binary_payload-produced columns do
+    meta_in = blobs.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    meta = extract_image_metadata(meta_in)
+    got = {r.byte_len for r in meta.collect()}
+    assert got == {len(payloads["a.img"]), len(payloads["b.img"])}

@@ -40,6 +40,28 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 
+def _qfix(col, scale: float):
+    """Boundary-robust fixed-point quantization: ``floor(x*scale + 0.5)
+    / scale`` as a double.
+
+    Unlike ``ROUND(x, d)``, whose result can flip on the d-th decimal
+    when an upstream float sum lands near a rounding boundary (the sum
+    depends on partition order, so Spark and an oracle engine can
+    disagree in the last ulps), this is a single deterministic IEEE
+    multiply/add/floor/divide — identical bit-for-bit in any engine
+    given the same input double. Where the input itself is an
+    order-dependent SUM, quantize the addends first and sum integers
+    (see ``bm25_topn`` / ``unigram_logprob_scores``)."""
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("double") / F.lit(scale)
+
+
+def _qint(col, scale: float):
+    """Integer fixed-point: ``floor(x*scale + 0.5)`` as BIGINT — the
+    summable form of ``_qfix`` (integer addition is exact and
+    order-independent, so SUMs of these are engine-stable)."""
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
 def _tok_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per token instance: (id, term). NULL/blank documents
     contribute no rows; empty-string terms (split artifacts) are
@@ -83,8 +105,11 @@ def tfidf_top_terms(
     score = tf * (ln((1 + N) / (1 + df)) + 1)   (sklearn's smooth idf)
 
     Returns (id, term, tf, tfidf, rank), rank 1..k ordered by
-    (round(tfidf, 6) desc, term) — rounding before ranking keeps tie
-    order engine-deterministic for the oracle comparison.
+    (tfidf desc, term) with tfidf quantized via ``_qfix(., 1e4)`` —
+    quantizing before ranking keeps both tie order and the emitted
+    value engine-deterministic for the oracle comparison (all inputs
+    to the score are exact integers, so the score itself is a single
+    deterministic float expression per row).
 
     Shuffle account: corpus explode -> (id, term) agg [1], vocab agg
     [2, tiny], broadcast join back (no corpus shuffle), rank-limited
@@ -103,13 +128,13 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(
+            _qfix(
                 F.col("tf")
                 * (
                     F.log((1 + F.col("__n")) / (1 + F.col("df")))
                     + F.lit(1.0)
                 ),
-                6,
+                1e4,
             ),
         )
     )
@@ -137,8 +162,12 @@ def bm25_topn(
     with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
 
     Returns the top ``n`` documents as (id, score, n_matched) ordered by
-    (round(score, 6) desc, id) — a ``TakeOrderedAndProject``, no full
-    sort.
+    (score desc, id) — a ``TakeOrderedAndProject``, no full sort. The
+    score is an exact BIGINT sum of per-term contributions quantized to
+    micro-units (``_qint(., 1e6)``), divided back to a double: integer
+    addition is order-independent, so the emitted score is bit-stable
+    across partitionings AND engines (a float SUM rounded after the
+    fact is not — the summation order differs).
 
     The corpus-wide pieces (N, avgdl) are one tiny aggregate; tf and df
     for the QUERY terms only come from a per-row ``array_intersect``
@@ -206,7 +235,10 @@ def bm25_topn(
     return (
         scored.groupBy(id_col)
         .agg(
-            F.round(F.sum("__contrib"), 6).alias("score"),
+            (
+                F.sum(_qint(F.col("__contrib"), 1e6)).cast("double")
+                / F.lit(1e6)
+            ).alias("score"),
             F.count("*").alias("n_matched"),
         )
         .orderBy(F.col("score").desc(), F.col(id_col))
@@ -278,7 +310,10 @@ def unigram_logprob_scores(
     is unnecessary by construction: every scored token occurs in the
     corpus (c >= 1).
 
-    Returns (id, n_tokens, mean_lp). Shuffle account: the one corpus
+    Returns (id, n_tokens, mean_lp) with the log-prob sum accumulated
+    as an exact BIGINT of micro-unit addends (``_qint(., 1e6)``) so the
+    emitted mean is bit-stable across partitionings and engines.
+    Shuffle account: the one corpus
     explode feeds the partial-aggregated (doc, term) shuffle, the
     token-count table (vocabulary-sized) aggregates on top and
     broadcasts back, T rides a single-row broadcast cross join, and the
@@ -295,10 +330,14 @@ def unigram_logprob_scores(
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("tf") * F.log(F.col("c") / F.col("__T")))
-                / F.sum("tf"),
-                6,
+            (
+                (
+                    F.sum(
+                        _qint(F.col("tf") * F.log(F.col("c") / F.col("__T")), 1e6)
+                    ).cast("double")
+                    / F.lit(1e6)
+                )
+                / F.sum("tf")
             ).alias("mean_lp"),
         )
     )

@@ -813,8 +813,8 @@ _CORPUS_STATS_ORACLE = r"""
     n AS (SELECT COUNT(*) AS n_docs FROM base),
     tfidf_scored AS (
         SELECT tf.doc_id, tf.term, tf.tf,
-               ROUND(tf.tf * (LN((1 + n.n_docs) / (1 + dfreq.df)) + 1),
-                     6) AS tfidf
+               CAST(FLOOR(tf.tf * (LN((1 + n.n_docs) / (1 + dfreq.df)) + 1)
+                          * 1e4 + 0.5) AS DOUBLE) / 1e4 AS tfidf
         FROM tf JOIN dfreq USING (term) CROSS JOIN n
     ),
     tfidf_ranked AS (
@@ -841,7 +841,10 @@ _CORPUS_STATS_ORACLE = r"""
         FROM qtf JOIN qdf USING (term) CROSS JOIN stats
     ),
     bm25 AS (
-        SELECT doc_id, ROUND(SUM(c), 6) AS score, COUNT(*) AS n_matched
+        SELECT doc_id,
+               CAST(SUM(CAST(FLOOR(c * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e6 AS score,
+               COUNT(*) AS n_matched
         FROM contrib GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT 20
     ),
@@ -856,8 +859,9 @@ _CORPUS_STATS_ORACLE = r"""
     tot AS (SELECT SUM(tf) AS t FROM tf),
     ulp AS (
         SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
-               ROUND(SUM(tf.tf * LN(per_term.nrun * 1.0 / tot.t))
-                     / SUM(tf.tf), 6) AS mean_lp
+               (CAST(SUM(CAST(FLOOR(tf.tf * LN(per_term.nrun * 1.0 / tot.t)
+                                    * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 1e6) / SUM(tf.tf) AS mean_lp
         FROM tf JOIN per_term USING (term) CROSS JOIN tot
         GROUP BY tf.doc_id
     )

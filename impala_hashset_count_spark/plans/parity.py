@@ -1070,14 +1070,24 @@ def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                LEN(LIST_FILTER(embedding, x -> x > 0.25)) > 0 AS any_big,
                LEN(LIST_FILTER(embedding, x -> x <= -1.0)) = 0 AS all_gt_neg1,
                ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 4) AS vmax,
-               LIST_TRANSFORM(LIST_SORT(embedding)[1:3],
-                              x -> ROUND(CAST(x AS DOUBLE), 4)) AS smallest3
+               ARRAY_TO_STRING(
+                   LIST_TRANSFORM(LIST_SORT(embedding)[1:3],
+                       x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5)
+                                      AS BIGINT) AS VARCHAR)),
+                   ',') AS smallest3
         FROM embeddings
     """,
 )
 def scalar_array_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-column surface (higher-order functions stay JVM-side — no
-    Python in the loop for 100 TB of vectors)."""
+    Python in the loop for 100 TB of vectors).
+
+    The three smallest components are emitted as one comma-joined
+    STRING of integer-scaled values (``floor(x*1e4 + 0.5)``) rather
+    than a raw ARRAY column: the external verifier canonicalizes via a
+    pandas sort, which cannot sort array cells, and integer-scaled
+    fixed-point via floor is bit-identical IEEE arithmetic in both
+    engines (no round-half tie divergence)."""
     e = _t(spark, sf_dir, "embeddings")
     sq_sum = F.aggregate(
         "embedding",
@@ -1093,8 +1103,13 @@ def scalar_array_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists("embedding", lambda x: x > 0.25).alias("any_big"),
         F.forall("embedding", lambda x: x > -1.0).alias("all_gt_neg1"),
         F.round(F.array_max("embedding").cast("double"), 4).alias("vmax"),
-        F.transform(
-            F.slice(F.array_sort("embedding"), 1, 3),
-            lambda x: F.round(x.cast("double"), 4),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.array_sort("embedding"), 1, 3),
+                lambda x: F.floor(x.cast("double") * 10000 + 0.5)
+                .cast("bigint")
+                .cast("string"),
+            ),
         ).alias("smallest3"),
     )

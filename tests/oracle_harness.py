@@ -10,9 +10,6 @@ import duckdb
 
 from impala_hashset_count_spark.sources.tables import TABLES, table_path
 
-FLOAT_TOL = 1e-6
-
-
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:
@@ -23,12 +20,18 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v):
+    # Floats are compared EXACTLY (via repr) — the external driver gate
+    # hashes values with no tolerance, so a tolerant local comparison
+    # would mask driver-only failures (it did, in round 2, for
+    # corpus_stats_documents). Queries must emit engine-bit-stable
+    # floats (exact integer arithmetic, or fixed-point quantization of
+    # deterministic per-row expressions — see corpus_stats._qfix).
     if v is None:
         return ("null",)
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
-        return ("f", round(v, 6))
+        return ("f", repr(v))
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, (list, tuple)):

@@ -21,6 +21,17 @@ from impala_hashset_count_spark.operators.corpus_stats import (
 from .test_plans import explain_str
 
 
+def qfix(x: float, scale: float = 1e4) -> float:
+    """Mirror of corpus_stats._qfix for expected values."""
+    return math.floor(x * scale + 0.5) / scale
+
+
+def qsum(xs, scale: float = 1e6) -> float:
+    """Mirror of the micro-unit integer-sum quantization: quantize each
+    addend to an integer, sum exactly, divide back."""
+    return sum(math.floor(x * scale + 0.5) for x in xs) / scale
+
+
 @pytest.fixture(scope="module")
 def tiny(spark):
     rows = [
@@ -56,7 +67,7 @@ def test_tfidf_known_answer(tiny):
     # doc 1: apple tf=2 (df=2), banana tf=1 (df=2) -> apple first.
     d1 = sorted(by_doc[1], key=lambda r: r.rank)
     assert [r.term for r in d1] == ["apple", "banana"]
-    assert d1[0].tfidf == pytest.approx(round(2 * idf(2), 6))
+    assert d1[0].tfidf == pytest.approx(qfix(2 * idf(2)))
     # doc 2: banana and cherry both tf=1, cherry rarer (df=1) -> higher.
     d2 = sorted(by_doc[2], key=lambda r: r.rank)
     assert [r.term for r in d2] == ["cherry", "banana"]
@@ -84,8 +95,8 @@ def test_bm25_ranks_matching_docs(tiny):
         return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
 
     got = {r.doc_id: r.score for r in out}
-    assert got[3] == pytest.approx(round(score(3, 4), 6))
-    assert got[1] == pytest.approx(round(score(2, 3), 6))
+    assert got[3] == pytest.approx(qsum([score(3, 4)]))
+    assert got[1] == pytest.approx(qsum([score(2, 3)]))
 
 
 def test_bm25_multi_term_and_empty_query(tiny):
@@ -195,11 +206,32 @@ def test_unigram_logprob_known_answer(tiny):
     # corpus tokens: apple x5, banana x2, cherry x1, durian x1 -> T = 9
     T = 9.0
     lp = lambda c: math.log(c / T)  # noqa: E731
-    d1 = round((2 * lp(5) + 1 * lp(2)) / 3, 6)   # "apple banana apple"
-    d3 = round((3 * lp(5) + 1 * lp(1)) / 4, 6)   # "apple apple apple durian"
-    assert out[1] == (3, d1)
-    assert out[3] == (4, d3)
+    # micro-unit integer sum of per-term addends, then / n_tokens
+    d1 = qsum([2 * lp(5), 1 * lp(2)]) / 3   # "apple banana apple"
+    d3 = qsum([3 * lp(5), 1 * lp(1)]) / 4   # "apple apple apple durian"
+    assert out[1] == (3, pytest.approx(d1))
+    assert out[3] == (4, pytest.approx(d3))
     # NULL/blank docs score nothing
     assert 4 not in out and 5 not in out
     # common-word documents must outscore rare-word documents
     assert out[1][1] > out[2][1]
+
+
+def test_partition_sweep_hash_stability(spark, sf_small, monkeypatch):
+    """The round-2 driver hash-fail was a summation-order sensitivity:
+    ROUND(float-sum, 6) flipped on the 6th decimal between engines.
+    The fix quantizes addends to exact integer micro-units before
+    summation; this sweep proves the canonical output is BIT-identical
+    across shuffle-partition counts (2 / 8 / 32), i.e. independent of
+    summation order — a tested property, not luck."""
+    from impala_hashset_count_spark.plans import all_queries
+
+    q = all_queries()["corpus_stats_documents"]
+    outs = []
+    for n in ("2", "8", "32"):
+        # tune_session (inside the registry wrapper) re-reads this env
+        # var and re-applies spark.sql.shuffle.partitions per call.
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", n)
+        rows = sorted(map(tuple, q.fn(spark, sf_small).collect()))
+        outs.append(rows)
+    assert outs[0] == outs[1] == outs[2]

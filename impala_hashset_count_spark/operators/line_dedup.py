@@ -34,6 +34,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _regex_quote(sep: str) -> str:
+    """Quote a literal separator for Java regex by escaping every
+    non-alphanumeric character. ``\\Q...\\E`` quoting is NOT safe here:
+    a separator containing the literal sequence ``\\E`` would terminate
+    the quote early and inject the remainder as live regex, making the
+    split and the literal re-join disagree (corrupting kept bytes).
+    Per-character escaping has no such escape hatch — Java regex
+    permits a backslash before any non-alphanumeric character."""
+    if not sep:
+        raise ValueError("sep must be non-empty")
+    return "".join(ch if ch.isalnum() else "\\" + ch for ch in sep)
+
+
 def boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -51,13 +64,15 @@ def boilerplate_lines(
     corpora with strictly blank-line-separated paragraphs. The
     separator must be a LITERAL (reassembly re-joins with the same
     string — a regex split would lose the original bytes); it is
-    regex-quoted internally, so metacharacters are safe."""
+    regex-quoted internally (per-character escaping, see
+    ``_regex_quote``), so metacharacters — including ``\\E`` — are
+    safe."""
     per_doc_distinct = df.select(
         F.explode(
             F.array_distinct(
                 F.filter(
                     F.transform(
-                        F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1),
+                        F.split(F.col(text_col), F.lit(_regex_quote(sep)), -1),
                         lambda l: F.trim(l),
                     ),
                     lambda l: F.length(l) >= min_line_chars,
@@ -114,7 +129,7 @@ def strip_boilerplate_lines(
         *others,
         F.col(text_col).isNull().alias("__was_null"),
         F.posexplode_outer(
-            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+            F.split(F.col(text_col), F.lit(_regex_quote(sep)), -1)
         ).alias(
             "__pos", "__raw"
         ),

@@ -162,11 +162,17 @@ def hash_split(
     ``weights`` must sum to ~1 (validated); iteration order is sorted
     by name for determinism. Rows sharing a key share a split —
     deliberate (split leakage guard: all chunks of one doc land on the
-    same side)."""
+    same side). NULL keys hash under the same sentinel ``shuffle_rows``
+    uses — they all land in ONE deterministic split chosen by the hash
+    (without the coalesce, ``md5(NULL)`` is NULL, every boundary
+    comparison is NULL, and the CASE would silently dump every NULL-key
+    row into the last split, breaking the hash-uniform contract)."""
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
-    u = _uniform_from_hash(F.col(key_col))
+    u = _uniform_from_hash(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("\u0000__null_key__"))
+    )
     expr = None
     acc = 0.0
     names = sorted(weights)

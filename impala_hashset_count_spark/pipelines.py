@@ -134,13 +134,16 @@ def curate_corpus(
         # documents differing only in a shared license header / nav menu
         # dedup together afterwards (operators/line_dedup.py; the
         # reassembly groupBy is the stage's one corpus shuffle)
-        bp = boilerplate_lines(
-            docs, min_docs=strip_boilerplate_min_docs
-        ).persist()  # bounded at max_lines rows; without the persist the
-        # full-corpus line aggregation would run twice (once for the
-        # count, once to build the broadcast)
-        n_boilerplate_lines = bp.count()
-        docs = strip_boilerplate_lines(docs, "doc_id", "text", boilerplate=bp)
+        bp = boilerplate_lines(docs, min_docs=strip_boilerplate_min_docs)
+        # bounded at max_lines rows (it is broadcast downstream anyway):
+        # materialize ONCE to the driver and rebuild as a local
+        # DataFrame, so the count and the broadcast side share one
+        # computation. (A persist here would leak cached partitions for
+        # the rest of the session — nothing below ever unpersisted it.)
+        bp_rows = bp.collect()
+        n_boilerplate_lines = len(bp_rows)
+        bp_local = spark.createDataFrame(bp_rows, bp.schema)
+        docs = strip_boilerplate_lines(docs, "doc_id", "text", boilerplate=bp_local)
 
     deduped = exact_dedup(
         docs.withColumn("__fp", fingerprint_md5("text")), ["__fp"], "doc_id"

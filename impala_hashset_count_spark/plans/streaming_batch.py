@@ -273,17 +273,30 @@ def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND r.ts > l.ts
               AND r.ts <= l.ts + INTERVAL 10 MINUTE
         )
+        UNION ALL
+        SELECT 'lone_r', r.user_id, NULL, r.event_id
+        FROM events r
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events l
+            WHERE l.user_id = r.user_id
+              AND r.ts > l.ts
+              AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        )
     """,
 )
 def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of BOTH stream-stream interval joins, tagged:
+    """Batch twin of ALL THREE stream-stream interval joins, tagged:
     ``pair`` rows are the INNER semantics (same-user follow-up within
     10 minutes); ``lone`` rows are events with NO follow-up — exactly
     the rows the LEFT OUTER streaming face
     (``streaming/windows.py::stream_interval_join_left_outer``)
     null-pads after watermark eviction, here as a LEFT ANTI join
-    (pair + lone == the left-outer result). Equi-key on user_id keeps
-    both branches hash joins with a range residual — never a time-only
+    (pair + lone == the left-outer result); ``lone_r`` rows are events
+    with no PRECEDING event in-window — the extra rows the FULL OUTER
+    face (``streaming/windows.py::stream_interval_join_full_outer``)
+    emits beyond left-outer, here as the mirrored anti join (pair +
+    lone + lone_r == the full-outer result). Equi-key on user_id keeps
+    all branches hash joins with a range residual — never a time-only
     cross join."""
     ev = _t(spark, sf_dir, "events")
     l = ev.select(
@@ -313,7 +326,13 @@ def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         "l_event",
         F.lit(None).cast("long").alias("r_event"),
     )
-    return pairs.unionByName(lone)
+    lone_r = r.join(l, cond, "left_anti").select(
+        F.lit("lone_r").alias("tag"),
+        F.col("r_user").alias("user_id"),
+        F.lit(None).cast("long").alias("l_event"),
+        "r_event",
+    )
+    return pairs.unionByName(lone).unionByName(lone_r)
 
 
 @register(

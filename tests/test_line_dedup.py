@@ -222,3 +222,42 @@ def test_property_strip_matches_python_reference(spark):
         assert got == expected
 
     run()
+
+
+def test_separator_containing_backslash_E_is_literal(spark):
+    r"""A separator containing the literal sequence ``\E`` must not
+    terminate the internal regex quoting early (the \Q...\E footgun):
+    split and literal re-join must agree byte-for-byte."""
+    from impala_hashset_count_spark.operators.line_dedup import (
+        boilerplate_lines,
+        strip_boilerplate_lines,
+    )
+
+    sep = r"\E|"
+    rows = [
+        (1, rf"BOILER{sep}keep one"),
+        (2, rf"BOILER{sep}keep two"),
+        (3, rf"BOILER{sep}keep three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bp = [
+        r.line
+        for r in boilerplate_lines(df, min_docs=3, min_line_chars=1, sep=sep).collect()
+    ]
+    assert bp == ["BOILER"]
+    out = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(
+            df, min_docs=3, min_line_chars=1, sep=sep
+        ).collect()
+    }
+    assert out == {1: "keep one", 2: "keep two", 3: "keep three"}
+
+
+def test_empty_separator_rejected():
+    import pytest
+
+    from impala_hashset_count_spark.operators.line_dedup import _regex_quote
+
+    with pytest.raises(ValueError):
+        _regex_quote("")

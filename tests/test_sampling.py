@@ -167,3 +167,27 @@ def test_hash_split_disjoint_exhaustive_stable(spark):
 
     with _pytest.raises(ValueError):
         hash_split(df, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_hash_split_null_keys_deterministic_not_last_bucket(spark):
+    """md5(NULL) is NULL, so without a sentinel every boundary compare
+    is NULL and the CASE falls through — silently dumping all NULL-key
+    rows into the last split in sorted order. With the sentinel they
+    land in the ONE split the hash picks, same as shuffle_rows' NULL
+    handling."""
+    import hashlib
+
+    from impala_hashset_count_spark.operators.sampling import hash_split
+
+    rows = [(1,), (2,), (None,), (None,)]
+    df = spark.createDataFrame(rows, "doc_id bigint")
+    out = hash_split(df, "doc_id", {"a": 0.5, "b": 0.25, "c": 0.25})
+    null_splits = {r.split for r in out.filter("doc_id IS NULL").collect()}
+    assert len(null_splits) == 1
+    # mirror the sentinel hash to predict the bucket
+    u = int(hashlib.md5("\u0000__null_key__".encode()).hexdigest()[:8], 16) / 16**8
+    expected = "a" if u < 0.5 else ("b" if u < 0.75 else "c")
+    assert null_splits == {expected}
+    # non-null rows unaffected and all rows labeled
+    assert out.filter("split IS NULL").count() == 0
+    assert out.count() == 4

@@ -110,9 +110,16 @@ def test_stream_interval_join_equals_batch(spark, sf_small):
     assert all(r.r_event is None for r in lone_rows)
     from impala_hashset_count_spark.sources.tables import load_table
 
-    assert paired | lone_ids == {
-        r.event_id for r in load_table(spark, sf_small, "events").collect()
-    }
+    all_ids = {r.event_id for r in load_table(spark, sf_small, "events").collect()}
+    assert paired | lone_ids == all_ids
+    # lone_r mirrors it on the right side: pair + lone + lone_r is the
+    # FULL OUTER result (streaming face: stream_interval_join_full_outer)
+    paired_r = {r.r_event for r in batch.filter("tag = 'pair'").collect()}
+    lone_r_rows = batch.filter("tag = 'lone_r'").collect()
+    lone_r_ids = {r.r_event for r in lone_r_rows}
+    assert paired_r.isdisjoint(lone_r_ids)
+    assert all(r.l_event is None for r in lone_r_rows)
+    assert paired_r | lone_r_ids == all_ids
 
 
 def test_stateful_sessionization_matches_islands(spark, sf_small):

@@ -487,10 +487,24 @@ def semantic_dedup(
 # 4. SimHash
 # ---------------------------------------------------------------------
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit i of the signature is
-    the sign of sum over tokens of (+1 if bit i of xxhash64(token) else
+    the sign of sum over tokens of (+1 if bit i of hash(token) else
     -1).
+
+    ``hash_fn='xxhash64'`` is the production token hash;
+    ``hash_fn='md5'`` derives a 60-bit hash from the first 15 hex
+    digits of md5 — strictly weaker bits-per-token but exactly
+    mirrorable in any engine with md5 (DuckDB:
+    ``CAST('0x' || SUBSTRING(MD5(t), 1, 15) AS BIGINT)``), which is
+    what makes the registry's ``dedup_simhash`` oracle-checkable
+    end-to-end (same tiering pattern as
+    ``multimodal.frame_sample_hashes``). Bits 60..63 of the md5 tier
+    are constantly 0, so those signature bits always settle to 0 on
+    BOTH sides — the pigeonhole recall guarantee in ``simhash_pairs``
+    is unaffected (agreeing chunks stay agreeing).
 
     COLUMNAR formulation: token hashes are one per-row array, and each
     bit sum is an ``aggregate`` HOF over it — the whole signature is a
@@ -505,10 +519,17 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     SQL-text lambdas per the HOF canonicalization pitfall at
     ``_sig_expr`` (64 aggregates differing only in a captured literal
     would collapse as Python lambdas)."""
+    if hash_fn == "xxhash64":
+        tok_hash = F.xxhash64
+    elif hash_fn == "md5":
+        def tok_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     toks = _spread(df).select(
         F.col(id_col),
         F.transform(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: tok_hash(t)
         ).alias("__th"),
     )
     sig = None
@@ -526,14 +547,19 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Pigeonhole:
     split the 64-bit signature into 4 16-bit chunks; any pair within
     Hamming 3 agrees exactly on >= 1 chunk, so an equi-join per chunk
     finds ALL such pairs (recall 1.0 for max_hamming <= 3), then
-    bit_count(xor) filters exactly."""
-    sig = simhash_signatures(df, id_col, text_col)
+    bit_count(xor) filters exactly. ``hash_fn`` selects the token hash
+    tier (see ``simhash_signatures``)."""
+    sig = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
     chunks = sig.select(
         F.col(id_col),
         F.col("simhash"),

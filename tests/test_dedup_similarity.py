@@ -269,3 +269,40 @@ def test_semantic_dedup_drops_planted_copies(spark, sf_small):
     ids = {r.vec_id for r in out.select("vec_id").collect()}
     assert {1, 2, 3} <= ids
     assert not ids & {10001, 10002, 10003}
+
+
+def test_simhash_md5_tier_finds_planted_near_dups_and_hashes_60_bits(spark):
+    """The md5 hash tier (the oracle-checkable registry tier) must
+    behave like the xxhash64 production tier on planted near-dups, and
+    its signatures must fit in 60 bits (bits 60..63 constantly 0 —
+    the property that makes the DuckDB mirror exact)."""
+    from impala_hashset_count_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),
+        (3, "completely different content about spark aggregation engines"),
+        (4, None),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {
+        (r.id_1, r.id_2): r.hamming
+        for r in simhash_pairs(df, "doc_id", "text", 6, hash_fn="md5").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # NULL-text docs all carry signature 0 -> they pair at hamming 0
+    # (mirrored by the oracle's UNION branch)
+    assert pairs.get((4, 5)) == 0
+    sigs = simhash_signatures(df, "doc_id", "text", hash_fn="md5").collect()
+    assert all(0 <= r.simhash < (1 << 60) for r in sigs)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_signatures(df, "doc_id", "text", hash_fn="sha1")

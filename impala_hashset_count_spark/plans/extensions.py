@@ -34,7 +34,7 @@ from ..functions.text import (
     winnowing_fingerprint,
 )
 from ..functions.udtfs import register_udtfs
-from ..operators.analytics import cohort_retention
+from ..operators.analytics import cohort_retention, gap_fill
 from ..operators.corpus_stats import (
     bm25_topn,
     tfidf_top_terms,
@@ -48,8 +48,10 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from ..operators.decontaminate import contamination_stats
+from ..operators.line_dedup import boilerplate_lines, strip_boilerplate_lines
 from ..operators.packing import chunk_documents, pack_sequences_greedy
-from ..operators.sampling import mix_corpus, stratified_hash_sample
+from ..operators.sampling import hash_split, mix_corpus, stratified_hash_sample
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table, register_views
 from .registry import register
@@ -304,48 +306,168 @@ def train_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_hash_documents",
     oracle="""
-        SELECT doc_id, lang, SUBSTRING(MD5(text), 1, 1) AS bucket
+        SELECT 'sample' AS tag, doc_id, lang,
+               SUBSTRING(MD5(text), 1, 1) AS bucket
         FROM documents
         WHERE SUBSTRING(MD5(text), 1, 1) IN ('0', '1')
+        UNION ALL
+        SELECT 'split', doc_id, lang,
+               CASE WHEN u < 0.1 THEN 'test'
+                    WHEN u < 0.9 THEN 'train'
+                    ELSE 'val' END
+        FROM (
+            SELECT doc_id, lang,
+                   CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) / 4294967296.0 AS u
+            FROM documents
+        )
     """,
 )
 def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic content-hash sampling (~2/16 of docs): the
-    reproducible subset selector for eval splits and ablations —
-    unlike ``df.sample``, re-runs and engines agree exactly, and at
-    100 TB it needs no seed-state coordination. The md5 filter is a
-    computed expression, so it does NOT reach parquet ``PushedFilters``
-    (only stored-column predicates can) — the query is still one cheap
-    narrow scan, with the filter applied right above it; persisting the
-    bucket as a stored column would make it prunable."""
+    """The two deterministic hash selectors in one tagged result:
+
+    - ``sample``: content-hash sampling (~2/16 of docs) — the
+      reproducible subset selector for eval splits and ablations;
+      unlike ``df.sample``, re-runs and engines agree exactly, and at
+      100 TB it needs no seed-state coordination.
+    - ``split``: ``operators.sampling.hash_split`` train/val/test
+      labels (0.8/0.1/0.1) keyed on doc_id — disjoint, exhaustive,
+      stable under incremental ingestion; the oracle re-derives the
+      md5-uniform and the cumulative boundaries, so the driver checks
+      the LABELING itself (names sorted => boundaries test<0.1,
+      train<0.9, else val).
+
+    Both are pure projections/filters over one narrow scan — the md5
+    exprs are computed columns, so they do not reach parquet
+    ``PushedFilters``; persisting the bucket/split as stored columns
+    would make them prunable."""
     d = _t(spark, sf_dir, "documents")
     bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
-    return d.select("doc_id", "lang", bucket.alias("bucket")).filter(
-        F.col("bucket").isin("0", "1")
+    samp = (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket").isin("0", "1"))
+        .select(F.lit("sample").alias("tag"), "doc_id", "lang", "bucket")
     )
+    split = hash_split(
+        d.select("doc_id", "lang"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select(
+        F.lit("split").alias("tag"), "doc_id", "lang", F.col("split").alias("bucket")
+    )
+    return samp.unionByName(split)
 
 
 # ---------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------
 
-@register(
-    "dedup_exact_stats",
-    oracle=f"""
-        SELECT COUNT(*) AS n_docs,
-               COUNT(DISTINCT text) AS n_distinct_text,
-               COUNT(DISTINCT MD5({_NORM_SQL})) AS n_distinct_fp
+_HYGIENE_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS raw,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
         FROM documents
-    """,
-)
+    ),
+    bp AS (
+        SELECT l, COUNT(*) AS n_docs
+        FROM (SELECT DISTINCT doc_id, TRIM(raw) AS l FROM words
+              WHERE LENGTH(TRIM(raw)) >= 4)
+        GROUP BY l HAVING COUNT(*) >= 20
+    ),
+    kept AS (
+        SELECT w.doc_id, w.pos, w.raw FROM words w
+        LEFT JOIN bp ON TRIM(w.raw) = bp.l
+        WHERE bp.l IS NULL
+    ),
+    norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    tk AS (
+        SELECT doc_id,
+               CASE WHEN LENGTH(nt) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE STRING_SPLIT(nt, ' ') END AS tk
+        FROM norm
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(tk[i:i+7], ' ') AS s
+        FROM tk, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 7, 0))) AS g(i)
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+    SELECT 'stats' AS tag, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS VARCHAR) AS s,
+           COUNT(*) AS n1,
+           COUNT(DISTINCT text) AS n2,
+           COUNT(DISTINCT MD5({_NORM_SQL})) AS n3
+    FROM documents
+    UNION ALL
+    SELECT 'boiler', NULL, l, n_docs, NULL, NULL FROM bp
+    UNION ALL
+    SELECT 'strip_fp', d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE MD5(COALESCE(
+                    (SELECT STRING_AGG(k.raw, ' ' ORDER BY k.pos)
+                     FROM kept k WHERE k.doc_id = d.doc_id), ''))
+           END,
+           NULL, NULL, NULL
+    FROM documents d
+    UNION ALL
+    SELECT 'decon_drop', doc_id, NULL, NULL, NULL, NULL
+    FROM (SELECT DISTINCT doc_id FROM sh
+          WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM ev))
+"""
+
+
+@register("dedup_exact_stats", oracle=_HYGIENE_ORACLE)
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup accounting: raw vs byte-distinct vs
-    normalized-fingerprint-distinct."""
+    """Corpus-hygiene surface, tagged into one result:
+
+    - ``stats``: exact dedup accounting — raw vs byte-distinct vs
+      normalized-fingerprint-distinct (n1/n2/n3).
+    - ``boiler``: cross-document boilerplate table at WORD granularity
+      (``operators.line_dedup.boilerplate_lines`` with ``sep=' '``,
+      >= 4 chars, >= 20 docs — this corpus is single-line, so word
+      granularity is what exercises the machinery non-trivially):
+      (s=token, n1=containing-doc count).
+    - ``strip_fp``: md5 fingerprint of each document AFTER
+      ``strip_boilerplate_lines`` removes those tokens — the oracle
+      recomputes the strip independently, so a hash match proves the
+      split/filter/reassembly is BYTE-exact per document.
+    - ``decon_drop``: doc_ids the 8-gram decontamination
+      (``operators.decontaminate``) would remove when the held-out
+      'eval set' is the doc_id % 20 == 0 slice — the asymmetric
+      eval-overlap screen, mirrored shingle-for-shingle in SQL.
+
+    Scale shape: stats is one scan + partial aggs; boiler/strip are
+    the line_dedup design (vocabulary-sized broadcast, one reassembly
+    shuffle); decon is a broadcast anti join — the corpus never
+    shuffles for it."""
     d = _t(spark, sf_dir, "documents")
-    return d.agg(
-        F.count("*").alias("n_docs"),
-        F.count_distinct("text").alias("n_distinct_text"),
-        F.count_distinct(fingerprint_md5("text")).alias("n_distinct_fp"),
+    stats = d.agg(
+        F.count("*").alias("n1"),
+        F.count_distinct("text").alias("n2"),
+        F.count_distinct(fingerprint_md5("text")).alias("n3"),
+    ).select(F.lit("stats").alias("tag"), "n1", "n2", "n3")
+    dt = d.select("doc_id", "text")
+    bp = boilerplate_lines(dt, min_docs=20, min_line_chars=4, sep=" ").select(
+        F.lit("boiler").alias("tag"),
+        F.col("line").alias("s"),
+        F.col("n_docs").alias("n1"),
+    )
+    stripped = strip_boilerplate_lines(
+        dt, "doc_id", "text", min_docs=20, min_line_chars=4, sep=" "
+    ).select(
+        F.lit("strip_fp").alias("tag"),
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("s"),
+    )
+    eval_slice = dt.filter(F.col("doc_id") % 20 == 0)
+    corpus = dt.filter(F.col("doc_id") % 20 != 0)
+    dropped = contamination_stats(corpus, eval_slice, "doc_id", "text", n=8).filter(
+        "contaminated"
+    ).select(F.lit("decon_drop").alias("tag"), "doc_id")
+    return (
+        stats.unionByName(bp, allowMissingColumns=True)
+        .unionByName(stripped, allowMissingColumns=True)
+        .unionByName(dropped, allowMissingColumns=True)
+        .select("tag", "doc_id", "s", "n1", "n2", "n3")
     )
 
 
@@ -784,20 +906,60 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) AS n_active
             FROM ev JOIN coh ON ev.u = coh.u
             GROUP BY 1, 2
+        ),
+        gc AS (
+            SELECT event_type AS key, DATE_TRUNC('hour', ts) AS bucket,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM gc),
+        sp AS (
+            SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds
+        ),
+        spine AS (
+            SELECT k.key, sp.bucket
+            FROM (SELECT DISTINCT key FROM gc) k CROSS JOIN sp
         )
-        SELECT act.cohort, act.period_offset, act.n_active, n.n_cohort,
-               ROUND(act.n_active * 1.0 / n.n_cohort, 4) AS retention
+        SELECT 'retention' AS tag,
+               act.cohort, act.period_offset, act.n_active, n.n_cohort,
+               ROUND(act.n_active * 1.0 / n.n_cohort, 4) AS retention,
+               CAST(NULL AS VARCHAR) AS key,
+               CAST(NULL AS TIMESTAMP) AS bucket,
+               CAST(NULL AS BIGINT) AS n_events
         FROM act JOIN n ON act.cohort = n.cohort
+        UNION ALL
+        SELECT 'gap_fill', NULL, NULL, NULL, NULL, NULL,
+               spine.key, spine.bucket, COALESCE(gc.n_events, 0)
+        FROM spine LEFT JOIN gc USING (key, bucket)
     """,
 )
 def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort-retention triangle over the events stream
-    (``operators.analytics.cohort_retention``): users grouped by
-    first-activity week, per-offset active counts, retention ratio.
-    One scan stamps cohorts (per-user min), one broadcast-able join
-    back, one grouped count — no window over the raw event stream."""
+    """The two event-analytics operators in one tagged result:
+
+    - ``retention``: weekly cohort-retention triangle
+      (``operators.analytics.cohort_retention``) — users grouped by
+      first-activity week, per-offset active counts, retention ratio.
+      One scan stamps cohorts (per-user min), one broadcast-able join
+      back, one grouped count — no window over the raw event stream.
+    - ``gap_fill``: dense hourly (event_type x period) spine between
+      the global min/max hour with zero-filled gaps
+      (``operators.analytics.gap_fill``) — the resample step before
+      rate math; spine is periods x keys, trivially small next to the
+      events, so the fill join broadcasts the aggregated counts."""
     ev = _t(spark, sf_dir, "events")
-    return cohort_retention(ev, "user_id", "ts", period="week")
+    ret = cohort_retention(ev, "user_id", "ts", period="week").select(
+        F.lit("retention").alias("tag"),
+        "cohort",
+        "period_offset",
+        "n_active",
+        "n_cohort",
+        "retention",
+    )
+    gap = gap_fill(ev, "ts", "event_type", unit="hour").select(
+        F.lit("gap_fill").alias("tag"), "key", "bucket", "n_events"
+    )
+    return ret.unionByName(gap, allowMissingColumns=True)
 
 
 # ---------------------------------------------------------------------

@@ -595,6 +595,7 @@ def join_range_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_join_last_order",
+    headline=True,
     oracle="""
         WITH j AS (
             SELECT e.event_id, o.o_orderkey, o.o_orderdate,
@@ -935,6 +936,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "setops_nation_keys",
+    headline=True,
     oracle="""
         SELECT 'union' AS op, nationkey FROM (
             SELECT c_nationkey AS nationkey FROM customer

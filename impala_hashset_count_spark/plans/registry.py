@@ -57,20 +57,25 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 #: whose driver verification is newest, so any future truncation cuts
 #: only long-proven entries.
 _SWEEP_FIRST = (
-    # round-2 additions / merges — newest hard-signal verification first
+    # round-3 changes — newest hard-signal verification first: the two
+    # r2 non-green rows (fixed), the newly oracle'd simhash, and the
+    # entries that grew tagged branches this round
     "corpus_stats_documents",
+    "scalar_array_embeddings",
+    "dedup_simhash",
+    "dedup_exact_stats",
+    "sample_hash_documents",
+    "analytics_cohort_retention",
+    "streaming_interval_join_batch",
+    # round-2 verified
     "similarity_ann_topk",
     "dedup_transitive_components",
     "sample_stratified_mix",
-    "analytics_cohort_retention",
     "text_udtf_sentences",
     "grouping_analytics",
     "scalar_date_json",
     "streaming_state_batch",
-    # round-2 first-time driver coverage
-    "scalar_array_embeddings",
     "streaming_windows_batch",
-    "streaming_interval_join_batch",
     "multimodal_image_pipeline",
     "multimodal_av_features",
     "text_analysis_documents",

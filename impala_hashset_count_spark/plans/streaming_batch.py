@@ -169,6 +169,7 @@ def distinct_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_state_batch",
+    headline=True,
     oracle="""
         WITH g AS (
             SELECT user_id, ts,

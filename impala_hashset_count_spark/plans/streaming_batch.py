@@ -283,6 +283,10 @@ def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND r.ts > l.ts
               AND r.ts <= l.ts + INTERVAL 10 MINUTE
         )
+        UNION ALL
+        SELECT 'enrich', e.user_id, e.event_id,
+               CAST(c.c_nationkey AS BIGINT)
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     """,
 )
 def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,7 +302,10 @@ def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     emits beyond left-outer, here as the mirrored anti join (pair +
     lone + lone_r == the full-outer result). Equi-key on user_id keeps
     all branches hash joins with a range residual — never a time-only
-    cross join."""
+    cross join. The ``enrich`` branch is the stream-STATIC join twin
+    (``stream_static_enrich``): every event left-joined to its
+    customer's nation key over a broadcast dimension — stateless, no
+    watermark, the standard streaming enrichment pattern."""
     ev = _t(spark, sf_dir, "events")
     l = ev.select(
         F.col("user_id").alias("l_user"),
@@ -333,7 +340,22 @@ def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(None).cast("long").alias("l_event"),
         "r_event",
     )
-    return pairs.unionByName(lone).unionByName(lone_r)
+    # stream-STATIC enrichment twin (streaming face:
+    # streaming/windows.py::stream_static_enrich — no watermark, no
+    # join state, dimension broadcast): each event left-joined to its
+    # customer's nation key.
+    from ..streaming.windows import stream_static_enrich
+
+    cust = _t(spark, sf_dir, "customer")
+    enrich = stream_static_enrich(
+        ev, cust, "user_id", "c_custkey", ("c_nationkey",), "left"
+    ).select(
+        F.lit("enrich").alias("tag"),
+        "user_id",
+        F.col("event_id").alias("l_event"),
+        F.col("c_nationkey").cast("long").alias("r_event"),
+    )
+    return pairs.unionByName(lone).unionByName(lone_r).unionByName(enrich)
 
 
 @register(

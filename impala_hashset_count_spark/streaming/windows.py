@@ -381,6 +381,39 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     return stream_df.sparkSession.table(name)
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_nationkey",),
+    how: str = "left",
+) -> DataFrame:
+    """Stream-STATIC equi-join — the enrichment pattern (attach
+    dimension attributes to each event as it arrives). Unlike
+    stream-stream joins this needs NO watermark and holds NO join
+    state: the static side is a plain batch DataFrame, broadcast to
+    every task, and each micro-batch joins against the snapshot read
+    at query start. Spark supports inner and left-outer with the
+    stream on the preserved side; the dimension must be the build side
+    (a right/full outer against a static build side is rejected by the
+    planner because unmatched STATIC rows can never finalize).
+
+    Returns the stream's rows with ``dim_cols`` appended (NULL where
+    the dimension has no match under ``how='left'``). Batch twin:
+    the 'enrich' branch of ``streaming_interval_join_batch``."""
+    dim = F.broadcast(
+        static_dim.select(
+            F.col(on_right).alias("__dim_key"),
+            *[F.col(c) for c in dim_cols],
+        )
+    )
+    return (
+        stream.join(dim, F.col(on_left) == F.col("__dim_key"), how)
+        .drop("__dim_key")
+    )
+
+
 def stream_interval_join_full_outer(
     left: DataFrame, right: DataFrame
 ) -> DataFrame:

@@ -89,3 +89,17 @@ def test_gap_fill_dense_and_consistent_on_events(spark, sf_small):
     # totals are preserved: sum of filled counts == raw event count
     total = out.agg(F.sum("n_events")).first()[0]
     assert total == ev.count()
+
+
+def test_gap_fill_plan_broadcasts_counts_for_fill_join(spark, sf_small):
+    """The fill join must broadcast the aggregated counts (post-agg
+    they are at most spine-sized); the spine side is the preserved side
+    of the outer join, so it cannot be the build side."""
+    from impala_hashset_count_spark.operators.analytics import gap_fill
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    from .test_plans import explain_str
+
+    ev = load_table(spark, sf_small, "events")
+    plan = explain_str(gap_fill(ev, "ts", "event_type", unit="hour"))
+    assert "BroadcastHashJoin" in plan

@@ -48,3 +48,45 @@ def test_operator_empty_input_yields_empty_output(empty_docs, name, op):
     assert out.count() == 0
     # and the schema is still fully resolved (collect of nothing works)
     assert out.collect() == []
+
+
+def test_gap_fill_empty_events_yields_empty_spine(spark):
+    """Empty input -> NULL min/max bounds -> sequence() of NULLs must
+    collapse to zero spine rows, not crash."""
+    from impala_hashset_count_spark.operators.analytics import gap_fill
+
+    ev = spark.createDataFrame([], "event_id bigint, user_id bigint, event_type string, ts timestamp")
+    out = gap_fill(ev, "ts", "event_type", unit="hour")
+    assert out.count() == 0
+    assert out.collect() == []
+
+
+def test_simhash_md5_tier_empty_input(spark):
+    from impala_hashset_count_spark.operators.dedup import simhash_pairs
+
+    d = spark.createDataFrame([], "doc_id bigint, text string")
+    assert simhash_pairs(d, "doc_id", "text", hash_fn="md5").count() == 0
+
+
+def test_contamination_ops_empty_corpus_and_empty_eval(spark):
+    from impala_hashset_count_spark.operators.decontaminate import (
+        contamination_stats,
+        decontaminate,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id bigint, text string")
+    # empty corpus: no rows out
+    assert contamination_stats(empty, docs).count() == 0
+    assert decontaminate(empty, docs).count() == 0
+    # empty eval set: nothing is contaminated, corpus passes through
+    assert decontaminate(docs, empty).count() == 1
+    stats = contamination_stats(docs, empty).collect()
+    assert len(stats) == 1 and stats[0].n_hits == 0 and not stats[0].contaminated
+
+
+def test_bmp_resize_tier_empty_dataframe(spark):
+    from impala_hashset_count_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame([], "doc_id bigint, payload binary")
+    assert resize_images(df, target=8, decode="bmp").count() == 0

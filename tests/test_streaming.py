@@ -122,6 +122,35 @@ def test_stream_interval_join_equals_batch(spark, sf_small):
     assert paired_r | lone_r_ids == all_ids
 
 
+def test_stream_static_enrich_equals_batch(spark, sf_small):
+    """Live readStream x static broadcast dimension: the stateless
+    enrichment join must equal the batch twin row-for-row (including
+    NULL nation keys for events whose user has no customer row)."""
+    from impala_hashset_count_spark.sources.tables import load_table
+    from impala_hashset_count_spark.streaming.windows import stream_static_enrich
+
+    ev = events_stream(spark, sf_small)
+    cust = load_table(spark, sf_small, "customer")
+    out = run_to_memory(
+        stream_static_enrich(ev, cust, "user_id", "c_custkey", ("c_nationkey",)),
+        "t_static_enrich",
+        "append",
+    )
+    got = sorted(
+        (r.event_id, r.user_id, r.c_nationkey)
+        for r in out.select("event_id", "user_id", "c_nationkey").collect()
+    )
+    batch = QUERIES["streaming_interval_join_batch"].fn(spark, sf_small)
+    expect = sorted(
+        (r.l_event, r.user_id, r.r_event)
+        for r in batch.filter("tag = 'enrich'").collect()
+    )
+    assert got == expect
+    # left-outer semantics: every event appears exactly once
+    ev_count = load_table(spark, sf_small, "events").count()
+    assert len(got) == ev_count
+
+
 def test_stateful_sessionization_matches_islands(spark, sf_small):
     ev = events_stream(spark, sf_small)
     out = run_to_memory(sessionize_stateful(ev), "t_stateful", "update")

@@ -128,3 +128,40 @@ def cosine_int8(qa: str | Column, qb: str | Column) -> Column:
         F.transform(a["q"], lambda x: x.cast("double")),
         F.transform(b["q"], lambda x: x.cast("double")),
     )
+
+
+def jl_sign_matrix(dim: int, k: int, seed: str = "jl") -> list[list[int]]:
+    """Deterministic +-1 sign matrix for Johnson-Lindenstrauss-style
+    random projection, derived from md5 so ANY engine (or an oracle
+    SQL mirror) can inline the identical literals. Sign (j, i) is the
+    low bit of md5(f"{seed}:{j}:{i}") — seed-keyed, reproducible, no
+    RNG state to coordinate across 1000 executors."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[0] & 1 else -1
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def sign_project(a: str | Column, signs: list[list[int]]) -> list[Column]:
+    """k sign-random projections of an ``array<float>`` column —
+    the JL dimensionality-reduction / feature-hashing primitive
+    (projection j = sum_i v[i] * s[j][i]). Pure JVM higher-order
+    functions (zip_with against a literal sign row + a sequential
+    aggregate fold): zero Python, zero shuffle, embarrassingly
+    parallel — the shape that survives 100 TB of vectors. The fold
+    order is left-to-right on both Spark and DuckDB's LIST_SUM, so
+    the unquantized double is engine-bit-identical (the same property
+    the l2_norm oracle relies on)."""
+    out = []
+    for j, row in enumerate(signs):
+        lit_row = F.array(*[F.lit(float(s)) for s in row])
+        prod = F.zip_with(_c(a), lit_row, lambda x, s: x.cast("double") * s)
+        out.append(
+            F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x).alias(f"proj{j}")
+        )
+    return out

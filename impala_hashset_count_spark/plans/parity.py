@@ -31,6 +31,7 @@ from ..operators.hashset_count import (
     hashset_count_rdd,
     register_sql_udaf,
 )
+from ..functions.vectors import jl_sign_matrix, sign_project
 from ..sources.tables import load_table, register_views
 from .registry import register
 
@@ -1060,9 +1061,27 @@ def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dates.union(jsons)
 
 
+def _jl_oracle_cols() -> str:
+    """DuckDB mirror of the 4 JL sign projections: the SAME +-1
+    literals `sign_project` inlines Spark-side (both generated from
+    `jl_sign_matrix(64, 4)`), the same left-to-right LIST_SUM fold,
+    the same floor fixed-point quantization."""
+    from ..functions.vectors import jl_sign_matrix
+
+    cols = []
+    for j, row in enumerate(jl_sign_matrix(64, 4)):
+        lits = ", ".join(f"{float(s):.1f}" for s in row)
+        cols.append(
+            f"CAST(FLOOR(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, [{lits}]), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2])) * 1e4 + 0.5) AS DOUBLE) / 1e4 "
+            f"AS proj{j}"
+        )
+    return ",\n               ".join(cols)
+
+
 @register(
     "scalar_array_embeddings",
-    oracle="""
+    oracle=f"""
         SELECT vec_id,
                CAST(LEN(embedding) AS INTEGER) AS dim,
                embedding[1] AS e0,
@@ -1076,7 +1095,8 @@ def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                    LIST_TRANSFORM(LIST_SORT(embedding)[1:3],
                        x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5)
                                       AS BIGINT) AS VARCHAR)),
-                   ',') AS smallest3
+                   ',') AS smallest3,
+               {_jl_oracle_cols()}
         FROM embeddings
     """,
 )
@@ -1089,7 +1109,14 @@ def scalar_array_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     than a raw ARRAY column: the external verifier canonicalizes via a
     pandas sort, which cannot sort array cells, and integer-scaled
     fixed-point via floor is bit-identical IEEE arithmetic in both
-    engines (no round-half tie divergence)."""
+    engines (no round-half tie divergence).
+
+    ``proj0..proj3`` are Johnson-Lindenstrauss sign-random projections
+    (``functions.vectors.sign_project`` over ``jl_sign_matrix(64, 4)``)
+    — the embedding compression / feature-hashing primitive of a
+    training pipeline, as pure JVM HOFs with the +-1 literals inlined
+    identically into the oracle; quantized with the same floor
+    fixed-point."""
     e = _t(spark, sf_dir, "embeddings")
     sq_sum = F.aggregate(
         "embedding",
@@ -1114,4 +1141,10 @@ def scalar_array_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("string"),
             ),
         ).alias("smallest3"),
+        *[
+            (F.floor(p * 10000 + F.lit(0.5)).cast("double") / 10000).alias(f"proj{j}")
+            for j, p in enumerate(
+                sign_project("embedding", jl_sign_matrix(64, 4))
+            )
+        ],
     )

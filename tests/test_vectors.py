@@ -3,6 +3,7 @@ scale-cancellation cosine, and agreement with numpy on real
 embeddings."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from impala_hashset_count_spark.functions.vectors import (
@@ -64,3 +65,40 @@ def test_l2_normalize_unit_norm(spark, sf_small):
     ).collect()
     for r in norms:
         assert abs(r["ss"] - 1.0) < 1e-9
+
+
+def test_jl_sign_projection_deterministic_and_distance_correlated(spark):
+    """Sign projections are deterministic (literal matrix, no RNG
+    state) and JL-style: projections of identical vectors coincide,
+    and the projection is linear (proj(a+b) = proj(a)+proj(b))."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from impala_hashset_count_spark.functions.vectors import (
+        jl_sign_matrix,
+        sign_project,
+    )
+
+    signs = jl_sign_matrix(8, 3)
+    assert signs == jl_sign_matrix(8, 3)  # seed-stable
+    assert {s for row in signs for s in row} <= {-1, 1}
+
+    rng = random.Random(7)
+    a = [rng.uniform(-1, 1) for _ in range(8)]
+    b = [rng.uniform(-1, 1) for _ in range(8)]
+    rows = [(1, a), (2, b), (3, [x + y for x, y in zip(a, b)]), (4, list(a))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        r.vec_id: (r.proj0, r.proj1, r.proj2)
+        for r in df.select("vec_id", *sign_project("embedding", signs)).collect()
+    }
+    # exact expected value: plain python dot with the same signs
+    for j in range(3):
+        expect = sum(x * s for x, s in zip(a, signs[j]))
+        assert got[1][j] == pytest.approx(expect, abs=1e-12)
+    # identical vectors -> identical projections (bit-exact)
+    assert got[1] == got[4]
+    # linearity
+    for j in range(3):
+        assert got[3][j] == pytest.approx(got[1][j] + got[2][j], abs=1e-9)

@@ -99,6 +99,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     k: int = 3,
     broadcast_vocab: bool = True,
+    tf_table: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF.
 
@@ -115,8 +116,10 @@ def tfidf_top_terms(
     [2, tiny], broadcast join back (no corpus shuffle), rank-limited
     window on id [3]. All three survive a 100x scale-up: 1 and 3 are
     corpus-proportional with partial-agg / rank-limit pushdown, 2 is
-    vocabulary-sized."""
-    tf = term_doc_stats(df, id_col, text_col)
+    vocabulary-sized. Pass ``tf_table`` (a materialized
+    ``term_doc_stats`` output) to share the corpus explode with other
+    statistics families — the production shape at 100 TB."""
+    tf = tf_table if tf_table is not None else term_doc_stats(df, id_col, text_col)
     dfreq = doc_frequency(tf)
     if broadcast_vocab:
         dfreq = F.broadcast(dfreq)
@@ -289,11 +292,31 @@ def top_tokens(
     )
 
 
+def top_tokens_from_tf(tf_table: DataFrame, k: int = 20) -> DataFrame:
+    """``top_tokens`` derived from a materialized ``term_doc_stats``
+    table instead of re-exploding the corpus: per term, n = SUM(tf)
+    (instance count) and n_docs = COUNT(*) ((id, term) rows are unique
+    there). Same result, zero additional corpus work — the shape a
+    production pipeline uses when several statistics families share
+    one explode."""
+    return (
+        tf_table.groupBy("term")
+        .agg(
+            F.sum("tf").cast("long").alias("n"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(k)
+        .select("term", "n", "n_docs")
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_vocab: bool = True,
+    tf_table: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-trained unigram language-model score per document: the
     mean natural-log probability of the document's token instances
@@ -318,8 +341,9 @@ def unigram_logprob_scores(
     token-count table (vocabulary-sized) aggregates on top and
     broadcasts back, T rides a single-row broadcast cross join, and the
     per-doc mean is a second corpus-proportional partial aggregation —
-    nothing corpus-sized ever shuffles for a join."""
-    tf = term_doc_stats(df, id_col, text_col)
+    nothing corpus-sized ever shuffles for a join. ``tf_table`` shares
+    a materialized ``term_doc_stats`` as in ``tfidf_top_terms``."""
+    tf = tf_table if tf_table is not None else term_doc_stats(df, id_col, text_col)
     counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     if broadcast_vocab:
         counts = F.broadcast(counts)

@@ -37,8 +37,9 @@ from ..functions.udtfs import register_udtfs
 from ..operators.analytics import cohort_retention, gap_fill
 from ..operators.corpus_stats import (
     bm25_topn,
+    term_doc_stats,
     tfidf_top_terms,
-    top_tokens,
+    top_tokens_from_tf,
     unigram_logprob_scores,
 )
 from ..operators.dedup import (
@@ -1124,14 +1125,21 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, never a full sort. See
     operators/corpus_stats.py for the 100 TB shuffle accounting.
 
-    Note the tagged UNION re-plans the corpus scan per branch (static
-    planning cannot share an Exchange across union arms); a production
-    pipeline at 100 TB materializes ``term_doc_stats`` once and derives
-    every family from it — the operators take that shape already, the
-    union here exists to drive all three through one oracle-checked
-    registry slot."""
+    The tfidf / toptok / unigram_lp branches all derive from ONE
+    ``term_doc_stats`` plan (toptok via ``top_tokens_from_tf``, which
+    removes its former second corpus explode); bm25 keeps its own path
+    because it prefilters to query-term tokens BEFORE aggregation —
+    strictly cheaper than the full tf table. Static planning cannot
+    share an Exchange across union arms, so the shared plan still
+    re-executes per branch; a ``.persist()`` of tf was MEASURED at
+    sf0.1 and is ~40% SLOWER here (cache write+read overhead exceeds
+    the re-scan cost at this scale, 2.74s vs 1.93s min-of-3) — at
+    100 TB the tradeoff reverses, and production materializes
+    ``term_doc_stats`` to storage once (the operators accept
+    ``tf_table=`` for exactly that)."""
     d = _t(spark, sf_dir, "documents")
-    tfidf = tfidf_top_terms(d, k=3).select(
+    tf_shared = term_doc_stats(d)
+    tfidf = tfidf_top_terms(d, k=3, tf_table=tf_shared).select(
         F.lit("tfidf").alias("tag"),
         "doc_id",
         "term",
@@ -1147,7 +1155,7 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("v"),
         F.lit(None).cast("long").alias("n2"),
     )
-    tt = top_tokens(d, k=20).select(
+    tt = top_tokens_from_tf(tf_shared, k=20).select(
         F.lit("toptok").alias("tag"),
         F.lit(None).cast("long").alias("doc_id"),
         "term",
@@ -1155,7 +1163,7 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v"),
         F.col("n_docs").alias("n2"),
     )
-    ulp = unigram_logprob_scores(d).select(
+    ulp = unigram_logprob_scores(d, tf_table=tf_shared).select(
         F.lit("unigram_lp").alias("tag"),
         "doc_id",
         F.lit(None).cast("string").alias("term"),

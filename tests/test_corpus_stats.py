@@ -235,3 +235,18 @@ def test_partition_sweep_hash_stability(spark, sf_small, monkeypatch):
         rows = sorted(map(tuple, q.fn(spark, sf_small).collect()))
         outs.append(rows)
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_top_tokens_from_tf_equals_direct(spark, sf_small):
+    """The tf-derived variant must equal the direct corpus computation
+    exactly (same counts, same (n desc, term) order)."""
+    from impala_hashset_count_spark.operators.corpus_stats import (
+        term_doc_stats,
+        top_tokens,
+        top_tokens_from_tf,
+    )
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    direct = [tuple(r) for r in top_tokens(d, k=30).collect()]
+    derived = [tuple(r) for r in top_tokens_from_tf(term_doc_stats(d), k=30).collect()]
+    assert direct == derived

@@ -156,3 +156,16 @@ def test_text_analysis_no_hof_inlining_regression(spark):
     assert not re.search(r"array_min\(slice\(transform", plan), (
         "winnowing must slice the materialized hash array"
     )
+
+
+def test_simhash_md5_tier_same_shuffle_free_shape(spark):
+    """The oracle-checkable md5 hash tier must keep the columnar
+    zero-shuffle plan shape of the production xxhash64 tier — the
+    tiering changes only the token hash expression."""
+    from impala_hashset_count_spark.operators.dedup import simhash_signatures
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    plan = explain_str(simhash_signatures(d, "doc_id", "text", hash_fn="md5"))
+    assert "hashpartitioning" not in plan
+    assert "Generate" not in plan

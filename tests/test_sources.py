@@ -314,3 +314,25 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
     meta = extract_image_metadata(meta_in)
     got = {r.byte_len for r in meta.collect()}
     assert got == {len(payloads["a.img"]), len(payloads["b.img"])}
+
+
+def test_text_line_source_roundtrip(spark, sf_small, tmp_path):
+    """The raw-text line source (`spark.read.text`): the ingestion
+    format for unstructured corpora before any schema exists. One doc
+    per line out, line order immaterial (each line becomes a row;
+    newline-free docs round-trip byte-exact)."""
+    import os
+
+    d = (
+        load_table(spark, sf_small, "documents")
+        .select("text")
+        .where("text IS NOT NULL AND text NOT LIKE '%' || chr(10) || '%'")
+    )
+    expect = sorted(r.text for r in d.collect())
+    out = os.path.join(str(tmp_path), "lines")
+    d.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    assert sorted(r.value for r in back.collect()) == expect
+    # lines source is schema-on-read: exactly one string column 'value'
+    assert [f.name for f in back.schema.fields] == ["value"]
+    assert back.schema.fields[0].dataType.simpleString() == "string"

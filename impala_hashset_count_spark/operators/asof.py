@@ -1,21 +1,28 @@
 """As-of (backward) join — host-surface extension operator.
 
-Spark has no native ASOF JOIN (DuckDB does). Two strategies, picked by
-the data shape:
+Spark has no native ASOF JOIN (DuckDB does). Three strategies, picked
+by the data shape:
 
+- ``strategy="union"`` (the scale default): tag both sides, UNION
+  them, sort each key's rows by (ts, side, order) inside ONE window
+  shuffle, and carry the latest right payload forward with
+  ``last(..., ignorenulls=True)``. This is the classic sort-merge
+  as-of: O(left + right) rows, **no fan-out**, no Python — the only
+  formulation that is simultaneously declarative AND safe when a key
+  has unboundedly many right rows.
 - ``strategy="window"``: equi-join on the key plus the range predicate,
   then keep the latest right row per left row via ``row_number``. Fully
   declarative -> Catalyst can broadcast the right side, push filters,
   and AQE-split skew. Cost is the intermediate fan-out (left x matching
   right rows per key); right choice when right-rows-per-key is bounded
-  (e.g. orders per customer).
+  AND the right side is broadcastable (the fan-out then never shuffles).
 - ``strategy="pandas"``: co-partition both sides by key and run
   ``pandas.merge_asof`` per group via ``applyInPandas`` (cogroup).
-  One shuffle per side, **no fan-out** — the scale path when a key has
-  many right rows and the window strategy's intermediate would blow up.
+  One shuffle per side, no fan-out, but pays the Arrow/Python hop —
+  kept as the structural twin of the pandas ecosystem's merge_asof.
 
 Ties on the right timestamp are broken by the largest ``right_order``
-column (deterministic in both strategies).
+column (deterministic in all strategies).
 """
 
 from __future__ import annotations
@@ -41,7 +48,55 @@ def asof_join(
         return _asof_window(left, right, left_key, right_key, left_ts, right_ts, right_cols, right_order)
     if strategy == "pandas":
         return _asof_pandas(left, right, left_key, right_key, left_ts, right_ts, right_cols, right_order)
+    if strategy == "union":
+        return _asof_union(left, right, left_key, right_key, left_ts, right_ts, right_cols, right_order)
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _asof_union(left, right, left_key, right_key, left_ts, right_ts, right_cols, right_order):
+    clash = {c for c in right_cols if c != right_key} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right_cols {sorted(clash)} collide with left columns; "
+            "rename them on the right side before the as-of join"
+        )
+    keep_right = [c for c in right_cols if c != right_key]
+    ts_type = left.schema[left_ts].dataType
+    # side 0 sorts right rows BEFORE left rows on an equal timestamp,
+    # which is exactly the `right_ts <= left_ts` (inclusive) contract;
+    # among equal-ts right rows the ascending right_order sort makes
+    # last() pick the LARGEST order — the shared tie rule.
+    r = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).cast(ts_type).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(right_order).alias("__ord"),
+        F.struct(*[F.col(c) for c in keep_right]).alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    l = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_ts).cast(ts_type).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[right_order].dataType).alias("__ord"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *left.columns,
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = r.unionByName(l).withColumn(
+        "__m", F.last("__payload", ignorenulls=True).over(w)
+    )
+    return (
+        matched.filter((F.col("__side") == 1) & F.col("__m").isNotNull())
+        .select(
+            *left.columns,
+            *[F.col("__m")[c].alias(c) for c in keep_right],
+        )
+    )
 
 
 def _asof_window(left, right, left_key, right_key, left_ts, right_ts, right_cols, right_order):

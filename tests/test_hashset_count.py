@@ -215,7 +215,7 @@ def test_asof_keeps_duplicate_left_rows(spark):
         left_key="k", right_key="k", left_ts="t", right_ts="rt",
         right_cols=["rt", "payload"], right_order="payload",
     )
-    for strategy in ("window", "pandas"):
+    for strategy in ("window", "pandas", "union"):
         out = asof_join(left, right, strategy=strategy, **kwargs).collect()
         assert len(out) == 3, f"{strategy}: duplicate left rows collapsed"
         assert sorted((r["k"], r["payload"]) for r in out) == [
@@ -241,9 +241,33 @@ def test_asof_pandas_strategy_matches_window(spark, sf_small):
     )
     a = asof_join(ev, orders, strategy="window", **kwargs)
     b = asof_join(ev, orders, strategy="pandas", **kwargs)
+    c = asof_join(ev, orders, strategy="union", **kwargs)
     ka = sorted((r["event_id"], r["o_orderkey"]) for r in a.collect())
     kb = sorted((r["event_id"], r["o_orderkey"]) for r in b.collect())
-    assert ka == kb
+    kc = sorted((r["event_id"], r["o_orderkey"]) for r in c.collect())
+    assert ka == kb == kc
+
+
+def test_asof_union_tie_semantics_and_no_match(spark):
+    """Union strategy edge rules: a right row at EXACTLY the left
+    timestamp matches (inclusive <=); equal-ts right rows resolve to
+    the largest right_order; left rows before every right row drop
+    (inner semantics)."""
+    from impala_hashset_count_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 50), (1, 100), (1, 5)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 50, 7), (1, 50, 8), (1, 99, 9)], "k int, rt int, payload int"
+    )
+    out = asof_join(
+        left, right,
+        left_key="k", right_key="k", left_ts="t", right_ts="rt",
+        right_cols=["rt", "payload"], right_order="payload",
+        strategy="union",
+    ).collect()
+    got = sorted((r["t"], r["payload"]) for r in out)
+    # t=5 has no match and is dropped; t=50 ties -> payload 8; t=100 -> 9
+    assert got == [(50, 8), (100, 9)]
 
 
 def test_type_generality_beyond_reference_strings(spark):

@@ -299,3 +299,44 @@ def test_type_generality_beyond_reference_strings(spark):
     assert out["g1"][2] == 2
     # g2: duplicate NaNs collapse to one distinct value
     assert out["g2"] == (1, 1, 1)
+
+
+def test_asof_property_three_strategies_agree_on_random_data(spark):
+    """Random keys/timestamps/duplicates: window, pandas, and union
+    as-of strategies must produce identical (inner) results — the
+    union formulation's sort/tie rules are exactly the join+rank
+    semantics."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from impala_hashset_count_spark.operators.asof import asof_join
+
+    keys = st.integers(min_value=0, max_value=3)
+    ts = st.integers(min_value=0, max_value=20)
+    left_rows = st.lists(st.tuples(keys, ts), min_size=0, max_size=12)
+    right_rows = st.lists(st.tuples(keys, ts), min_size=0, max_size=12)
+
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(left_rows, right_rows)
+    def run(lrows, rrows):
+        left = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lrows)] or [(None, None, None)],
+            "k int, t int, lid int",
+        ).where("k IS NOT NULL")
+        right = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(rrows)] or [(None, None, None)],
+            "k int, rt int, rid int",
+        ).where("k IS NOT NULL")
+        kw = dict(
+            left_key="k", right_key="k", left_ts="t", right_ts="rt",
+            right_cols=["rt", "rid"], right_order="rid",
+        )
+        outs = []
+        for strat in ("window", "union", "pandas"):
+            rows = asof_join(left, right, strategy=strat, **kw).collect()
+            outs.append(sorted((r.k, r.t, r.lid, r.rt, r.rid) for r in rows))
+        assert outs[0] == outs[1] == outs[2]
+
+    run()

@@ -244,3 +244,26 @@ def test_real_bmp_decode_resize_end_to_end(spark):
                 s = (sy * w + sx) * 3
                 expect += rgb[s : s + 3]
         assert bytes(r.payload) == bytes(expect)
+
+
+def test_bmp_property_roundtrip_random_images():
+    """Hypothesis: any (w, h, pixels) round-trips byte-exact through
+    the stdlib BMP codec, including widths with every padding residue."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    dims = st.tuples(st.integers(1, 9), st.integers(1, 6))
+
+    @settings(max_examples=25, deadline=None)
+    @given(dims, st.randoms())
+    def run(wh, rnd):
+        w, h = wh
+        rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+    run()

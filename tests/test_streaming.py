@@ -494,3 +494,32 @@ def test_stream_interval_join_full_outer_pads_both_sides(spark, tmp_path):
     assert (1, 10, 11) in out, out
     assert (2, 20, None) in out, out
     assert (3, None, 31) in out, out
+
+
+def test_available_now_trigger_drains_and_terminates(spark, sf_small, tmp_path):
+    """Trigger.AvailableNow — the production batch-drain mode (process
+    everything currently in the source in rate-limited micro-batches,
+    then STOP; unlike processAllAvailable it terminates on its own and
+    records a final checkpoint for the next incremental run). The
+    drained windowed aggregation must equal the batch twin."""
+    ev = events_stream(spark, sf_small)
+    agg = stream_tumbling_counts(ev)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_available_now")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-terminate"
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("t_available_now").collect()
+    }
+    batch = QUERIES["streaming_windows_batch"].fn(spark, sf_small)
+    expect = {
+        (r.window_start, r.event_type): r.n_events
+        for r in batch.filter("kind = 'tumbling'").collect()
+    }
+    assert got == expect

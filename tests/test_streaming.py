@@ -523,3 +523,50 @@ def test_available_now_trigger_drains_and_terminates(spark, sf_small, tmp_path):
         for r in batch.filter("kind = 'tumbling'").collect()
     }
     assert got == expect
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_small, tmp_path):
+    """Cross-RUN incremental ingestion: drain run 1 over file A with
+    Trigger.AvailableNow + a checkpoint; land file B; a FRESH query on
+    the same checkpoint must process ONLY B (source offsets are
+    durable), and the union of both runs' outputs is exactly the full
+    table, no duplicates."""
+    import os
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id")
+    a = ev.where("event_id % 2 = 0")
+    b = ev.where("event_id % 2 = 1")
+    src = str(tmp_path / "src")
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(run_id):
+        stream = spark.readStream.schema("event_id bigint, user_id bigint").parquet(src)
+
+        def write_batch(bdf, batch_id):
+            bdf.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"run{run_id}_batch{batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain(1)
+    run1 = {r.event_id for r in spark.read.parquet(f"{out_dir}/run1_*").collect()}
+    assert run1 == {r.event_id for r in a.collect()}
+
+    # land file B next to A (new file in the watched directory)
+    b.coalesce(1).write.mode("append").parquet(src)
+    drain(2)
+    run2 = {r.event_id for r in spark.read.parquet(f"{out_dir}/run2_*").collect()}
+    # run 2 saw ONLY the new file's rows
+    assert run2 == {r.event_id for r in b.collect()}
+    assert run1.isdisjoint(run2)
+    assert run1 | run2 == {r.event_id for r in ev.collect()}

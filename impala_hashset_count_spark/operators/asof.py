@@ -9,7 +9,10 @@ by the data shape:
   ``last(..., ignorenulls=True)``. This is the classic sort-merge
   as-of: O(left + right) rows, **no fan-out**, no Python — the only
   formulation that is simultaneously declarative AND safe when a key
-  has unboundedly many right rows.
+  has unboundedly many right rows. Skew caveat (shared with every
+  per-key window): one pathological key sorts in one task; shard such
+  a key by coarse time range and carry each shard's last right row
+  into the next if that ever binds.
 - ``strategy="window"``: equi-join on the key plus the range predicate,
   then keep the latest right row per left row via ``row_number``. Fully
   declarative -> Catalyst can broadcast the right side, push filters,

@@ -324,23 +324,61 @@ def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pivot_returnflag",
     oracle="""
-        SELECT l_linestatus,
-               ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
-               ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
-               ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
-        FROM lineitem
-        GROUP BY l_linestatus
+        WITH wide AS (
+            SELECT l_linestatus,
+                   ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+                   ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+                   ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+            FROM lineitem
+            GROUP BY l_linestatus
+        )
+        SELECT 'wide' AS tag, l_linestatus, "A", "N", "R",
+               CAST(NULL AS VARCHAR) AS flag, CAST(NULL AS DOUBLE) AS qty
+        FROM wide
+        UNION ALL
+        SELECT 'long', l_linestatus, NULL, NULL, NULL, f.flag, f.qty
+        FROM wide,
+             LATERAL (VALUES ('A', wide."A"), ('N', wide."N"), ('R', wide."R"))
+                 AS f(flag, qty)
+        WHERE f.qty IS NOT NULL
     """,
 )
 def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot with EXPLICIT value list — at scale, never let Spark run the
-    extra distinct-values job."""
+    """Both reshape directions, tagged: ``wide`` is the pivot with an
+    EXPLICIT value list (at scale, never let Spark run the extra
+    distinct-values job); ``long`` unpivots that result straight back
+    (``DataFrame.unpivot``/``stack`` — the melt direction), proving the
+    round-trip. NULL cells are excluded from the long form on both
+    sides (a flag absent for a linestatus has no long row)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    wide = (
         li.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
         .agg(F.round(F.sum("l_quantity"), 2))
     )
+    wide_tag = wide.select(
+        F.lit("wide").alias("tag"),
+        "l_linestatus",
+        "A",
+        "N",
+        "R",
+        F.lit(None).cast("string").alias("flag"),
+        F.lit(None).cast("double").alias("qty"),
+    )
+    long_tag = (
+        wide.unpivot(["l_linestatus"], ["A", "N", "R"], "flag", "qty")
+        .where(F.col("qty").isNotNull())
+        .select(
+            F.lit("long").alias("tag"),
+            "l_linestatus",
+            F.lit(None).cast("double").alias("A"),
+            F.lit(None).cast("double").alias("N"),
+            F.lit(None).cast("double").alias("R"),
+            "flag",
+            "qty",
+        )
+    )
+    return wide_tag.unionByName(long_tag)
 
 
 @register(

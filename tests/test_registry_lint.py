@@ -48,3 +48,31 @@ def test_oracle_query_has_no_unaliased_columns(spark, sf_small, name):
     df = QUERIES[name].fn(spark, sf_small)
     bad = [c for c in df.columns if "(" in c or ")" in c or " " in c]
     assert not bad, f"{name}: suspicious auto-generated column names {bad}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # every oracle query whose output carries a float derived from
+        # an order-dependent aggregate (SUM/AVG/STDDEV over doubles) —
+        # the class that hash-failed corpus_stats in round 2
+        "corpus_stats_documents",
+        "tpch_q1_pricing_summary",
+        "join_star_revenue",
+        "join_salted_skew",
+        "percentile_stats_events",
+        "funnel_view_click_purchase",
+        "scalar_array_embeddings",
+        "analytics_cohort_retention",
+    ],
+)
+def test_float_query_partition_sweep_stability(spark, sf_small, monkeypatch, name):
+    """Canonical output must be BIT-identical at 2/8/32 shuffle
+    partitions: summation-order independence is a tested property for
+    every float-emitting oracle query, not just the one that failed."""
+    q = QUERIES[name]
+    outs = []
+    for n in ("2", "8", "32"):
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", n)
+        outs.append(sorted(map(tuple, q.fn(spark, sf_small).collect())))
+    assert outs[0] == outs[1] == outs[2]

@@ -447,13 +447,14 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(fingerprint_md5("text")).alias("n3"),
     ).select(F.lit("stats").alias("tag"), "n1", "n2", "n3")
     dt = d.select("doc_id", "text")
-    bp = boilerplate_lines(dt, min_docs=20, min_line_chars=4, sep=" ").select(
+    bp_table = boilerplate_lines(dt, min_docs=20, min_line_chars=4, sep=" ")
+    bp = bp_table.select(
         F.lit("boiler").alias("tag"),
         F.col("line").alias("s"),
         F.col("n_docs").alias("n1"),
     )
     stripped = strip_boilerplate_lines(
-        dt, "doc_id", "text", min_docs=20, min_line_chars=4, sep=" "
+        dt, "doc_id", "text", boilerplate=bp_table, sep=" "
     ).select(
         F.lit("strip_fp").alias("tag"),
         "doc_id",

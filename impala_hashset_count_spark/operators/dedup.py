@@ -198,16 +198,23 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------
 
 def doc_shingle_arrays(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """(id, shs: array<long>) — each doc's distinct hashed-shingle set as
     ONE array row, computed as a PURE per-row array expression:
-    tokenize -> transform over shingle start positions -> n-argument
-    xxhash64 -> array_distinct. No explode, no shuffle, no Python —
-    4.7x faster than explode+collect_set at sf0.1 and embarrassingly
-    parallel at any scale. The n-ary hash also avoids materializing
-    concatenated shingle strings (tokens contain no whitespace, so
-    (t1,t2,t3) is injective where 't1 t2 t3' concat would be too).
+    tokenize -> transform over shingle start positions -> hash ->
+    array_distinct. No explode, no shuffle, no Python — 4.7x faster
+    than explode+collect_set at sf0.1 and embarrassingly parallel at
+    any scale.
+
+    ``hash_fn='xxhash64'`` (production) hashes the token n-tuple with
+    the n-ary xxhash64 — no concatenated shingle string materializes
+    (tokens contain no whitespace, so (t1,t2,t3) is injective where
+    't1 t2 t3' concat would be too). ``hash_fn='md5'`` (the
+    oracle-checkable tier, same pattern as ``simhash_signatures``)
+    derives a 60-bit id from md5 of the space-joined shingle — exactly
+    ``CAST('0x' || SUBSTRING(MD5(w1||' '||w2||' '||w3), 1, 15) AS
+    BIGINT)`` in any engine with md5.
 
     SQL-text lambda (not Python) per the HOF canonicalization pitfall
     documented at ``_sig_expr``."""
@@ -215,10 +222,19 @@ def doc_shingle_arrays(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
     )
     elts = ", ".join(f"element_at(__toks, i + {j})" for j in range(n))
+    if hash_fn == "xxhash64":
+        h = f"xxhash64({elts})"
+    elif hash_fn == "md5":
+        h = (
+            f"CAST(conv(substring(md5(concat_ws(' ', {elts})), 1, 15), 16, 10) "
+            f"AS BIGINT)"
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     expr = (
         f"CASE WHEN size(__toks) >= {n} THEN "
         f"array_distinct(transform(sequence(1, size(__toks) - {n - 1}), "
-        f"i -> xxhash64({elts}))) "
+        f"i -> {h})) "
         f"ELSE CAST(array() AS array<bigint>) END"
     )
     return toks.select(F.col(id_col), F.expr(expr).alias("shs"))
@@ -236,20 +252,25 @@ def minhash_signatures(
     return docs.select(F.col(id_col), _sig_expr(k).alias("sig"))
 
 
-def _sig_expr(k: int):
+def _sig_expr(k: int, hash_fn: str = "xxhash64"):
     # SQL-text lambdas, NOT Python lambdas: PySpark canonicalizes the
     # lambda variables of Python-callable HOFs such that k transforms
     # differing only in a captured literal collapse into ONE expression
     # (all k mins come out identical — verified on 4.1.2). The CAST
     # matches F.lit(i)'s IntegerType so hashes equal the groupBy-min
-    # formulation.
+    # formulation. The md5 tier derives permutation i's hash of a
+    # shingle id x as the 60-bit md5 of '{i}:{x}' — mirrorable as
+    # MIN(CAST('0x' || SUBSTRING(MD5(CONCAT('{i}:', CAST(x AS
+    # VARCHAR))), 1, 15) AS BIGINT)) per doc in any md5-bearing engine.
+    if hash_fn == "xxhash64":
+        perm = "transform(shs, x -> xxhash64(CAST({i} AS INT), x))"
+    else:
+        perm = (
+            "transform(shs, x -> CAST(conv(substring(md5(concat("
+            "'{i}:', CAST(x AS STRING))), 1, 15), 16, 10) AS BIGINT))"
+        )
     return F.array(
-        *[
-            F.array_min(
-                F.expr(f"transform(shs, x -> xxhash64(CAST({i} AS INT), x))")
-            )
-            for i in range(k)
-        ]
+        *[F.array_min(F.expr(perm.format(i=i))) for i in range(k)]
     )
 
 
@@ -262,13 +283,22 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.5,
     max_bucket_docs: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with EXACT
     Jaccard so the output contains no false positives. With k=64 and
     bands=32 (rows r=2), detection probability at j=0.5 is
     1-(1-0.25)^32 ~ 0.99996 — recall misses are possible in principle
-    (hence no strict SQL oracle) but vanishingly rare above the
-    threshold. Returns (id_1, id_2, jaccard).
+    but vanishingly rare above the threshold. Returns
+    (id_1, id_2, jaccard).
+
+    ``hash_fn='md5'`` selects the oracle-checkable tier (the
+    ``simhash_signatures`` pattern): md5-derived 60-bit shingle ids
+    and permutation hashes, band values as joined decimal strings —
+    every step recomputable in SQL, so the registry entry carries a
+    full DuckDB oracle. GIVEN the hash the pair set is deterministic
+    (LSH is probabilistic only over the hash choice). Production
+    stays on xxhash64 (n-ary hash, no shingle string materialized).
 
     Shuffle budget (the 100 TB accounting): ONE shuffle of the hashed
     shingle stream builds the per-doc arrays; signatures and band hashes
@@ -288,8 +318,17 @@ def minhash_lsh_pairs(
     O(cap * B). None (default) keeps exact LSH semantics for parity
     runs; always set it in production."""
     rows = k // bands
-    docs = doc_shingle_arrays(df, id_col, text_col, n).persist()
-    sig = docs.select(F.col(id_col), _sig_expr(k).alias("sig"))
+    docs = doc_shingle_arrays(df, id_col, text_col, n, hash_fn=hash_fn).persist()
+    sig = docs.select(F.col(id_col), _sig_expr(k, hash_fn=hash_fn).alias("sig"))
+
+    def band_val(b: int):
+        sl = F.slice("sig", b * rows + 1, rows)
+        if hash_fn == "xxhash64":
+            return F.xxhash64(F.lit(b), sl)
+        # md5 tier: join the slice's decimal strings — equality of the
+        # string IS equality of the tuple (no extra hash to mirror)
+        return F.concat_ws("_", F.transform(sl, lambda v: v.cast("string")))
+
     band_rows = sig.select(
         F.col(id_col),
         F.explode(
@@ -297,9 +336,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(F.lit(b), F.slice("sig", b * rows + 1, rows)).alias(
-                            "band_hash"
-                        ),
+                        band_val(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]

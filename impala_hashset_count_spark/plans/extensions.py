@@ -473,6 +473,58 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_oracle_ctes(k: int = 64, bands: int = 32) -> str:
+    """DuckDB mirror of the md5-tier MinHash-LSH: 60-bit md5 shingle
+    ids (distinct per doc), 64 permutation MINs (h_i = md5 of
+    '{i}:{id}'), 32 two-row band values as joined decimal strings,
+    bucket-collision candidates, exact-Jaccard verification over the
+    hashed sets — each step mirrors operators/dedup.py term-for-term."""
+    rows = k // bands
+    mins = ",\n               ".join(
+        f"MIN(CAST('0x' || SUBSTRING(MD5(CONCAT('{i}:', CAST(h AS VARCHAR))), "
+        f"1, 15) AS BIGINT)) AS m{i}"
+        for i in range(k)
+    )
+    bvals = ", ".join(
+        "({b}, {expr})".format(
+            b=b,
+            expr=" || '_' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    sh_ids AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || SUBSTRING(MD5(sh), 1, 15) AS BIGINT) AS h
+        FROM s
+    ),
+    msig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh_ids GROUP BY doc_id
+    ),
+    mbands AS (
+        SELECT doc_id, f.band_id, f.band_val
+        FROM msig, LATERAL (VALUES {bvals}) AS f(band_id, band_val)
+    ),
+    mcand AS (
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM mbands a JOIN mbands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    szh AS (SELECT doc_id, COUNT(*) AS sz FROM sh_ids GROUP BY doc_id),
+    mcommon AS (
+        SELECT c.id_1, c.id_2, COUNT(*) AS common
+        FROM mcand c
+        JOIN sh_ids x ON x.doc_id = c.id_1
+        JOIN sh_ids y ON y.doc_id = c.id_2 AND y.h = x.h
+        GROUP BY 1, 2
+    )"""
+
+
 _JACCARD_ORACLE = r"""
     WITH t AS (
         SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
@@ -493,23 +545,49 @@ _JACCARD_ORACLE = r"""
         SELECT x.doc_id AS id_1, y.doc_id AS id_2, COUNT(*) AS common
         FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
         GROUP BY 1, 2
-    )
-    SELECT id_1, id_2,
+    ),
+    {minhash_ctes}
+    SELECT 'exact' AS tag, id_1, id_2,
            ROUND(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
     FROM p
     JOIN sz s1 ON p.id_1 = s1.doc_id
     JOIN sz s2 ON p.id_2 = s2.doc_id
     WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.5
-"""
+    UNION ALL
+    SELECT 'minhash', mc.id_1, mc.id_2,
+           ROUND(mc.common * 1.0 / (h1.sz + h2.sz - mc.common), 4)
+    FROM mcommon mc
+    JOIN szh h1 ON mc.id_1 = h1.doc_id
+    JOIN szh h2 ON mc.id_2 = h2.doc_id
+    WHERE mc.common * 1.0 / (h1.sz + h2.sz - mc.common) >= 0.5
+""".replace("{minhash_ctes}", _minhash_oracle_ctes().lstrip())
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT word-3-gram Jaccard near-dup pairs (threshold 0.5) via the
-    shared-shingle inverted-index join — the exactness baseline the
-    probabilistic tiers are measured against."""
+    """Both deterministic dedup-pair tiers, tagged:
+
+    - ``exact``: EXACT word-3-gram Jaccard near-dup pairs (threshold
+      0.5) via the shared-shingle inverted-index join — the exactness
+      baseline every probabilistic tier is measured against.
+    - ``minhash``: the FULL MinHash-LSH pipeline at the md5 hash tier
+      (``minhash_lsh_pairs(hash_fn='md5')``) — 64 permutation mins,
+      32 banded buckets, collision candidates, exact-Jaccard verify —
+      recomputed end-to-end by the DuckDB oracle with the same
+      md5-derived hashes. LSH is probabilistic only over the hash
+      choice; GIVEN the hash the pair set is deterministic, so the
+      driver hash-checks it value-for-value. The headline
+      ``dedup_minhash_lsh`` entry keeps the xxhash64 production tier
+      (n-ary hash, no shingle strings, ~2x faster) with recall tests
+      against this baseline."""
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        F.lit("exact").alias("tag"), "id_1", "id_2", "jaccard"
+    )
+    mh = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, k=64, bands=32, threshold=0.5, hash_fn="md5"
+    ).select(F.lit("minhash").alias("tag"), "id_1", "id_2", "jaccard")
+    return exact.unionByName(mh)
 
 
 @register("dedup_minhash_lsh", headline=True)  # probabilistic recall =>
@@ -700,7 +778,57 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------
 
-_TOPK_ORACLE = """
+def _lsh_oracle_ctes(dim: int = 64, bands: int = 8, rows: int = 4, seed: int = 42) -> str:
+    """DuckDB mirror of the random-hyperplane LSH candidate pipeline:
+    the SAME hyperplane float literals ``lsh_topk`` uses (both
+    generated from ``_hyperplanes(dim, bands*rows, seed)``; Python
+    repr round-trips float64 exactly through DuckDB's parser), the
+    same left-to-right dot fold, the same band bit-packing."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bands * rows, seed)
+
+    def bit(j: int, v: str) -> str:
+        lits = ", ".join(repr(x) for x in planes[j])
+        return (
+            f"CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP({v}, [{lits}]), "
+            f"x -> x[1] * x[2])) > 0 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    def bits_cte(name: str, src: str, idc: str, v: str) -> str:
+        cols = ",\n               ".join(
+            f"{bit(j, v)} AS b{j}" for j in range(bands * rows)
+        )
+        return f"{name} AS (SELECT {idc}, {v},\n               {cols}\n        FROM {src})"
+
+    def band_vals() -> str:
+        vals = []
+        for b in range(bands):
+            expr = " + ".join(f"(b{b * rows + r} << {r})" for r in range(rows))
+            vals.append(f"({b}, {expr})")
+        return ", ".join(vals)
+
+    return f"""
+    {bits_cte("qbits", "q", "query_id", "qv")},
+    qbands AS (
+        SELECT query_id, qv, f.band_id, f.band_val
+        FROM qbits, LATERAL (VALUES {band_vals()}) AS f(band_id, band_val)
+    ),
+    {bits_cte("cbits", "c", "neighbor_id", "cv")},
+    cbands AS (
+        SELECT neighbor_id, cv, f.band_id, f.band_val
+        FROM cbits, LATERAL (VALUES {band_vals()}) AS f(band_id, band_val)
+    ),
+    cand AS (
+        SELECT DISTINCT qb.query_id, qb.qv, cb.neighbor_id, cb.cv
+        FROM cbands cb JOIN qbands qb
+          ON cb.band_id = qb.band_id AND cb.band_val = qb.band_val
+         AND cb.neighbor_id <> qb.query_id
+    )"""
+
+
+_TOPK_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         FROM embeddings WHERE vec_id < 5
@@ -723,20 +851,60 @@ _TOPK_ORACLE = """
                    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
                ) AS rank
         FROM scored
+    ),
+    {_lsh_oracle_ctes()},
+    lsh_scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(
+                 LIST_SUM(LIST_TRANSFORM(LIST_ZIP(cv, qv), x -> x[1] * x[2]))
+                 / (SQRT(LIST_SUM(LIST_TRANSFORM(cv, x -> x * x)))
+                    * SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> x * x)))), 6) AS cos_sim
+        FROM cand
+    ),
+    lsh_ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rank
+        FROM lsh_scored
     )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    SELECT 'exact' AS tier, query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 10
+    UNION ALL
+    SELECT 'lsh', query_id, neighbor_id, cos_sim, rank
+    FROM lsh_ranked WHERE rank <= 10
 """
 
 
 @register("similarity_topk_bruteforce", oracle=_TOPK_ORACLE, headline=True)
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for 5 query vectors: broadcast queries x
-    corpus scan, rank-limited window. The corpus is scanned once and
-    never shuffled in full."""
+    """Similarity search with a hard signal on BOTH determinism tiers,
+    tagged:
+
+    - ``exact``: cosine top-10 for 5 query vectors — broadcast queries
+      x corpus scan, rank-limited window; the corpus is scanned once
+      and never shuffled in full.
+    - ``lsh``: the random-hyperplane LSH ANN tier (8 bands x 4 bits)
+      — the ENTIRE pipeline (sign bits against the fixed hyperplanes,
+      band packing, bucket-collision candidate join, exact cosine on
+      candidates, rank) recomputed independently by the oracle with
+      the identical hyperplane float literals inlined. LSH is
+      'probabilistic' only over the choice of hyperplanes; GIVEN the
+      seed it is a deterministic plan, so it verifies value-for-value
+      (recall vs the exact tier is tested separately).
+
+    ``similarity_ann_topk`` keeps the rows-only IVF tier (k-means
+    training is iterative and not SQL-expressible) alongside a second
+    driver exercise of LSH."""
     e = _t(spark, sf_dir, "embeddings")
-    return brute_force_topk(
-        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    q = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(e, q, "vec_id", "embedding", k=10).select(
+        F.lit("exact").alias("tier"), "query_id", "neighbor_id", "cos_sim", "rank"
     )
+    lsh = lsh_topk(e, q, "vec_id", "embedding", k=10, dim=64).select(
+        F.lit("lsh").alias("tier"), "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+    return exact.unionByName(lsh)
 
 
 @register("similarity_ann_topk")  # probabilistic / quantizer-dependent

@@ -590,12 +590,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(mh)
 
 
-@register("dedup_minhash_lsh", headline=True)  # probabilistic recall =>
-# no SQL oracle; tests assert parity with dedup_ngram_jaccard.
+@register("dedup_minhash_lsh", headline=True)  # production xxhash64 tier:
+# rows-only here, but the ALGORITHM is oracle-proven — the md5 hash
+# tier runs the identical pipeline as dedup_ngram_jaccard's tagged
+# 'minhash' branch with a full DuckDB mirror.
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=64) + 32x2 banded LSH candidates + exact-Jaccard
     verification — the 100 TB dedup tier: signature shuffle is O(docs),
-    verification touches candidates only."""
+    verification touches candidates only. This entry benchmarks the
+    xxhash64 production tier (n-ary shingle hash, no shingle strings);
+    the hash-checkable md5 tier of the same pipeline lives in
+    ``dedup_ngram_jaccard``'s 'minhash' branch."""
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, k=64, bands=32, threshold=0.5)
 
@@ -907,15 +912,17 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(lsh)
 
 
-@register("similarity_ann_topk")  # probabilistic / quantizer-dependent
-# recall => no SQL oracle; tests measure each tier's recall against the
-# brute-force tier. (Round-2 merge of similarity_lsh_topk +
-# similarity_ivf_topk — same operators, one registry slot.)
+@register("similarity_ann_topk")  # rows-only: the IVF tier's k-means
+# training is iterative (not SQL-expressible); the LSH tier is
+# oracle-proven via similarity_topk_bruteforce's tagged 'lsh' branch.
+# Tests measure each tier's recall against brute force.
 def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both ANN scale tiers, tagged:
 
     - ``lsh``: random-hyperplane LSH (8 bands x 4 bits) — candidates
-      are bucket collisions, exact cosine on candidates only.
+      are bucket collisions, exact cosine on candidates only (the same
+      pipeline is hash-verified against a DuckDB mirror in
+      ``similarity_topk_bruteforce``).
     - ``ivf``: IVF-flat — seeded k-means coarse quantizer (16 cells),
       each query probes its 4 nearest cells; the cell id doubles as a
       physical bucketing key at 100 TB."""

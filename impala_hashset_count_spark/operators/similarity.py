@@ -12,8 +12,13 @@ Three tiers:
   signature; candidates are corpus vectors sharing a signature band
   with the query (equi-join on (band_id, band_val)), exact cosine is
   computed for candidates only, then per-query top-k. Sub-linear
-  candidate sets at the cost of probabilistic recall — a scale tier
-  (tests measure recall against brute force; no SQL oracle by nature).
+  candidate sets at the cost of probabilistic recall. The signature
+  pass is INTEGER-QUANTIZED (vectors and hyperplanes quantized to
+  int64), so every sign-bit dot product is an exact integer sum —
+  order-independent — and the two signature strategies (Arrow-batched
+  numpy matmul for production, Catalyst HOF fold for a pure-JVM tier)
+  are bit-identical to each other AND to a SQL mirror; given the seed
+  the whole pipeline is deterministic and oracle-checkable.
 
 - ``ivf_topk`` — inverted-file index (IVF-flat): a seeded k-means
   coarse quantizer partitions the corpus into cells; each query probes
@@ -29,6 +34,7 @@ reproducible runs.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,44 +74,64 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+# Embedding components are quantized to int64 at this scale before the
+# signature dot products. floor(x * 8192 + 0.5) is a single
+# deterministic IEEE-double expression (float->double widening is
+# exact), so Spark SQL, numpy, and DuckDB all produce the identical
+# integer — and integer sums are order-independent, so the fold order
+# / matmul blocking no longer matters. Quantization step ~1.2e-4 flips
+# a sign bit only when the true dot is within ~dim*step of zero — a
+# vector essentially ON the hyperplane, where either bit is an equally
+# good LSH decision.
+VEC_QUANT_SCALE = 8192.0
+
+
+def _int_hyperplanes(
+    dim: int, n_planes: int, seed: int = 42, scale: int = 1024
+) -> list[list[int]]:
+    """Integer-quantized gaussian hyperplanes: floor(g * scale + 0.5).
+    Quantized normals keep the spherical symmetry random-hyperplane
+    LSH needs, while integer coefficients make every signature dot an
+    exact int64 sum (|q_vec| < 2^17, |plane| < 2^14, dim <= 2^12 keeps
+    the sum far below 2^63)."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+    g = rng.standard_normal((n_planes, dim))
+    return [[int(v) for v in row] for row in np.floor(g * scale + 0.5).astype(np.int64)]
 
 
 def _signature_bands(df: DataFrame, vec_col: str, planes, bands: int, rows: int):
-    """Sign-bit signature split into bands: one (band_id, band_val) row
-    per band, band_val packing `rows` sign bits.
+    """Pure-JVM signature tier: sign-bit signature split into bands —
+    one (band_id, band_val) row per band, band_val packing `rows` sign
+    bits.
 
     All hyperplane dots are computed in ONE two-level HOF pass over a
     single constant-folded literal array holding every plane
-    (``P[j*dim + i]``), with the vector staged through a materialized
-    double-cast column: per-plane ``zip_with``+``aggregate`` pairs
+    (``P[j*dim + i]``): per-plane ``zip_with``+``aggregate`` pairs
     (32 separate folds with per-element struct allocation) measured
     2.5s for 2000 signatures at sf0.1, and fully-expanded literal
     multiply-add chains (2048 arithmetic nodes) fell out of
-    whole-stage codegen entirely and were slower still; this
-    formulation runs the same 32x64 multiply-adds in ~0.1s. The inner
-    fold is left-to-right — the same summation order as the previous
-    form and as LIST_SUM — so values and the oracle mirror are
-    unchanged."""
+    whole-stage codegen entirely and were slower still. The
+    quantization stays INSIDE the fold on purpose: a staged
+    whole-array quantized alias is single-use, so CollapseProject
+    inlines it into the lambda and the entire array would be
+    re-quantized per element step (measured 2x slower for the
+    analogous cast). Bit-identical to ``_signature_bands_arrow`` —
+    integer sums are order-independent."""
     n_planes = bands * rows
     dim = len(planes[0])
-    flat = [float(v) for row in planes for v in row]
-    lits = ", ".join(f"{v!r}D" for v in flat)
+    flat = [int(v) for row in planes for v in row]
+    lits = ", ".join(f"{v}L" for v in flat)
     dots_expr = (
         f"transform(sequence(0, {n_planes - 1}), j -> "
-        f"aggregate(sequence(1, {dim}), CAST(0.0 AS DOUBLE), (acc, i) -> "
-        f"acc + CAST(element_at({vec_col}, i) AS DOUBLE) "
+        f"aggregate(sequence(1, {dim}), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + CAST(floor(CAST(element_at({vec_col}, i) AS DOUBLE) "
+        f"* {VEC_QUANT_SCALE!r}D + 0.5D) AS BIGINT) "
         f"* element_at(array({lits}), j * {dim} + i)))"
     )
     # Stage the dot array as an ATTRIBUTE before the 32 bit tests
     # reference it — an inline expression would be re-evaluated per
     # reference (the HOF-inlining hazard documented at
-    # text.winnowing_fingerprint). The element cast stays INSIDE the
-    # fold on purpose: a staged whole-array cast alias is single-use,
-    # so CollapseProject inlines it into the lambda and the entire
-    # array would be re-cast per element step (measured 2x slower).
+    # text.winnowing_fingerprint).
     staged = df.withColumn("__dots", F.expr(dots_expr))
     bits = [
         F.when(F.element_at(F.col("__dots"), i + 1) > 0, 1).otherwise(0).cast("long")
@@ -120,7 +146,47 @@ def _signature_bands(df: DataFrame, vec_col: str, planes, bands: int, rows: int)
     return (
         staged.select("*", F.explode(F.array(*band_vals)).alias("band"))
         .select("*", "band.band_id", "band.band_val")
-        .drop("band", "__dots", "__vd")
+        .drop("band", "__dots")
+    )
+
+
+def _signature_bands_arrow(df: DataFrame, vec_col: str, planes, bands: int, rows: int):
+    """Arrow-batched signature tier: the same integer sign-bit
+    signature computed as ONE numpy int64 matmul per Arrow batch —
+    (batch x dim) @ (dim x n_planes) — instead of 2048 interpreted
+    Catalyst lambda steps per row (~1000x less per-row CPU; measured
+    ~5x wall-clock on the sf0.1 headline query, where the HOF tier's
+    signature pass dominated). Integer arithmetic makes the matmul
+    bit-identical to the HOF fold and the SQL mirror regardless of
+    BLAS blocking/summation order — which is exactly why the
+    quantization exists: a float32/float64 matmul's summation order
+    is NOT mirrorable in SQL, so a float signature pass could never
+    carry the oracle hash signal this one does.
+
+    Still a narrow per-row projection: zero shuffle, and the band
+    explosion stays JVM-side (``posexplode`` of the returned
+    ``array<bigint>``)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.asarray(planes, dtype=np.int64)  # (n_planes, dim)
+    weights = np.int64(1) << np.arange(rows, dtype=np.int64)
+    n = bands * rows
+    assert P.shape[0] == n
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(v.to_numpy()).astype(np.float64)
+        q = np.floor(m * VEC_QUANT_SCALE + 0.5).astype(np.int64)
+        bits = (q @ P.T > 0).astype(np.int64)  # (batch, n_planes)
+        vals = bits.reshape(len(v), bands, rows) @ weights  # (batch, bands)
+        return pd.Series(list(vals))
+
+    return (
+        df.withColumn("__bands", _sig(F.col(vec_col)))
+        .select("*", F.posexplode("__bands").alias("band_id", "band_val"))
+        .drop("__bands")
     )
 
 
@@ -215,12 +281,19 @@ def lsh_topk(
     rows: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    signature: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing >= 1
     signature band with the query; exact cosine on candidates only.
 
     bands x rows hyperplanes; recall rises with bands (OR over bands),
     precision of the candidate set with rows (AND within a band).
+
+    ``signature`` picks the (bit-identical) signature strategy:
+    ``"arrow"`` (default — numpy int64 matmul per Arrow batch, the
+    production path) or ``"hof"`` (pure-JVM Catalyst fold, no Python
+    workers in the plan; also the shape the SQL oracle mirrors
+    term-for-term).
 
     ``dim`` (the embedding dimensionality) is required — array columns
     do not carry their length in the schema, and inferring it with
@@ -231,11 +304,14 @@ def lsh_topk(
             "columns do not carry a length in the schema and a "
             "first()-probe would cost an extra job per call"
         )
-    planes = _hyperplanes(dim, bands * rows, seed)
+    if signature not in ("arrow", "hof"):
+        raise ValueError(f"signature must be 'arrow' or 'hof', got {signature!r}")
+    sig_fn = _signature_bands_arrow if signature == "arrow" else _signature_bands
+    planes = _int_hyperplanes(dim, bands * rows, seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cb = _signature_bands(c, "cv", planes, bands, rows)
-    qb = _signature_bands(q, "qv", planes, bands, rows)
+    cb = sig_fn(c, "cv", planes, bands, rows)
+    qb = sig_fn(q, "qv", planes, bands, rows)
     candidates = (
         cb.join(F.broadcast(qb), ["band_id", "band_val"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

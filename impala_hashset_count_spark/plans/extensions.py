@@ -785,19 +785,24 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_oracle_ctes(dim: int = 64, bands: int = 8, rows: int = 4, seed: int = 42) -> str:
     """DuckDB mirror of the random-hyperplane LSH candidate pipeline:
-    the SAME hyperplane float literals ``lsh_topk`` uses (both
-    generated from ``_hyperplanes(dim, bands*rows, seed)``; Python
-    repr round-trips float64 exactly through DuckDB's parser), the
-    same left-to-right dot fold, the same band bit-packing."""
-    from ..operators.similarity import _hyperplanes
+    the SAME integer hyperplane literals ``lsh_topk`` uses (both
+    generated from ``_int_hyperplanes(dim, bands*rows, seed)``), the
+    same floor-based int64 vector quantization, the same band
+    bit-packing. Because the signature dots are exact INTEGER sums,
+    this mirror is bit-identical to BOTH Spark signature strategies
+    (Arrow numpy matmul and Catalyst HOF fold) regardless of
+    summation order — the hash signal therefore covers the
+    production Arrow tier, not just a SQL-shaped twin."""
+    from ..operators.similarity import VEC_QUANT_SCALE, _int_hyperplanes
 
-    planes = _hyperplanes(dim, bands * rows, seed)
+    planes = _int_hyperplanes(dim, bands * rows, seed)
 
     def bit(j: int, v: str) -> str:
-        lits = ", ".join(repr(x) for x in planes[j])
+        lits = ", ".join(str(x) for x in planes[j])
         return (
             f"CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP({v}, [{lits}]), "
-            f"x -> x[1] * x[2])) > 0 THEN CAST(1 AS BIGINT) "
+            f"x -> CAST(FLOOR(CAST(x[1] AS DOUBLE) * {VEC_QUANT_SCALE!r} + 0.5) AS BIGINT)"
+            f" * x[2])) > 0 THEN CAST(1 AS BIGINT) "
             f"ELSE CAST(0 AS BIGINT) END"
         )
 
@@ -890,10 +895,15 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       x corpus scan, rank-limited window; the corpus is scanned once
       and never shuffled in full.
     - ``lsh``: the random-hyperplane LSH ANN tier (8 bands x 4 bits)
-      — the ENTIRE pipeline (sign bits against the fixed hyperplanes,
-      band packing, bucket-collision candidate join, exact cosine on
-      candidates, rank) recomputed independently by the oracle with
-      the identical hyperplane float literals inlined. LSH is
+      — the ENTIRE pipeline (integer-quantized sign bits against the
+      fixed integer hyperplanes, band packing, bucket-collision
+      candidate join, exact cosine on candidates, rank) recomputed
+      independently by the oracle with the identical integer plane
+      literals inlined. The signature pass runs the PRODUCTION
+      strategy: an Arrow-batched numpy int64 matmul — bit-identical
+      to the oracle's SQL because integer sums are order-independent
+      (a float matmul's BLAS summation order could never be
+      SQL-mirrored; that is what the quantization buys). LSH is
       'probabilistic' only over the choice of hyperplanes; GIVEN the
       seed it is a deterministic plan, so it verifies value-for-value
       (recall vs the exact tier is tested separately).

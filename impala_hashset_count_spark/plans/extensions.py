@@ -25,13 +25,13 @@ from ..functions.text import (
     dup_ngram_ratio,
     fingerprint_md5,
     pii_counts,
+    poly_winnow_oracle_exprs,
     predict_lang,
     punct_ratio,
     quality_score,
     stopword_ratio,
     token_count,
     top_token_ratio,
-    winnowing_fingerprint,
 )
 from ..functions.udtfs import register_udtfs
 from ..operators.analytics import cohort_retention, gap_fill
@@ -99,12 +99,16 @@ def _text_analysis_oracle() -> str:
         "LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0)), "
         "i -> CONCAT(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
     )
+    codes, wh, wmins = poly_winnow_oracle_exprs("text", 8, 4)
     return rf"""
         WITH t AS (
             SELECT doc_id, lang, text,
-                   STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                   STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks,
+                   {codes} AS codes
             FROM documents
-        )
+        ),
+        t2 AS (SELECT *, {wh} AS wh FROM t),
+        t3 AS (SELECT *, {wmins} AS wmins FROM t2)
         SELECT doc_id,
                CASE WHEN TRIM(text) = '' THEN 0
                     ELSE CAST(LEN(toks) AS INTEGER) END AS n_tokens,
@@ -123,9 +127,8 @@ def _text_analysis_oracle() -> str:
                UPPER(SUBSTRING(text, 1, 12)) AS prefix_u,
                CONTAINS(text, 'spark') AS has_spark,
                LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
-               CASE WHEN LENGTH(text) >= 8
-                    THEN CAST(CEIL((LENGTH(text) - 7) / 4.0) AS INTEGER)
-                    ELSE 0 END AS n_winnow_blocks,
+               CAST(LEN(wmins) AS INTEGER) AS n_winnow_blocks,
+               CAST(COALESCE(LIST_SUM(wmins), 0) AS BIGINT) AS winnow_sum,
                {pii},
                ROUND(1.0 - LEN(LIST_DISTINCT({lines})) * 1.0
                      / LEN({lines}), 4) AS dup_line_ratio,
@@ -134,7 +137,7 @@ def _text_analysis_oracle() -> str:
                     ELSE ROUND(1.0 - LEN(LIST_DISTINCT({trigrams})) * 1.0
                                / LEN({trigrams}), 4)
                END AS dup_ngram_ratio
-        FROM t
+        FROM t3
     """
 
 
@@ -159,7 +162,12 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     dozen codegen-fallback higher-order functions each re-split the
     text per row and the stage drops out of codegen (measured ~20x
     slower at sf0.1). Same values, same oracle."""
-    from ..functions.text import lang_scores, rolling_hashes, tokens, word_shingles
+    from ..functions.text import (
+        lang_scores,
+        tokens,
+        winnowing_fingerprint_poly,
+        word_shingles,
+    )
 
     d = _t(spark, sf_dir, "documents")
     s1 = d.select("doc_id", "lang", "text", tokens("text").alias("__toks"))
@@ -178,7 +186,7 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         word_shingles("text", 3, toks=toks).alias("__tri"),
         punct_ratio("text").alias("__punct"),
-        rolling_hashes("text", 8).alias("__rh"),
+        winnowing_fingerprint_poly("text", 8, 4).alias("__wf"),
     )
     scores = {lang: F.col(f"__sc_{lang}") for lang in LANG_MARKERS}
     return s2.select(
@@ -210,13 +218,17 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").contains("spark").alias("has_spark"),
         F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
         # winnowing fingerprint (local min-hash blocks over 8-char
-        # rolling hashes): the HASH VALUES have no cross-engine SQL
-        # mirror (xxhash64 is Spark-specific), so the oracle checks the
-        # winnowing BLOCK STRUCTURE (count) while the values are
-        # covered by tests/test_text_functions.py.
-        F.size(winnowing_fingerprint("text", 8, 4, hashes=F.col("__rh"))).alias(
-            "n_winnow_blocks"
-        ),
+        # rolling windows), polynomial-hash Arrow tier: exact modular
+        # int64 arithmetic makes the VALUES cross-engine — the oracle
+        # recomputes every block min and checks both the block count
+        # and the (order-independent integer) sum of mins, so a single
+        # differing hash anywhere flips the driver hash signal. The
+        # xxhash64 pure-JVM tier keeps its Python-reference tests in
+        # tests/test_text_functions.py.
+        F.size(F.col("__wf")).alias("n_winnow_blocks"),
+        F.aggregate(
+            F.col("__wf"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("winnow_sum"),
         # PII audit counts (Java regex == RE2 on these patterns,
         # asserted in tests/test_pii_repetition.py) and Gopher-style
         # repetition signals — same single scan pass.

@@ -60,3 +60,45 @@ def test_winnowing_robust_to_small_edit(spark):
     # ...while unrelated text shares (almost) nothing
     overlap_other = len(a & c) / len(a | c)
     assert overlap_other < 0.1, overlap_other
+
+
+def test_poly_winnow_arrow_equals_python_reference(spark):
+    """The Arrow numpy tier must equal the pure-Python reference on
+    every corner: unicode (non-ASCII codepoints), exact-window-length
+    input, block-boundary lengths, short input, empty string, NULL."""
+    from impala_hashset_count_spark.functions.text import (
+        poly_winnow_py,
+        winnowing_fingerprint_poly,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "你好世界 spark 引擎 winnowing 指纹测试 abcdefgh",
+        "abcdefgh",          # exactly one window
+        "abcdefghijkl",      # 5 windows -> one full + one partial block
+        "abc",               # shorter than window -> []
+        "",                  # empty -> []
+        None,                # NULL -> NULL
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: r.v
+        for r in df.select(
+            "i", winnowing_fingerprint_poly("t", 8, 4).alias("v")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == poly_winnow_py(t, 8, 4), (i, t)
+
+
+def test_poly_winnow_robust_to_small_edit(spark):
+    """Same winnowing property as the xxhash64 tier: local edits keep
+    most blocks, unrelated text shares none."""
+    from impala_hashset_count_spark.functions.text import poly_winnow_py
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    a = set(poly_winnow_py(base, 8, 4))
+    b = set(poly_winnow_py(base.replace("lazy", "hazy", 1), 8, 4))
+    c = set(poly_winnow_py("completely unrelated text about query planners " * 4, 8, 4))
+    assert len(a & b) / len(a | b) > 0.5
+    assert len(a & c) / len(a | c) < 0.1

@@ -336,3 +336,18 @@ def test_text_line_source_roundtrip(spark, sf_small, tmp_path):
     # lines source is schema-on-read: exactly one string column 'value'
     assert [f.name for f in back.schema.fields] == ["value"]
     assert back.schema.fields[0].dataType.simpleString() == "string"
+
+
+def test_xml_source_roundtrip(spark, sf_small, tmp_path):
+    """Spark 4 ships the (formerly spark-xml) XML source built in:
+    round-trip a table through rowTag layout with the schema passed
+    explicitly on read (inference would be an extra full pass at
+    scale). Escaping of text content (comments contain punctuation)
+    must survive."""
+    src = load_table(spark, sf_small, "nation")
+    path = os.path.join(str(tmp_path), "xml")
+    write_sink(src, "xml", path, rowTag="row")
+    back = read_source(spark, "xml", path, schema=src.schema, rowTag="row")
+    assert sorted(map(tuple, back.select(*src.columns).collect())) == sorted(
+        map(tuple, src.collect())
+    )

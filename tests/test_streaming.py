@@ -570,3 +570,126 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_small, tmp_path):
     assert run2 == {r.event_id for r in b.collect()}
     assert run1.isdisjoint(run2)
     assert run1 | run2 == {r.event_id for r in ev.collect()}
+
+
+def test_tws_processor_logic_two_batches_and_null_key():
+    """The transformWithState processor's state logic, driven directly
+    against in-memory fake state handles (the live micro-batch path is
+    protobuf-gated below): MapState membership + ValueState count must
+    merge across two batches ({101,102} then {102,103} -> "3"), and a
+    key whose rows are all NULL must emit SQL NULL, not "0"."""
+    import pandas as pd
+
+    from impala_hashset_count_spark.streaming.tws import HashsetCountProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, k):
+            return k in self._m
+
+        def updateValue(self, k, v):
+            self._m[k] = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getMapState(self, name, *a, **kw):
+            return self.states.setdefault(name, FakeMapState())
+
+        def getValueState(self, name, *a, **kw):
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = HashsetCountProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    def run(key, user_ids):
+        batch = pd.DataFrame({"user_id": pd.array(user_ids, dtype="Int64")})
+        (out,) = list(proc.handleInputRows((key,), iter([batch]), None))
+        return out["hashset_count"][0]
+
+    assert run("a", [101, 102, 101]) == "2"
+    assert run("a", [102, 103]) == "3"  # state persisted and merged
+
+    proc2 = HashsetCountProcessor()
+    proc2.init(FakeHandle())
+    batch = pd.DataFrame({"user_id": pd.array([None, None], dtype="Int64")})
+    (out,) = list(proc2.handleInputRows(("nulls",), iter([batch]), None))
+    assert out["hashset_count"][0] is None
+
+
+def test_hashset_count_tws_across_microbatches(spark, tmp_path):
+    """The transformWithState face of the reference aggregate: MapState
+    membership + ValueState count must persist across two REAL
+    micro-batches (batch 1 {101,102}, batch 2 {102,103} -> "3" not
+    "2"), with NULL-on-empty semantics for a key whose rows were all
+    NULL."""
+    import pytest
+
+    from impala_hashset_count_spark.streaming.tws import (
+        HAS_PROTOBUF,
+        hashset_count_tws,
+        rocksdb_conf,
+    )
+
+    if not HAS_PROTOBUF:
+        pytest.skip(
+            "transformWithState state protocol requires protobuf, not "
+            "shipped in this container; processor logic is covered by "
+            "test_tws_processor_logic_two_batches_and_null_key"
+        )
+
+    k, v = rocksdb_conf()
+    prev = spark.conf.get(k, None)
+    spark.conf.set(k, v)
+    src = str(tmp_path / "tws_src")
+    schema = "event_id bigint, event_type string, user_id bigint"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch([(1, "a", 101), (2, "a", 102), (3, "nulls", None)])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        hashset_count_tws(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_tws_mb")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([(4, "a", 102), (5, "a", 103), (6, "nulls", None)])
+        q.processAllAvailable()
+        rows = spark.table("t_tws_mb").collect()
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, prev)
+    snaps = [r["hashset_count"] for r in rows if r["event_type"] == "a"]
+    assert "3" in snaps and "2" in snaps
+    null_snaps = [r["hashset_count"] for r in rows if r["event_type"] == "nulls"]
+    assert null_snaps and all(s is None for s in null_snaps)

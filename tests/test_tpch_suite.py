@@ -1,0 +1,135 @@
+"""TPC-H breadth beyond the registry's Q1/Q3/Q4/Q17: Q5, Q10, Q12,
+Q14, and Q19 shapes run as ONE portable ANSI-SQL text on BOTH engines
+(Spark over temp views, DuckDB over the same parquet) and compared
+canonically — multi-way join ordering, mixed agg+join pipelines,
+conditional aggregation, and OR-of-conjuncts predicate pushdown all
+get an engine-vs-engine hard signal without consuming registry slots.
+
+Queries are adapted to the driver's TPC-H-ish schema (TESTDATA.md):
+no l_shipmode/l_commitdate (Q12 keys on l_linestatus and date math
+instead), no c_address/c_phone (Q10 projects the available columns),
+Q19's predicate keeps the OR-of-conjuncts brand/size/quantity shape.
+Floats are compared to 6dp — this is a local parity test, not the
+driver hash gate, so summation-order noise must not fail it.
+"""
+
+import duckdb
+import pytest
+
+from impala_hashset_count_spark.sources.tables import TABLES, load_table, table_path
+
+_Q5 = """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+_Q10 = """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+_Q12 = """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                     OR o_orderpriority = '2-HIGH'
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                    AND o_orderpriority <> '2-HIGH'
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+      AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+"""
+
+_Q14 = """
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'
+"""
+
+_Q19 = """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem, part
+    WHERE (p_partkey = l_partkey AND p_brand = 'Brand#13'
+           AND l_quantity >= 1 AND l_quantity <= 30
+           AND p_size BETWEEN 1 AND 15)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#20'
+           AND l_quantity >= 10 AND l_quantity <= 40
+           AND p_size BETWEEN 1 AND 25)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#9'
+           AND l_quantity >= 20 AND l_quantity <= 50
+           AND p_size BETWEEN 1 AND 35)
+"""
+
+SUITE = {"q5": _Q5, "q10": _Q10, "q12": _Q12, "q14": _Q14, "q19": _Q19}
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if isinstance(v, float):
+            return round(v, 6)
+        return v
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(SUITE))
+def test_tpch_suite_engine_parity(spark, sf_small, name):
+    sql = SUITE[name]
+    for t in TABLES:
+        load_table(spark, sf_small, t).createOrReplaceTempView(t)
+    sdf = spark.sql(sql)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{table_path(sf_small, t)}')"
+            )
+        res = con.execute(sql)
+        d_cols = [c[0].lower() for c in res.description]
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+
+    assert sorted(s_cols) == sorted(d_cols), name
+    assert len(s_rows) == len(d_rows), name
+    assert len(s_rows) > 0, f"{name}: predicate selected nothing — not a real test"
+    assert _canon(s_cols, s_rows) == _canon(d_cols, d_rows), name

@@ -351,3 +351,33 @@ def test_xml_source_roundtrip(spark, sf_small, tmp_path):
     assert sorted(map(tuple, back.select(*src.columns).collect())) == sorted(
         map(tuple, src.collect())
     )
+
+
+def test_variant_semi_structured_ingestion(spark, sf_small):
+    """Spark 4 VARIANT surface over the events table's JSON props:
+    parse_json -> variant column, typed path extraction
+    (try_variant_get), schema discovery (schema_of_variant), and
+    agreement with the string-path get_json_object reading of the same
+    field. VARIANT is the schema-on-read shape for semi-structured
+    ingestion at scale — binary-encoded, no per-row re-parse per
+    field access."""
+    ev = load_table(spark, sf_small, "events").limit(500)
+    v = ev.select(
+        "event_id",
+        "props",
+        F.parse_json("props").alias("v"),
+    )
+    rows = v.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "long").alias("k_v"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_j"),
+        F.schema_of_variant("v").alias("sch"),
+    ).collect()
+    assert rows
+    non_null = [r for r in rows if r.k_v is not None]
+    assert non_null, "props should carry a k field — vacuous test otherwise"
+    assert all(r.k_v == r.k_j for r in rows)
+    assert all(r.sch.startswith("OBJECT<") for r in rows)
+    # a malformed path extracts NULL, not an error
+    bad = v.select(F.try_variant_get("v", "$.nope.deep", "int").alias("x")).collect()
+    assert all(r.x is None for r in bad)

@@ -24,11 +24,13 @@ from .dedup import (
 from .line_dedup import boilerplate_lines, strip_boilerplate_lines
 from .hashset_count import (
     approx_distinct_count,
+    distinct_sketch_table,
     hashset_count_agg,
     hashset_count_df,
     hashset_count_rdd,
     make_hashset_count_udaf,
     register_sql_udaf,
+    rollup_distinct_from_sketches,
 )
 from .packing import chunk_documents, pack_sequences_greedy
 from .sampling import hash_split, mix_corpus, shuffle_rows, stratified_hash_sample
@@ -58,6 +60,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_incremental",
     "gap_fill",
+    "distinct_sketch_table",
     "hashset_count_agg",
     "hashset_count_df",
     "hashset_count_rdd",
@@ -71,6 +74,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pack_sequences_greedy",
     "register_sql_udaf",
+    "rollup_distinct_from_sketches",
     "salted_join",
     "semantic_dedup",
     "shuffle_rows",

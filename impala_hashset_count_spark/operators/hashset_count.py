@@ -194,3 +194,41 @@ def approx_distinct_count(col: str | Column, rsd: float = 0.023) -> Column:
     required."""
     c = F.col(col) if isinstance(col, str) else col
     return F.approx_count_distinct(c, rsd)
+
+
+# ---------------------------------------------------------------------
+# Mergeable sketch tier (Datasketches HLL): materialize once,
+# re-aggregate to ANY coarser grain without touching raw data
+# ---------------------------------------------------------------------
+
+def distinct_sketch_table(
+    df: DataFrame, dims: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-cell BINARY distinct sketches: one ``hll_sketch_agg``
+    (Apache DataSketches HLL) per ``dims`` cell. This is the tier
+    ``approx_count_distinct`` cannot provide: its HLL++ state is
+    internal, so every new slicing re-reads the raw data — a STORED
+    sketch table is written once at the finest grain and every coarser
+    rollup is answered from the sketches alone
+    (``rollup_distinct_from_sketches``). Distinct counts are not
+    additive, so this is the only way a 100 TB fact table answers
+    "distinct users by any dimension subset" without a rescan per
+    dashboard cell. ~2^lg_k bytes per cell; lg_k=12 -> ~1.6% rsd."""
+    return df.groupBy(*dims).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sk")
+    )
+
+
+def rollup_distinct_from_sketches(
+    sketch_table: DataFrame, keep_dims: list[str]
+) -> DataFrame:
+    """Re-aggregate a sketch table to a coarser grain: union the cell
+    sketches (``hll_union_agg`` — register-wise max) and estimate.
+    HLL unions are exact over sketches: sketch(A ∪ B) has the SAME
+    registers as union(sketch(A), sketch(B)), so the estimate equals
+    what sketching the coarser grain directly would produce
+    (property-tested), and merge order/partitioning cannot change it.
+    Returns keep_dims + ``approx_distinct`` (bigint estimate)."""
+    return sketch_table.groupBy(*keep_dims).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct")
+    )

@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..operators.hashset_count import (
     approx_distinct_count,
+    distinct_sketch_table,
     hashset_count_agg,
     hashset_count_rdd,
     register_sql_udaf,
+    rollup_distinct_from_sketches,
 )
 from ..functions.vectors import jl_sign_matrix, sign_project
 from ..sources.tables import load_table, register_views
@@ -198,16 +200,48 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("approx_distinct_lineitem")  # sketch values differ from any
-# exact oracle by construction -> rows-only check.
+# exact oracle by construction -> rows-only check; both tiers are
+# deterministic (fixed hash, register-max merges) and
+# partition-sweep/determinism-tested locally.
 def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ — the reference README's own recommendation for
-    "very large numbers" (`README.md:10`). Constant-size state; at
-    100 TB this is the right default when ±2% is acceptable."""
+    """Approximate distinct counting, both sketch tiers tagged:
+
+    - ``hllpp``: built-in ``approx_count_distinct`` (HyperLogLog++) —
+      the reference README's own recommendation for "very large
+      numbers" (`README.md:10`). Constant-size state, but the sketch
+      is internal: every new slicing re-reads raw data.
+    - ``sketch``: the STORED/mergeable Datasketches-HLL tier —
+      materialize a binary sketch per (l_returnflag, l_linestatus)
+      cell ONCE (`distinct_sketch_table`), then answer the coarser
+      l_returnflag grain purely by unioning sketches
+      (`rollup_distinct_from_sketches`) with zero raw-data access.
+      Distinct counts are not additive, so this sketch-table pattern
+      is how a 100 TB fact table serves distinct-users-by-any-slice
+      dashboards without a rescan per cell; union-of-sketches ==
+      sketch-of-union is property-tested exactly."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    hllpp = li.groupBy("l_returnflag").agg(
         approx_distinct_count("l_partkey").alias("approx_parts"),
         approx_distinct_count("l_orderkey").alias("approx_orders"),
+    ).select(F.lit("hllpp").alias("tier"), "l_returnflag", "approx_parts", "approx_orders")
+    fine_p = distinct_sketch_table(li, ["l_returnflag", "l_linestatus"], "l_partkey")
+    fine_o = distinct_sketch_table(li, ["l_returnflag", "l_linestatus"], "l_orderkey")
+    sk = (
+        rollup_distinct_from_sketches(fine_p, ["l_returnflag"])
+        .withColumnRenamed("approx_distinct", "approx_parts")
+        .join(
+            rollup_distinct_from_sketches(fine_o, ["l_returnflag"])
+            .withColumnRenamed("approx_distinct", "approx_orders"),
+            "l_returnflag",
+        )
+        .select(
+            F.lit("sketch").alias("tier"),
+            "l_returnflag",
+            "approx_parts",
+            "approx_orders",
+        )
     )
+    return hllpp.unionByName(sk)
 
 
 # =====================================================================

@@ -127,11 +127,18 @@ class _SyntheticBatchReader(DataSourceReader):
 class _SyntheticStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch face: offset = {"index": next row to emit}. Any
     (start, end) range replays exactly (pure function of the index),
-    which is the contract checkpoint recovery depends on."""
+    which is the contract checkpoint recovery depends on.
+
+    ``maxRows`` (optional) bounds the stream: once exhausted, ``read``
+    returns the UNCHANGED offset with no rows, so
+    ``processAllAvailable()`` converges — without a bound the source
+    is a firehose and "all available" never drains."""
 
     def __init__(self, options: dict):
         self.seed = int(options.get("seed", 42))
         self.rows_per_batch = int(options.get("rowsperbatch", 100))
+        mr = options.get("maxrows")
+        self.max_rows = int(mr) if mr is not None else None
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -139,6 +146,10 @@ class _SyntheticStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
         lo = start["index"]
         hi = lo + self.rows_per_batch
+        if self.max_rows is not None:
+            hi = min(hi, self.max_rows)
+        if hi <= lo:
+            return iter([]), {"index": lo}
         return (
             iter([synth_event(self.seed, i) for i in range(lo, hi)]),
             {"index": hi},

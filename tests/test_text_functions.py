@@ -102,3 +102,47 @@ def test_poly_winnow_robust_to_small_edit(spark):
     c = set(poly_winnow_py("completely unrelated text about query planners " * 4, 8, 4))
     assert len(a & b) / len(a | b) > 0.5
     assert len(a & c) / len(a | c) < 0.1
+
+
+def test_poly_winnow_property_random_unicode(spark):
+    """Property (hypothesis): for arbitrary unicode strings, the Arrow
+    numpy tier equals the pure-Python reference — one Spark job over
+    the whole generated corpus (per-example jobs would be minutes)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from impala_hashset_count_spark.functions.text import (
+        poly_winnow_py,
+        winnowing_fingerprint_poly,
+    )
+
+    corpus = []
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=64,
+        )
+    )
+    def collect(t):
+        corpus.append(t)
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "i int, t string"
+    )
+    got = {
+        r.i: r.v
+        for r in df.select(
+            "i", winnowing_fingerprint_poly("t", 8, 4).alias("v")
+        ).collect()
+    }
+    for i, t in enumerate(corpus):
+        assert got[i] == poly_winnow_py(t, 8, 4), repr(t)

@@ -199,10 +199,11 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idiomatic.union(rdd_twin)
 
 
-@register("approx_distinct_lineitem")  # sketch values differ from any
-# exact oracle by construction -> rows-only check; both tiers are
-# deterministic (fixed hash, register-max merges) and
-# partition-sweep/determinism-tested locally.
+@register("approx_distinct_lineitem", headline=True)  # sketch values
+# differ from any exact oracle by construction -> rows-only check;
+# both tiers are deterministic (fixed hash, register-max merges) and
+# partition-sweep/determinism-tested locally. Headline since the
+# Datasketches tier landed, so BENCH guards the sketch surface.
 def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting, both sketch tiers tagged:
 

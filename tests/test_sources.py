@@ -381,3 +381,27 @@ def test_variant_semi_structured_ingestion(spark, sf_small):
     # a malformed path extracts NULL, not an error
     bad = v.select(F.try_variant_get("v", "$.nope.deep", "int").alias("x")).collect()
     assert all(r.x is None for r in bad)
+
+
+def test_observation_metrics_piggyback_on_one_pass(spark, sf_small):
+    """df.observe(): operational metrics (row count, null count, sum)
+    computed DURING the main action — no second scan. The pattern every
+    production pipeline stage needs for free data-quality counters at
+    100 TB (a separate metrics query would double the read)."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_small, "lineitem")
+    obs = Observation("q")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    out = observed.filter(F.col("l_quantity") > 25).count()
+    m = obs.get
+    assert m["rows_seen"] == li.count()
+    assert m["null_qty"] == 0
+    expect_sum = li.agg(F.round(F.sum("l_quantity"), 2).alias("s")).collect()[0].s
+    assert m["sum_qty"] == expect_sum
+    assert 0 < out < m["rows_seen"]

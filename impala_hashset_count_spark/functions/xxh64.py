@@ -54,9 +54,15 @@ def xxh64_long(x: np.ndarray, seed: np.uint64) -> np.ndarray:
 
 def xxh64_int(i: int | np.ndarray, seed: np.uint64) -> np.uint64 | np.ndarray:
     """XXH64 of a 4-byte int (zero-extended low 32 bits, per the
-    spec's 4-byte tail step) — equals Spark ``xxhash64(<int col>)``."""
+    spec's 4-byte tail step) — equals Spark ``xxhash64(<int col>)``,
+    including NEGATIVE ints (masked to their two's-complement 32-bit
+    pattern first — ``np.uint32(<negative python int>)`` raises on
+    NumPy 2.x)."""
+    low32 = (np.asarray(i).astype(np.int64) & np.int64(0xFFFFFFFF)).astype(np.uint64)
+    if np.ndim(i) == 0:
+        low32 = np.uint64(low32)
     h = np.uint64(seed) + PRIME64_5 + np.uint64(4)
-    h = h ^ (np.uint64(np.uint32(i)) * PRIME64_1)
+    h = h ^ (low32 * PRIME64_1)
     h = _rotl(h, 23) * PRIME64_2 + PRIME64_3
     h ^= h >> np.uint64(33)
     h *= PRIME64_2

@@ -267,6 +267,8 @@ def minhash_signatures(
     saves, so hof is the default; the arrow tier is the escape hatch
     for long-document corpora where shingles-per-doc (and so the
     k-fold CPU) is 10-100x higher while transfer stays linear."""
+    if strategy not in ("arrow", "hof"):
+        raise ValueError(f"strategy must be 'arrow' or 'hof', got {strategy!r}")
     docs = doc_shingle_arrays(df, id_col, text_col, n)
     if strategy == "arrow":
         return docs.select(F.col(id_col), _minhash_sig_arrow(k)(F.col("shs")).alias("sig"))
@@ -382,6 +384,8 @@ def minhash_lsh_pairs(
     degrades only slightly while the worst case goes from O(B^2) to
     O(cap * B). None (default) keeps exact LSH semantics for parity
     runs; always set it in production."""
+    if strategy not in ("arrow", "hof"):
+        raise ValueError(f"strategy must be 'arrow' or 'hof', got {strategy!r}")
     rows = k // bands
     docs = doc_shingle_arrays(df, id_col, text_col, n, hash_fn=hash_fn).persist()
     # strategy applies to the xxhash64 production tier only: 'arrow'

@@ -177,11 +177,20 @@ def _signature_bands_arrow(df: DataFrame, vec_col: str, planes, bands: int, rows
     def _sig(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        m = np.vstack(v.to_numpy()).astype(np.float64)
-        q = np.floor(m * VEC_QUANT_SCALE + 0.5).astype(np.int64)
-        bits = (q @ P.T > 0).astype(np.int64)  # (batch, n_planes)
-        vals = bits.reshape(len(v), bands, rows) @ weights  # (batch, bands)
-        return pd.Series(list(vals))
+        arrs = v.to_numpy()
+        # NULL vectors (filtered upstream by lsh_topk, but this UDF
+        # must not crash a whole job if one slips through another
+        # call site) -> NULL band array; posexplode then emits no rows
+        mask = np.array([a is not None for a in arrs])
+        out = np.full(len(arrs), None, dtype=object)
+        if mask.any():
+            m = np.vstack(arrs[mask]).astype(np.float64)
+            q = np.floor(m * VEC_QUANT_SCALE + 0.5).astype(np.int64)
+            bits = (q @ P.T > 0).astype(np.int64)  # (batch, n_planes)
+            vals = bits.reshape(int(mask.sum()), bands, rows) @ weights
+            for j, row in zip(np.flatnonzero(mask), vals):
+                out[j] = row.tolist()
+        return pd.Series(out)
 
     # The UDF is perfectly deterministic; the marker is an optimizer
     # BARRIER, not a semantic claim: Generate(posexplode) implies a
@@ -318,8 +327,16 @@ def lsh_topk(
         raise ValueError(f"signature must be 'arrow' or 'hof', got {signature!r}")
     sig_fn = _signature_bands_arrow if signature == "arrow" else _signature_bands
     planes = _int_hyperplanes(dim, bands * rows, seed)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # NULL vectors are excluded up front: they have no meaningful
+    # angle, and without the filter the two signature strategies would
+    # diverge on them (HOF folds NULLs to a degenerate all-zero
+    # signature that floods bucket 0; the matmul has nothing to stack)
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
     cb = sig_fn(c, "cv", planes, bands, rows)
     qb = sig_fn(q, "qv", planes, bands, rows)
     candidates = (

@@ -128,7 +128,12 @@ def _text_analysis_oracle() -> str:
                CONTAINS(text, 'spark') AS has_spark,
                LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
                CAST(LEN(wmins) AS INTEGER) AS n_winnow_blocks,
-               CAST(COALESCE(LIST_SUM(wmins), 0) AS BIGINT) AS winnow_sum,
+               -- NULL text propagates NULL (matching Spark's
+               -- aggregate over a NULL array); COALESCE only converts
+               -- the empty-fingerprint case (short text) to 0
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE CAST(COALESCE(LIST_SUM(wmins), 0) AS BIGINT)
+               END AS winnow_sum,
                {pii},
                ROUND(1.0 - LEN(LIST_DISTINCT({lines})) * 1.0
                      / LEN({lines}), 4) AS dup_line_ratio,

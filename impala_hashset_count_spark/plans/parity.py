@@ -27,11 +27,9 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..operators.hashset_count import (
     approx_distinct_count,
-    distinct_sketch_table,
     hashset_count_agg,
     hashset_count_rdd,
     register_sql_udaf,
-    rollup_distinct_from_sketches,
 )
 from ..functions.vectors import jl_sign_matrix, sign_project
 from ..sources.tables import load_table, register_views
@@ -225,22 +223,23 @@ def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx_distinct_count("l_partkey").alias("approx_parts"),
         approx_distinct_count("l_orderkey").alias("approx_orders"),
     ).select(F.lit("hllpp").alias("tier"), "l_returnflag", "approx_parts", "approx_orders")
-    fine_p = distinct_sketch_table(li, ["l_returnflag", "l_linestatus"], "l_partkey")
-    fine_o = distinct_sketch_table(li, ["l_returnflag", "l_linestatus"], "l_orderkey")
-    sk = (
-        rollup_distinct_from_sketches(fine_p, ["l_returnflag"])
-        .withColumnRenamed("approx_distinct", "approx_parts")
-        .join(
-            rollup_distinct_from_sketches(fine_o, ["l_returnflag"])
-            .withColumnRenamed("approx_distinct", "approx_orders"),
-            "l_returnflag",
-        )
-        .select(
-            F.lit("sketch").alias("tier"),
-            "l_returnflag",
-            "approx_parts",
-            "approx_orders",
-        )
+    # both value columns sketched in ONE fine-grain pass (one scan,
+    # one shuffle agg — a sketch table is one groupBy however many
+    # measures it carries), then one union-rollup; the generic
+    # single-column helpers exist for the API, the N-measure case is
+    # just more agg columns.
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sk_p"),
+        F.hll_sketch_agg("l_orderkey", F.lit(12)).alias("sk_o"),
+    )
+    sk = fine.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk_p")).alias("approx_parts"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk_o")).alias("approx_orders"),
+    ).select(
+        F.lit("sketch").alias("tier"),
+        "l_returnflag",
+        "approx_parts",
+        "approx_orders",
     )
     return hllpp.unionByName(sk)
 

@@ -112,6 +112,9 @@ class _SyntheticBatchReader(DataSourceReader):
     def partitions(self):
         # contiguous row-range slices; the last partition takes the
         # remainder. Each executor task generates ONLY its slice.
+        # rows=0 is a legal bound -> one empty partition, not a crash.
+        if self.rows <= 0:
+            return [InputPartition((0, 0))]
         per = -(-self.rows // self.num_partitions)
         return [
             InputPartition((lo, min(lo + per, self.rows)))
@@ -190,7 +193,16 @@ class _JsonlWriter(DataSourceWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl writer requires a path")
-        self.overwrite = overwrite
+        # The writer is constructed DRIVER-side (then pickled to
+        # tasks), so overwrite cleanup happens here, before any task
+        # writes: otherwise mode('overwrite') would silently append —
+        # stale part files from the previous job survive and a plain
+        # JSONL reader (which ignores the manifest) returns their rows
+        # too.
+        if overwrite and os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") or f == "_SUCCESS":
+                    os.remove(os.path.join(self.path, f))
 
     def write(self, iterator: Iterator) -> _FileCommit:
         # Executor side: one part file per task, unique name so
@@ -219,7 +231,15 @@ class _JsonlWriter(DataSourceWriter):
             json.dump(manifest, f)
 
     def abort(self, messages) -> None:
+        # Failed tasks contribute None commit messages (per the
+        # DataSourceWriter contract) — and abort runs precisely when
+        # at least one task failed, so None entries are the norm here.
+        # A failed task's own part file has an unknown uuid name and
+        # cannot be removed; that is safe by construction, because
+        # only files listed in the _SUCCESS manifest count as data.
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.filename))
             except OSError:

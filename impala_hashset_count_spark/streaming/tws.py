@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
@@ -78,8 +79,13 @@ class HashsetCountProcessor(StatefulProcessor):
             # batch-local pre-distinct before the state probes (the
             # same move the batch UDAF makes JVM-side): each distinct
             # new value costs exactly one containsKey + one update.
-            for v in pdf["user_id"].dropna().unique():
-                sv = str(int(v))
+            # The value column arrives as STRING (cast JVM-side in
+            # hashset_count_tws): a bigint column holding any NULL
+            # would reach pandas as float64 and silently collapse ids
+            # above 2^53 — string transport keeps byte-exact values,
+            # which is also the reference's own input type
+            # (`/root/reference/hashset-count.h:31`).
+            for sv in pdf["user_id"].dropna().unique():
                 if not self._seen.containsKey((sv,)):
                     self._seen.updateValue((sv,), (1,))
                     n += 1
@@ -101,7 +107,7 @@ def hashset_count_tws(events: DataFrame) -> DataFrame:
 
     ship_package(events.sparkSession)
     return (
-        events.select("event_type", "user_id")
+        events.select("event_type", F.col("user_id").cast("string").alias("user_id"))
         .groupBy("event_type")
         .transformWithStateInPandas(
             HashsetCountProcessor(),

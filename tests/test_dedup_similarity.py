@@ -119,8 +119,10 @@ def test_numpy_xxh64_matches_spark(spark):
     )
 
     random.seed(7)
+    # i spans the FULL signed int32 domain (negatives mask to their
+    # two's-complement bit pattern, matching Spark's INT hashing)
     pairs = [
-        (random.randint(0, 63), random.randint(-(2**63), 2**63 - 1))
+        (random.randint(-(2**31), 2**31 - 1), random.randint(-(2**63), 2**63 - 1))
         for _ in range(500)
     ]
     df = spark.createDataFrame(pairs, "i int, x long")
@@ -216,6 +218,30 @@ def test_lsh_topk_strategy_equality(spark, sf_small):
     h = canon(lsh_topk(e, q, "vec_id", "embedding", k=10, dim=64, signature="hof"))
     assert a == h
     assert a, "candidate set should be non-empty"
+
+
+def test_lsh_topk_null_vectors_excluded_both_strategies(spark, sf_small):
+    """A NULL embedding must be silently excluded from indexing (it
+    has no angle), identically under both signature strategies — not
+    crash the Arrow matmul or flood bucket 0 under the HOF fold."""
+    e = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    withnull = e.unionByName(
+        spark.createDataFrame(
+            [(999999, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    q = withnull.filter(F.col("vec_id") < 5)
+
+    def canon(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in df.collect()
+        )
+
+    base = canon(lsh_topk(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, dim=64))
+    for sig in ("arrow", "hof"):
+        got = canon(lsh_topk(withnull, q, "vec_id", "embedding", k=10, dim=64, signature=sig))
+        assert got == base, sig
+        assert all(n != 999999 for _, n, _, _ in got)
 
 
 def test_lsh_topk_recall_vs_bruteforce(spark, sf_small):

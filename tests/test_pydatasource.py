@@ -162,3 +162,30 @@ def test_synthetic_stream_feeds_windowed_aggregation(spark, tmp_path):
     expect = {(r.ws, r.event_type): (r.n, r.u) for r in ref.collect()}
     assert sum(n for n, _ in got.values()) == n_rows
     assert got == expect
+
+
+def test_jsonl_writer_overwrite_removes_stale_parts(spark, tmp_path):
+    """mode('overwrite') must clear previous part files — a plain
+    JSONL reader ignores the manifest, so stale parts would silently
+    double-count."""
+    register_python_datasources(spark)
+    out = str(tmp_path / "ow")
+
+    def write(n):
+        (
+            spark.read.format("synthetic_events")
+            .option("rows", n)
+            .option("numPartitions", 2)
+            .load()
+            .write.format("jsonl")
+            .mode("overwrite")
+            .option("path", out)
+            .save()
+        )
+
+    write(100)
+    write(40)
+    back = spark.read.json(out)
+    assert back.count() == 40
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 40

@@ -619,19 +619,26 @@ def test_tws_processor_logic_two_batches_and_null_key():
     handle = FakeHandle()
     proc.init(handle)
 
-    def run(key, user_ids):
-        batch = pd.DataFrame({"user_id": pd.array(user_ids, dtype="Int64")})
-        (out,) = list(proc.handleInputRows((key,), iter([batch]), None))
+    def run(key, user_ids, proc_=None):
+        # user_id reaches the processor as STRING (cast JVM-side by
+        # hashset_count_tws) — object dtype here mirrors that
+        batch = pd.DataFrame({"user_id": pd.Series(user_ids, dtype="object")})
+        (out,) = list((proc_ or proc).handleInputRows((key,), iter([batch]), None))
         return out["hashset_count"][0]
 
-    assert run("a", [101, 102, 101]) == "2"
-    assert run("a", [102, 103]) == "3"  # state persisted and merged
+    assert run("a", ["101", "102", "101"]) == "2"
+    assert run("a", ["102", "103"]) == "3"  # state persisted and merged
 
     proc2 = HashsetCountProcessor()
     proc2.init(FakeHandle())
-    batch = pd.DataFrame({"user_id": pd.array([None, None], dtype="Int64")})
-    (out,) = list(proc2.handleInputRows(("nulls",), iter([batch]), None))
-    assert out["hashset_count"][0] is None
+    assert run("nulls", [None, None], proc_=proc2) is None
+
+    # ids above 2^53 must stay byte-exact (string transport is the
+    # guard against pandas' NULL->float64 coercion of bigint columns)
+    proc3 = HashsetCountProcessor()
+    proc3.init(FakeHandle())
+    big1, big2 = str(2**53 + 1), str(2**53)
+    assert run("big", [big1, big2, None], proc_=proc3) == "2"
 
 
 def test_hashset_count_tws_across_microbatches(spark, tmp_path):

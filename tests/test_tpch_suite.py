@@ -133,3 +133,26 @@ def test_tpch_suite_engine_parity(spark, sf_small, name):
     assert len(s_rows) == len(d_rows), name
     assert len(s_rows) > 0, f"{name}: predicate selected nothing — not a real test"
     assert _canon(s_cols, s_rows) == _canon(d_cols, d_rows), name
+
+
+def test_parameterized_sql_matches_literal(spark, sf_small):
+    """Named-parameter SQL (spark.sql(..., args=...)) must plan to the
+    same result as the literal query — parameterization is the
+    injection-safe surface a query service exposes; literals arrive as
+    typed args, not string-spliced SQL."""
+    load_table(spark, sf_small, "lineitem").createOrReplaceTempView("lineitem")
+    lit = spark.sql(
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_quantity > 25 AND l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+           GROUP BY l_returnflag ORDER BY l_returnflag"""
+    ).collect()
+    import datetime
+
+    par = spark.sql(
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_quantity > :qty AND l_shipdate >= :since
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+        args={"qty": 25, "since": datetime.datetime(1996, 1, 1)},
+    ).collect()
+    assert [tuple(r) for r in par] == [tuple(r) for r in lit]
+    assert lit and all(r.n > 0 for r in lit)

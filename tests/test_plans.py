@@ -169,3 +169,15 @@ def test_simhash_md5_tier_same_shuffle_free_shape(spark):
     plan = explain_str(simhash_signatures(d, "doc_id", "text", hash_fn="md5"))
     assert "hashpartitioning" not in plan
     assert "Generate" not in plan
+
+
+def test_sketch_tier_single_pass_no_join(spark):
+    """The Datasketches rollup tier must be two grouped aggregations
+    (fine-grain sketch, union rollup) over ONE lineitem scan per tier
+    — no join anywhere (both measures sketch in the same groupBy), and
+    exactly the 2 scans the tagged union of two tiers implies."""
+    import re
+
+    plan = _plan(spark, "approx_distinct_lineitem")
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 2

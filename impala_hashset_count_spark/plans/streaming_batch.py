@@ -15,6 +15,7 @@ from ..operators.multimodal import (
     extract_image_metadata,
     frame_sample_hashes,
     resize_images,
+    wav_roundtrip_features,
 )
 from ..sources.tables import load_table
 from .registry import register
@@ -421,7 +422,7 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    MD5(SUBSTRING(text, 3 * (n // 4) + 1, GREATEST(n // 4, 1))) AS fh_3
             FROM a
         )
-        SELECT d.doc_id,
+        SELECT 'stub' AS tag, d.doc_id,
                CAST(OCTET_LENGTH(ENCODE(d.text)) AS INTEGER) AS byte_len,
                CAST(8000 * (1 << (OCTET_LENGTH(ENCODE(d.text)) % 3)) AS INTEGER)
                    AS sample_rate,
@@ -429,8 +430,29 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(OCTET_LENGTH(ENCODE(d.text)) * 32 AS BIGINT) AS n_samples,
                (OCTET_LENGTH(ENCODE(d.text)) * 32.0)
                    / (8000 * (1 << (OCTET_LENGTH(ENCODE(d.text)) % 3))) AS duration_s,
-               fh.fh_0, fh.fh_1, fh.fh_2, fh.fh_3
+               fh.fh_0, fh.fh_1, fh.fh_2, fh.fh_3,
+               CAST(NULL AS INTEGER) AS peak, CAST(NULL AS DOUBLE) AS rms
         FROM documents d LEFT JOIN fh ON d.doc_id = fh.doc_id
+        UNION ALL
+        SELECT 'wav' AS tag, doc_id,
+               CAST(44 + 2 * ns AS INTEGER) AS byte_len,
+               CAST(16000 AS INTEGER) AS sample_rate,
+               CAST(1 AS INTEGER) AS n_channels,
+               CAST(ns AS BIGINT) AS n_samples,
+               CAST(ns AS DOUBLE) / CAST(16000 AS DOUBLE) AS duration_s,
+               NULL AS fh_0, NULL AS fh_1, NULL AS fh_2, NULL AS fh_3,
+               CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+               SQRT(CAST(SUM(v * v) AS DOUBLE) / ns) AS rms
+        FROM (
+            SELECT doc_id, ns,
+                   ((doc_id * 31 + UNNEST(RANGE(ns)) * 7) % 65536) - 32768 AS v
+            FROM (
+                SELECT doc_id,
+                       OCTET_LENGTH(ENCODE(text)) % 256 + 4 AS ns
+                FROM documents
+            )
+        )
+        GROUP BY doc_id, ns
     """,
 )
 def multimodal_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,7 +465,15 @@ def multimodal_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to ASCII payloads because the DuckDB oracle can only
     slice/hash VARCHAR — on ASCII, byte slices == char slices; non-ASCII
     docs carry NULL frame hashes. Production uses the xxhash64 variant
-    with no such restriction."""
+    with no such restriction.
+
+    The tagged 'wav' arm is the REAL audio decode tier proven by the
+    driver's hard signal: per doc, deterministic ramp PCM is encoded as
+    a canonical RIFF/WAVE file by ``encode_wav`` and decoded back by the
+    real chunk-walking ``decode_wav`` parser inside one mapInPandas
+    stage; the oracle recomputes byte_len/n_samples/peak/rms
+    arithmetically (generate_series over the same ramp), so any header,
+    chunk-walk, or sample-extraction bug hash-fails."""
     d = _t(spark, sf_dir, "documents")
     payloads = attach_binary_payload(d, "doc_id", "text")
     audio = extract_audio_features(payloads)
@@ -457,4 +487,34 @@ def multimodal_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ]
     )
-    return audio.join(fh, "doc_id", "left")
+    stub = audio.join(fh, "doc_id", "left").select(
+        F.lit("stub").alias("tag"),
+        "doc_id",
+        "byte_len",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_s",
+        "fh_0",
+        "fh_1",
+        "fh_2",
+        "fh_3",
+        F.lit(None).cast("int").alias("peak"),
+        F.lit(None).cast("double").alias("rms"),
+    )
+    wav = wav_roundtrip_features(payloads).select(
+        F.lit("wav").alias("tag"),
+        "doc_id",
+        "byte_len",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_s",
+        F.lit(None).cast("string").alias("fh_0"),
+        F.lit(None).cast("string").alias("fh_1"),
+        F.lit(None).cast("string").alias("fh_2"),
+        F.lit(None).cast("string").alias("fh_3"),
+        "peak",
+        "rms",
+    )
+    return stub.unionByName(wav)

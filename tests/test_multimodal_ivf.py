@@ -286,3 +286,112 @@ def test_map_in_arrow_metadata_twin_bit_identical(spark, sf_small):
     a = sorted(map(tuple, extract_image_metadata_arrow(d).collect()))
     p = sorted(map(tuple, extract_image_metadata(d).collect()))
     assert a == p and a
+
+
+def test_wav_roundtrip_encode_decode():
+    from impala_hashset_count_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        ramp_pcm16,
+    )
+
+    pcm = ramp_pcm16(7, 10)
+    wav = encode_wav(16000, 1, pcm)
+    assert len(wav) == 44 + len(pcm)
+    rate, ch, n_frames, data = decode_wav(wav)
+    assert (rate, ch, n_frames) == (16000, 1, 10)
+    assert data == pcm
+    # stereo: frames collapse channel pairs
+    stereo = encode_wav(8000, 2, pcm)
+    rate, ch, n_frames, data = decode_wav(stereo)
+    assert (rate, ch, n_frames) == (8000, 2, 5)
+    assert data == pcm
+
+
+def test_wav_decode_skips_unknown_chunks_with_word_alignment():
+    import struct
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        ramp_pcm16,
+    )
+
+    pcm = ramp_pcm16(3, 6)
+    wav = encode_wav(22050, 1, pcm)
+    # splice an odd-sized junk chunk between fmt and data: the parser
+    # must skip it using RIFF word alignment (size 5 -> 6 bytes on disk)
+    fmt_end = 12 + 8 + 16
+    junk = struct.pack("<4sI", b"LIST", 5) + b"abcde\x00"
+    spliced = wav[:fmt_end] + junk + wav[fmt_end:]
+    rate, ch, n_frames, data = decode_wav(spliced)
+    assert (rate, ch, n_frames) == (22050, 1, 6)
+    assert data == pcm
+
+
+def test_wav_decode_rejects_bad_payloads():
+    import pytest
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        ramp_pcm16,
+    )
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav(b"BM\x00\x00")
+    wav = encode_wav(16000, 1, ramp_pcm16(1, 8))
+    with pytest.raises(ValueError):
+        decode_wav(wav[:-3])  # truncated data chunk
+    # 8-bit PCM is rejected, not mis-decoded
+    import struct
+
+    eight_bit = bytearray(wav)
+    struct.pack_into("<H", eight_bit, 12 + 8 + 14, 8)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(eight_bit))
+
+
+def test_wav_features_match_pure_python():
+    import math
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        encode_wav,
+        ramp_pcm16,
+        wav_features,
+    )
+
+    doc_id, n = 42, 17
+    wav = encode_wav(16000, 1, ramp_pcm16(doc_id, n))
+    byte_len, rate, ch, ns, dur, peak, rms = wav_features(wav)
+    vals = [((doc_id * 31 + i * 7) % 65536) - 32768 for i in range(n)]
+    assert (byte_len, rate, ch, ns) == (44 + 2 * n, 16000, 1, n)
+    assert dur == n / 16000
+    assert peak == max(abs(v) for v in vals)
+    assert rms == math.sqrt(float(sum(v * v for v in vals)) / n)
+
+
+def test_wav_roundtrip_features_end_to_end(spark, sf_small):
+    import math
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        attach_binary_payload,
+        wav_roundtrip_features,
+    )
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").limit(20)
+    payloads = attach_binary_payload(d, "doc_id", "text")
+    rows = {r.doc_id: r for r in wav_roundtrip_features(payloads).collect()}
+    src = {r.doc_id: bytes(r.payload) for r in payloads.collect()}
+    assert rows.keys() == src.keys()
+    for doc_id, payload in src.items():
+        n = len(payload) % 256 + 4
+        vals = [((doc_id * 31 + i * 7) % 65536) - 32768 for i in range(n)]
+        r = rows[doc_id]
+        assert r.byte_len == 44 + 2 * n
+        assert (r.sample_rate, r.n_channels, r.n_samples) == (16000, 1, n)
+        assert r.duration_s == n / 16000
+        assert r.peak == max(abs(v) for v in vals)
+        assert r.rms == math.sqrt(float(sum(v * v for v in vals)) / n)

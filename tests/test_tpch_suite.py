@@ -1,5 +1,6 @@
-"""TPC-H breadth beyond the registry's Q1/Q3/Q4/Q17: Q5, Q10, Q12,
-Q14, and Q19 shapes run as ONE portable ANSI-SQL text on BOTH engines
+"""TPC-H breadth beyond the registry's Q1/Q3/Q4/Q17: Q5, Q6, Q7, Q8,
+Q10, Q12, Q13, Q14, Q15, Q18, and Q19 shapes run as ONE portable
+ANSI-SQL text on BOTH engines
 (Spark over temp views, DuckDB over the same parquet) and compared
 canonically — multi-way join ordering, mixed agg+join pipelines,
 conditional aggregation, and OR-of-conjuncts predicate pushdown all
@@ -93,7 +94,117 @@ _Q19 = """
            AND p_size BETWEEN 1 AND 35)
 """
 
-SUITE = {"q5": _Q5, "q10": _Q10, "q12": _Q12, "q14": _Q14, "q19": _Q19}
+_Q6 = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+_Q7 = """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey
+          AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+          AND CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01'
+                                           AND DATE '1996-12-31'
+    ) AS shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q8 = """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_20' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+        SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey
+          AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND s_nationkey = n2.n_nationkey
+          AND p_type = 'PROMO'
+    ) AS all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+_Q13 = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) AS c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q15 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+_Q18 = """
+    SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+           SUM(l_quantity) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+          )
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+SUITE = {
+    "q5": _Q5,
+    "q6": _Q6,
+    "q7": _Q7,
+    "q8": _Q8,
+    "q10": _Q10,
+    "q12": _Q12,
+    "q13": _Q13,
+    "q14": _Q14,
+    "q15": _Q15,
+    "q18": _Q18,
+    "q19": _Q19,
+}
 
 
 def _canon(cols, rows):

@@ -100,11 +100,15 @@ def _text_analysis_oracle() -> str:
         "i -> CONCAT(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
     )
     codes, wh, wmins = poly_winnow_oracle_exprs("text", 8, 4)
+    from ..functions.bpe import bpe_encode_sql
+
+    bpe = bpe_encode_sql("text")
     return rf"""
         WITH t AS (
             SELECT doc_id, lang, text,
                    STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks,
-                   {codes} AS codes
+                   {codes} AS codes,
+                   {bpe} AS bpe
             FROM documents
         ),
         t2 AS (SELECT *, {wh} AS wh FROM t),
@@ -114,6 +118,13 @@ def _text_analysis_oracle() -> str:
                     ELSE CAST(LEN(toks) AS INTEGER) END AS n_tokens,
                CAST(LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS INTEGER)
                    AS n_bpe_ish,
+               CAST(LENGTH(bpe) - LENGTH(REPLACE(bpe, '<', ''))
+                    AS INTEGER) AS n_bpe,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE COALESCE(ARRAY_TO_STRING(
+                        REGEXP_EXTRACT_ALL(bpe, '<([a-z]+)>', 1)[1:8], '+'),
+                        '')
+               END AS bpe_head,
                LENGTH(text) AS n_chars,
                ROUND({punct}, 4) AS punct_ratio,
                ROUND({stop_hits} * 1.0 / LEN(toks), 4) AS stop_ratio,
@@ -167,6 +178,7 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     dozen codegen-fallback higher-order functions each re-split the
     text per row and the stage drops out of codegen (measured ~20x
     slower at sf0.1). Same values, same oracle."""
+    from ..functions.bpe import bpe_encode_expr
     from ..functions.text import (
         lang_scores,
         tokens,
@@ -192,12 +204,25 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles("text", 3, toks=toks).alias("__tri"),
         punct_ratio("text").alias("__punct"),
         winnowing_fingerprint_poly("text", 8, 4).alias("__wf"),
+        bpe_encode_expr("text").alias("__bpe"),
     )
     scores = {lang: F.col(f"__sc_{lang}") for lang in LANG_MARKERS}
     return s2.select(
         "doc_id",
         token_count("text", toks=toks).alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_ish"),
+        # REAL BPE (functions/bpe.py): encoded string staged once
+        # (__bpe, a pure codegen replace chain), count + first-8-token
+        # identity probe both derived from it and hash-mirrored
+        (F.length("__bpe") - F.length(F.replace(F.col("__bpe"), F.lit("<"))))
+        .cast("int")
+        .alias("n_bpe"),
+        F.array_join(
+            F.slice(
+                F.regexp_extract_all("__bpe", F.lit("<([a-z]+)>"), F.lit(1)), 1, 8
+            ),
+            "+",
+        ).alias("bpe_head"),
         F.length("text").alias("n_chars"),
         F.round(F.col("__punct"), 4).alias("punct_ratio"),
         F.round(

@@ -183,3 +183,57 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    total_rows: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based source/language rebalancing — the standard
+    multilingual-LLM mixture: stratum s with n_s rows gets mixture
+    share q_s ∝ n_s^alpha (alpha < 1 upweights low-resource strata),
+    realized as a per-stratum keep-rate ``min(1, q_s * total_rows /
+    n_s)`` over the same seed-free hash-uniform used by the other
+    samplers, so the selection is reproducible across runs,
+    partitionings, and engines. Rates > 1 are capped (sampling without
+    replacement cannot oversample; repeat-epoch oversampling is the
+    data loader's job).
+
+    Fully declarative — no driver collect: one small stratum-count
+    aggregation, a 1-row total broadcast, and a broadcast rate join
+    onto the corpus scan (two corpus passes total; at 100 TB the count
+    pass is a cheap single-column scan, or feed pre-known counts via a
+    materialized stats table upstream).
+
+    Engine-stable math: alpha=0.5 uses ``sqrt`` (correctly rounded per
+    IEEE-754, unlike ``pow``), each weight is quantized to integer
+    micro-units and summed as BIGINT (order-independent), and the rate
+    is a single fixed-association double expression — the same
+    discipline as ``corpus_stats._qint``. Non-0.5 alphas are supported
+    for API users via ``pow`` but are not oracle-mirrorable bit-exactly."""
+    if alpha == 0.5:
+        w_raw = F.sqrt(F.col("__n").cast("double"))
+    else:
+        w_raw = F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    weights = counts.withColumn(
+        "__w", F.floor(w_raw * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    )
+    total = weights.agg(F.sum("__w").alias("__tw"))
+    rates = weights.crossJoin(F.broadcast(total)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("__w").cast("double") * F.lit(float(total_rows)))
+            / (F.col("__tw").cast("double") * F.col("__n").cast("double")),
+        ).alias("__keep"),
+    )
+    u = _uniform_from_hash(F.col(key_col))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(u < F.col("__keep"))
+        .drop("__keep")
+    )

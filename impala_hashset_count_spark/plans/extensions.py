@@ -52,7 +52,12 @@ from ..operators.dedup import (
 from ..operators.decontaminate import contamination_stats
 from ..operators.line_dedup import boilerplate_lines, strip_boilerplate_lines
 from ..operators.packing import chunk_documents, pack_sequences_greedy
-from ..operators.sampling import hash_split, mix_corpus, stratified_hash_sample
+from ..operators.sampling import (
+    hash_split,
+    mix_corpus,
+    stratified_hash_sample,
+    temperature_mix,
+)
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table, register_views
 from .registry import register
@@ -1082,6 +1087,28 @@ _SAMPLE_MIX_ORACLE = r"""
         FROM base
     )
     WHERE (lang = 'en' AND cum <= 4000) OR (lang = 'fr' AND cum <= 1500)
+    UNION ALL
+    SELECT 'temp' AS kind, b.doc_id, b.lang, b.n_tokens
+    FROM base b
+    JOIN (
+        SELECT w.lang,
+               LEAST(CAST(1 AS DOUBLE),
+                     (CAST(w.w AS DOUBLE) * CAST(300 AS DOUBLE))
+                     / (CAST(t.tw AS DOUBLE) * CAST(w.n AS DOUBLE))) AS keep
+        FROM (
+            SELECT lang, n,
+                   CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * CAST(1000000 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w
+            FROM (SELECT lang, COUNT(*) AS n FROM base GROUP BY lang)
+        ) w,
+        (
+            SELECT SUM(CAST(FLOOR(SQRT(CAST(n AS DOUBLE))
+                                  * CAST(1000000 AS DOUBLE)
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS tw
+            FROM (SELECT lang, COUNT(*) AS n FROM base GROUP BY lang)
+        ) t
+    ) r ON b.lang = r.lang
+    WHERE b.u < r.keep
 """
 
 
@@ -1097,6 +1124,12 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'mix' rows: ``mix_corpus`` token budgets (en 4000 / fr 1500,
       other strata dropped) — rows taken in content-hash order until the
       stratum budget fills; one window shuffle on the stratum key.
+    - 'temp' rows: ``temperature_mix`` alpha=0.5 rebalancing toward a
+      300-row mixture (share ∝ sqrt(n_lang), keep-rate capped at 1) —
+      declarative stratum counts + broadcast rate join, no driver
+      collect; weights integer-quantized so the rates are
+      engine-bit-stable (sqrt is IEEE-correctly-rounded; pow is not,
+      which is why the oracle tier pins alpha=0.5).
 
     The DuckDB oracle reimplements the md5-derived uniform digit-by-digit
     (exact in doubles: the 8-hex-digit value < 2^32 < 2^53), so the
@@ -1112,7 +1145,10 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "lang", "doc_id", "n_tokens",
         budgets={"en": 4000, "fr": 1500},
     ).select(F.lit("mix").alias("kind"), "doc_id", "lang", "n_tokens")
-    return samp.union(mixed)
+    temp = temperature_mix(
+        base, "lang", "doc_id", total_rows=300, alpha=0.5
+    ).select(F.lit("temp").alias("kind"), "doc_id", "lang", "n_tokens")
+    return samp.union(mixed).union(temp)
 
 
 # ---------------------------------------------------------------------

@@ -191,3 +191,67 @@ def test_hash_split_null_keys_deterministic_not_last_bucket(spark):
     # non-null rows unaffected and all rows labeled
     assert out.filter("split IS NULL").count() == 0
     assert out.count() == 4
+
+
+def test_temperature_mix_rebalances_toward_sqrt_shares(spark, sf_small):
+    import math
+
+    from impala_hashset_count_spark.operators.sampling import temperature_mix
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id", "lang")
+    counts = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    total_rows = 300
+    out = temperature_mix(d, "lang", "doc_id", total_rows=total_rows, alpha=0.5)
+    got = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    # expected count per stratum = n * min(1, q*T/n) with q = w/tw
+    w = {s: math.floor(math.sqrt(float(n)) * 1e6 + 0.5) for s, n in counts.items()}
+    tw = sum(w.values())
+    for s, n in counts.items():
+        keep = min(1.0, (float(w[s]) * total_rows) / (float(tw) * float(n)))
+        expect = n * keep
+        # hash-uniform selection: binomial-ish around expect
+        assert abs(got.get(s, 0) - expect) <= 4 * math.sqrt(expect + 1), (s, got, expect)
+    # rebalancing: smallest stratum keeps a larger fraction than largest
+    smallest = min(counts, key=counts.get)
+    largest = max(counts, key=counts.get)
+    if counts[smallest] < counts[largest]:
+        f_small = got.get(smallest, 0) / counts[smallest]
+        f_large = got.get(largest, 0) / counts[largest]
+        assert f_small > f_large
+
+
+def test_temperature_mix_deterministic_across_partitionings(spark, sf_small):
+    from impala_hashset_count_spark.operators.sampling import temperature_mix
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id", "lang")
+    outs = []
+    for parts in (2, 8, 32):
+        out = temperature_mix(
+            d.repartition(parts), "lang", "doc_id", total_rows=200, alpha=0.5
+        )
+        outs.append(sorted(r.doc_id for r in out.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 0
+
+
+def test_temperature_mix_cap_keeps_whole_small_stratum(spark):
+    from impala_hashset_count_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "tiny") for i in range(3)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    # huge budget: every keep-rate caps at 1.0 -> everything survives
+    out = temperature_mix(d, "lang", "doc_id", total_rows=10_000, alpha=0.5)
+    assert out.count() == 403
+    # modest budget: the tiny stratum's rate caps at 1.0 (all 3 kept)
+    out2 = temperature_mix(d, "lang", "doc_id", total_rows=50, alpha=0.5)
+    tiny = out2.filter("lang = 'tiny'").count()
+    assert tiny == 3
+
+
+def test_temperature_mix_plan_broadcasts_rates(spark, sf_small):
+    from impala_hashset_count_spark.operators.sampling import temperature_mix
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id", "lang")
+    out = temperature_mix(d, "lang", "doc_id", total_rows=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -181,3 +181,46 @@ def test_sketch_tier_single_pass_no_join(spark):
     plan = _plan(spark, "approx_distinct_lineitem")
     assert "Join" not in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 2
+
+
+def test_runtime_bloom_filter_injected_on_non_broadcast_dim_join(spark):
+    """When a selective dim join CANNOT broadcast (at 100 TB a 'small'
+    side easily exceeds the broadcast threshold), Spark's runtime
+    bloom-filter injection must kick in: the dim side aggregates a
+    bloom_filter_agg and the fact scan pre-filters with might_contain
+    BEFORE the shuffle — the row-level analogue of the dynamic
+    partition pruning proven in tests/test_sources.py. Thresholds are
+    lowered to model the big-fact regime at test scale; with broadcast
+    re-enabled the filter correctly does NOT inject (broadcast joins
+    don't need it)."""
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    fact = load_table(spark, SF, "lineitem")
+    dim = load_table(spark, SF, "part").filter("p_size < 5")
+
+    def make():
+        return fact.join(dim, fact.l_partkey == dim.p_partkey).select(
+            "l_orderkey", "p_name"
+        )
+
+    baseline = make().count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        j = make()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        assert j.count() == baseline  # the filter only prunes, never drops
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+    plan_bc = make()._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" not in plan_bc

@@ -354,3 +354,213 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression half of a
+# production ANN index (FAISS-style IVF-PQ = assign_ivf_cells for the
+# coarse partitioning x the codes below for in-cell compression).
+# ---------------------------------------------------------------------
+
+def train_pq(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 32,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: the vector is split into ``m``
+    contiguous subvectors and each subspace gets its own seeded k-means
+    (``k_codes`` centroids). Returns ``codebooks[s][j]`` = centroid j
+    of subspace s (a tiny m x k x (dim/m) float table — driver/broadcast
+    material). Training touches the corpus m times via pyspark.ml
+    KMeans; at 100 TB fit on a sample — PQ codebooks only need the
+    marginal geometry of each subspace."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = corpus.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub)
+            ).alias("__v")
+        )
+        model = KMeans(
+            k=k_codes, seed=seed + s, featuresCol="__v", predictionCol="__c"
+        ).fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Encode each vector to ``m`` small codes (nearest centroid per
+    subspace, L2, ties to the lowest index): 64 float32 dims become
+    m=4 bytes — a 64x memory cut, which is what lets a 100 TB corpus'
+    index live in RAM for the ADC scan. Arrow-batched numpy argmin per
+    partition (the codebook rides the closure — m*k*dsub floats)."""
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, _k_codes, dsub = books.shape
+
+    def batches(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"__id": pd.Series([], dtype="int64"), "codes": []}
+                )
+                continue
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+            )
+            sub = vecs.reshape(n, m, dsub)
+            # squared distance to every centroid: (n, m, k)
+            d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2).astype("int32")  # first min wins
+            yield pd.DataFrame({"__id": pdf["__id"].values, "codes": list(codes)})
+
+    return (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+        .mapInPandas(batches, schema="__id bigint, codes array<int>")
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 32,
+    adc_factor: int = 8,
+    seed: int = 42,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation (ADC) + exact
+    re-rank — the FAISS-style scan, Spark-first:
+
+    1. encode the corpus to m-code rows (``pq_encode``; at 100 TB the
+       code table is the only thing the ADC stage reads — 4 bytes/row
+       here vs 256 for the raw float32 vector);
+    2. per query, precompute the ADC lookup table ``tab[s*k+j] =
+       dot(q_s, c_sj)`` and the codebook norm table (tiny, broadcast);
+    3. score every (query, code-row) pair with m array lookups — an
+       approximate cosine ``sum_s tab / (|q| * sqrt(sum_s |c|^2))``,
+       all JVM-side HOF folds, no Python in the scan;
+    4. keep the top ``k * adc_factor`` per query by ADC score, join
+       back ONLY those candidates' true vectors, exact-cosine re-rank
+       to k (the standard refine step, so the emitted ``cos_sim`` is
+       exact and directly comparable to the other tiers).
+
+    Compose with ``assign_ivf_cells`` for IVF-PQ: filter the code
+    table to probed cells before step 3."""
+    if codebooks is None:
+        codebooks = train_pq(corpus, vec_col, dim, m, k_codes, seed)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m_, kc, dsub = books.shape
+    cent_norm2 = (books**2).sum(axis=2)  # (m, k)
+
+    codes = pq_encode(corpus, id_col, vec_col, codebooks).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+
+    def qbatches(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype="int64"),
+                        "qv": [],
+                        "tab": [],
+                        "qnorm": pd.Series([], dtype="float64"),
+                    }
+                )
+                continue
+            qv = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
+            )
+            sub = qv.reshape(n, m_, dsub)
+            # tab[n, s, j] = dot(q_s, c_sj)
+            tab = np.einsum("nsd,skd->nsk", sub, books)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "qv": list(pdf["qv"]),
+                    "tab": list(tab.reshape(n, m_ * kc)),
+                    "qnorm": np.sqrt((qv**2).sum(axis=1)),
+                }
+            )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qtab = q.mapInPandas(
+        qbatches,
+        schema=(
+            "query_id bigint, qv array<float>, tab array<double>, qnorm double"
+        ),
+    )
+
+    norms_lit = F.array(
+        *[F.lit(float(x)) for x in cent_norm2.reshape(m_ * kc)]
+    )
+    s_idx = F.sequence(F.lit(0), F.lit(int(m_) - 1))
+    # ADC dot + reconstructed norm: m element_at lookups each, pure JVM
+    adc_dot = F.aggregate(
+        s_idx,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("tab"), (s * kc + F.element_at(F.col("codes"), s + 1) + 1).cast("int")
+        ),
+    )
+    rec_n2 = F.aggregate(
+        s_idx,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            norms_lit, (s * kc + F.element_at(F.col("codes"), s + 1) + 1).cast("int")
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qtab))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "__adc",
+            adc_dot / (F.col("qnorm") * F.sqrt(rec_n2) + F.lit(1e-12)),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("__ar", F.row_number().over(w_adc))
+        .filter(F.col("__ar") <= k * adc_factor)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(cv, "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine("cv", "qv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -58,7 +58,7 @@ from ..operators.sampling import (
     stratified_hash_sample,
     temperature_mix,
 )
-from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk, pq_topk
 from ..sources.tables import load_table, register_views
 from .registry import register
 
@@ -982,14 +982,21 @@ def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``similarity_topk_bruteforce``).
     - ``ivf``: IVF-flat — seeded k-means coarse quantizer (16 cells),
       each query probes its 4 nearest cells; the cell id doubles as a
-      physical bucketing key at 100 TB."""
+      physical bucketing key at 100 TB.
+    - ``pq``: product quantization — per-subspace k-means codebooks
+      (8 subspaces x 32 codes: 8-byte codes for 64 float dims, the 32x
+      memory cut that keeps a 100 TB index scannable), ADC lookup-table
+      scan JVM-side, exact-cosine re-rank of the top candidates
+      (recall vs brute force tested alongside the other tiers)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     lsh = lsh_topk(e, q, "vec_id", "embedding", k=10, dim=64)
     ivf = ivf_topk(e, q, "vec_id", "embedding", k=10, n_cells=16, nprobe=4)
+    pq = pq_topk(e, q, "vec_id", "embedding", dim=64, k=10)
     return (
         lsh.withColumn("tier", F.lit("lsh"))
         .unionByName(ivf.withColumn("tier", F.lit("ivf")))
+        .unionByName(pq.withColumn("tier", F.lit("pq")))
         .select("tier", "query_id", "neighbor_id", "cos_sim", "rank")
     )
 

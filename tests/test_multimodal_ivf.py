@@ -395,3 +395,65 @@ def test_wav_roundtrip_features_end_to_end(spark, sf_small):
         assert r.duration_s == n / 16000
         assert r.peak == max(abs(v) for v in vals)
         assert r.rms == math.sqrt(float(sum(v * v for v in vals)) / n)
+
+
+def test_pq_topk_recall_vs_bruteforce(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from impala_hashset_count_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(e, q, "vec_id", "embedding", k=10).collect()
+    }
+    got_rows = pq_topk(e, q, "vec_id", "embedding", dim=64, k=10).collect()
+    got = {(r.query_id, r.neighbor_id) for r in got_rows}
+    assert len(got_rows) == 50
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.7, recall  # measured 0.86 with the default config
+    # re-rank emits EXACT cosine: every (q, n) pair common with the
+    # brute-force tier must carry the identical rounded score
+    ex_scores = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in brute_force_topk(e, q, "vec_id", "embedding", k=10).collect()
+    }
+    for r in got_rows:
+        if (r.query_id, r.neighbor_id) in ex_scores:
+            assert r.cos_sim == ex_scores[(r.query_id, r.neighbor_id)]
+
+
+def test_pq_encode_codes_shape_and_determinism(spark, sf_small):
+    from impala_hashset_count_spark.operators.similarity import (
+        pq_encode,
+        train_pq,
+    )
+
+    e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    books = train_pq(e, "embedding", dim=64, m=8, k_codes=32)
+    assert len(books) == 8 and all(len(b) == 32 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    outs = []
+    for parts in (2, 32):
+        codes = pq_encode(e.repartition(parts), "vec_id", "embedding", books)
+        rows = {r.vec_id: tuple(r.codes) for r in codes.collect()}
+        outs.append(rows)
+    assert outs[0] == outs[1]  # partitioning-invariant argmin
+    assert all(len(c) == 8 for c in outs[0].values())
+    assert all(0 <= v < 32 for c in outs[0].values() for v in c)
+    # codebooks are deterministic across retrains (seeded k-means)
+    books2 = train_pq(e, "embedding", dim=64, m=8, k_codes=32)
+    assert books == books2
+
+
+def test_pq_dim_validation():
+    import pytest
+
+    from impala_hashset_count_spark.operators.similarity import train_pq
+
+    with pytest.raises(ValueError):
+        train_pq(None, "embedding", dim=10, m=4)

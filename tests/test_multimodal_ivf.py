@@ -457,3 +457,32 @@ def test_pq_dim_validation():
 
     with pytest.raises(ValueError):
         train_pq(None, "embedding", dim=10, m=4)
+
+
+def test_ivfpq_topk_composes_and_recalls(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from impala_hashset_count_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(e, q, "vec_id", "embedding", k=10).collect()
+    }
+    rows = ivfpq_topk(e, q, "vec_id", "embedding", dim=64, k=10).collect()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(rows) == 50
+    # coarse-cell restriction caps recall below the PQ-only tier on
+    # these near-uniform synthetic embeddings (measured 0.46 at
+    # nprobe=4/16 vs 0.86 full-scan PQ) — the price of touching only
+    # nprobe/n_cells of the corpus
+    assert len(exact & got) / len(exact) >= 0.3
+    # ranks are dense 1..10 per query
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())

@@ -365,3 +365,56 @@ def unigram_logprob_scores(
             ).alias("mean_lp"),
         )
     )
+
+
+def top_tokens_sketch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    group_col: str | None = None,
+    max_items: int = 10_000,
+) -> DataFrame:
+    """Mergeable frequent-items sketch tier of the heavy-hitter query
+    (the frequency twin of the Datasketches-HLL distinct tier): token
+    streams accumulate into per-group ``approx_top_k_accumulate``
+    sketches, any coarser rollup is ``approx_top_k_combine`` over the
+    STORED sketch structs — zero raw-data re-access — and
+    ``approx_top_k_estimate`` answers top-k from the merged state. At
+    100 TB: materialize the per-(day, source) sketch table once;
+    every ad-hoc "top tokens overall / per source / per week" query
+    reads sketches, not the corpus. Exact while per-sketch distinct
+    tokens <= ``max_items`` (tested); beyond that, counts degrade
+    gracefully like any Misra-Gries-family summary.
+
+    Returns (token, est_count) rows, count-desc. ``group_col`` groups
+    the accumulation (proving the merge path); None accumulates
+    globally."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    if group_col is not None:
+        toks = df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        ).filter(F.col("w") != "")
+        per_group = toks.groupBy("__g").agg(
+            F.expr(f"approx_top_k_accumulate(w, {int(max_items)})").alias("sk")
+        )
+        merged = per_group.agg(
+            F.expr(f"approx_top_k_combine(sk, {int(max_items)})").alias("sk")
+        )
+    else:
+        merged = toks.agg(
+            F.expr(f"approx_top_k_accumulate(w, {int(max_items)})").alias("sk")
+        )
+    return (
+        merged.select(
+            F.explode(F.expr(f"approx_top_k_estimate(sk, {int(k)})")).alias("e")
+        )
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("long").alias("est_count"),
+        )
+        .orderBy(F.col("est_count").desc(), "token")
+    )

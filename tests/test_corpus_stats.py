@@ -250,3 +250,68 @@ def test_top_tokens_from_tf_equals_direct(spark, sf_small):
     direct = [tuple(r) for r in top_tokens(d, k=30).collect()]
     derived = [tuple(r) for r in top_tokens_from_tf(term_doc_stats(d), k=30).collect()]
     assert direct == derived
+
+
+def test_top_tokens_sketch_exact_under_capacity(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from impala_hashset_count_spark.functions.text import tokens
+    from impala_hashset_count_spark.operators.corpus_stats import (
+        top_tokens_sketch,
+    )
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    exact = {
+        r.w: r["count"]
+        for r in d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter("w != ''")
+        .groupBy("w")
+        .count()
+        .collect()
+    }
+    got = top_tokens_sketch(d, k=10).collect()
+    assert len(got) == 10
+    # ample capacity => the sketch is exact: every estimate equals the
+    # true count, and no non-top item outranks a true heavy hitter
+    for r in got:
+        assert exact[r.token] == r.est_count, r
+    kth = sorted(exact.values(), reverse=True)[9]
+    assert all(r.est_count >= kth for r in got)
+
+
+def test_top_tokens_sketch_merge_equals_global(spark, sf_small):
+    from impala_hashset_count_spark.operators.corpus_stats import (
+        top_tokens_sketch,
+    )
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    glob = [(r.token, r.est_count) for r in top_tokens_sketch(d, k=15).collect()]
+    via_lang = [
+        (r.token, r.est_count)
+        for r in top_tokens_sketch(d, k=15, group_col="lang").collect()
+    ]
+    via_src = [
+        (r.token, r.est_count)
+        for r in top_tokens_sketch(d, k=15, group_col="source").collect()
+    ]
+    # combine-of-accumulated-sketches == one global accumulation:
+    # the mergeable-summary property that makes the stored sketch
+    # table answer any coarser rollup
+    assert glob == via_lang == via_src
+
+
+def test_top_tokens_sketch_finds_heavy_hitter_at_low_capacity(spark):
+    from impala_hashset_count_spark.operators.corpus_stats import (
+        top_tokens_sketch,
+    )
+
+    # genuinely skewed stream: 'hot' dominates a long tail of
+    # singletons (the documents corpus is near-uniform, where a
+    # 10-slot summary legitimately reports nothing)
+    rows = [(i, "hot hot hot hot") for i in range(200)] + [
+        (1000 + i, f"tail{i}") for i in range(300)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    tight = top_tokens_sketch(d, k=3, max_items=10).collect()
+    assert tight and tight[0].token == "hot"
+    assert tight[0].est_count >= 800  # true count 800; no undercount of the head

@@ -40,6 +40,7 @@ from ..operators.corpus_stats import (
     term_doc_stats,
     tfidf_top_terms,
     top_tokens_from_tf,
+    top_tokens_sketch,
     unigram_logprob_scores,
 )
 from ..operators.dedup import (
@@ -1371,6 +1372,10 @@ _CORPUS_STATS_ORACLE = r"""
     SELECT 'toptok', NULL, term, nrun, NULL, n_docs FROM toptok
     UNION ALL
     SELECT 'unigram_lp', doc_id, NULL, n_tokens, mean_lp, NULL FROM ulp
+    UNION ALL
+    SELECT 'toptok_sk', NULL, term, nrun, NULL, NULL FROM (
+        SELECT term, nrun FROM per_term ORDER BY nrun DESC, term LIMIT 20
+    )
 """
 
 
@@ -1388,6 +1393,12 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``unigram_lp``: corpus-trained unigram-LM mean log-probability
       per document — the model-free LM quality signal —
       (doc_id, n_tokens->n1, mean_lp->v).
+    - ``toptok_sk``: the same top-20 through the MERGEABLE
+      frequent-items sketch path (per-lang ``approx_top_k_accumulate``
+      -> ``approx_top_k_combine`` -> estimate): exact while the
+      vocabulary fits the sketch, so the DuckDB mirror is the exact
+      top-20 — the driver hash signal covers the sketch
+      accumulate/merge machinery itself.
 
     The corpus is exploded ONCE per statistic family with map-side
     partial aggregation before the (doc, term) shuffle; the
@@ -1442,4 +1453,22 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_lp").alias("v"),
         F.lit(None).cast("long").alias("n2"),
     )
-    return tfidf.unionByName(bm).unionByName(tt).unionByName(ulp)
+    # the mergeable frequent-items SKETCH tier under the hash signal:
+    # exact while the per-sketch vocabulary fits max_items, so the
+    # mirror is the exact top-20; over-fetch (k=100) then re-rank
+    # deterministically so k-boundary ties break identically to SQL
+    tsk = (
+        top_tokens_sketch(d, k=100, group_col="lang")
+        .limit(20)
+        .select(
+            F.lit("toptok_sk").alias("tag"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col("token").alias("term"),
+            F.col("est_count").alias("n1"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(None).cast("long").alias("n2"),
+        )
+    )
+    return (
+        tfidf.unionByName(bm).unionByName(tt).unionByName(ulp).unionByName(tsk)
+    )

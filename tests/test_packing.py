@@ -138,3 +138,46 @@ def test_chunk_concat_roundtrip(spark, sf_small):
     joined = orig.join(rebuilt, "doc_id")
     assert joined.filter(F.col("norm_text") != F.col("re_text")).count() == 0
     assert joined.count() == orig.count()
+
+
+def test_pack_by_real_bpe_counts(spark, sf_small):
+    """Composition glue: chunk -> REAL BPE token count per chunk ->
+    greedy pack on that count. The packing operator is count-column
+    agnostic; this pins that the real tokenizer plugs in where the
+    whitespace estimate did."""
+    from pyspark.sql import functions as F
+
+    from impala_hashset_count_spark.functions.bpe import bpe_token_count_expr
+    from impala_hashset_count_spark.operators.packing import (
+        chunk_documents,
+        pack_sequences_greedy,
+    )
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").limit(40)
+    chunks = chunk_documents(d, "doc_id", "text", chunk_tokens=16)
+    withbpe = chunks.withColumn("n_bpe", bpe_token_count_expr("chunk_text"))
+    budget = 64
+    packed = pack_sequences_greedy(
+        withbpe, group_col="doc_id", order_col="chunk_id",
+        token_col="n_bpe", budget=budget,
+    )
+    rows = packed.collect()
+    assert rows
+    # no bin exceeds the budget unless it holds a single oversized row
+    bins = {}
+    for r in rows:
+        bins.setdefault((r.doc_id, r.bin_id), []).append(r.n_bpe)
+    for members in bins.values():
+        assert sum(members) <= budget or len(members) == 1
+    # replicate the greedy scan in pure python per doc
+    per_doc = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)):
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in per_doc.values():
+        cur, bin_id = 0, 1
+        for r in doc_rows:
+            if cur and cur + r.n_bpe > budget:
+                bin_id += 1
+                cur = 0
+            cur += r.n_bpe
+            assert r.bin_id == bin_id, (r.doc_id, r.chunk_id)

@@ -66,6 +66,7 @@ def curate_corpus(
     max_doc_chars: int | None = None,
     strip_boilerplate_min_docs: int | None = None,
     min_unigram_lp: float | None = None,
+    quality_model_weights: dict | None = None,
 ) -> dict:
     """Run the full curation flow over ``{sf_dir}/documents.parquet``
     and write packed training sequences to ``out_dir``.
@@ -99,6 +100,11 @@ def curate_corpus(
     doc_id join when enabled. Documents with NO scoreable tokens
     (empty/blank text — e.g. fully-stripped boilerplate) have no
     defined log-prob and are dropped by the gate.
+
+    ``quality_model_weights`` (a ``train_quality_model`` coefficient
+    dict) adds the model-assisted gate: rows whose classifier logit is
+    not positive are dropped. Pure column expression — it fuses into
+    the same filter stage as the heuristic gates.
 
     ``max_doc_chars`` truncates each document at ingestion (straggler
     guard: every per-doc metric below is O(len) or O(len log len) on
@@ -181,6 +187,14 @@ def curate_corpus(
             .where(F.col("mean_lp") >= float(min_unigram_lp))
             .drop("mean_lp")
         )
+    if quality_model_weights is not None:
+        # model-assisted gate (operators.quality_model): the trained
+        # LR reduces to a coefficient dict, so this is ONE more
+        # codegen'd filter expression fused into the same stage as
+        # the heuristic gates — no model object on executors
+        from .operators.quality_model import filter_by_quality_model
+
+        kept = filter_by_quality_model(kept, quality_model_weights)
     n_after_quality = kept.count()
     if scrub_pii:
         # scrub AFTER dedup/quality (cheaper: fewer rows) but BEFORE

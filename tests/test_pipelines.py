@@ -191,3 +191,40 @@ def test_curate_corpus_unigram_lm_gate(spark, tmp_path):
     # common-word prose scores ~ln(6/T) per token, the rare-token
     # garbage ~ln(1/T): only the prose clears -3.0
     assert gated["n_after_quality"] == 6
+
+
+def test_curate_corpus_model_gate(spark, sf_small, tmp_path):
+    """The model-assisted gate composes with the heuristic gates: a
+    classifier trained to reject short docs shrinks n_after_quality
+    relative to the heuristics-only run, and only model-approved docs
+    reach the packed output."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from impala_hashset_count_spark.operators.quality_model import (
+        quality_logit_expr,
+        train_quality_model,
+    )
+    from impala_hashset_count_spark.pipelines import curate_corpus
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    lab = docs.withColumn("label", (F.length("text") > 150).cast("double"))
+    w = train_quality_model(lab, "label")
+
+    base = curate_corpus(
+        spark, sf_small, os.path.join(str(tmp_path), "base"), min_quality=0.0
+    )
+    gated = curate_corpus(
+        spark,
+        sf_small,
+        os.path.join(str(tmp_path), "gated"),
+        min_quality=0.0,
+        quality_model_weights=w,
+    )
+    assert gated["n_after_quality"] < base["n_after_quality"]
+    assert gated["n_after_quality"] > 0
+    # the gate is exactly logit > 0 over the post-dedup corpus
+    approved = docs.filter(quality_logit_expr(w) > 0).count()
+    assert gated["n_after_quality"] <= approved

@@ -429,3 +429,46 @@ def stream_interval_join_full_outer(
         "l_event",
         "r_event",
     )
+
+
+def stream_top_users_sketch(
+    events: DataFrame, k: int = 3, max_items: int = 1000
+) -> DataFrame:
+    """Streaming frequent-items: per event_type, the top-k most active
+    users via the mergeable ``approx_top_k`` sketch — the frequency
+    twin of ``approx_distinct_stateful``'s HLL tier. State per group is
+    the bounded sketch struct (max_items slots), NOT the unbounded
+    (user -> count) map a naive streaming groupBy would accumulate, so
+    the state store stays O(groups * max_items) forever on an unbounded
+    key space. Exact while distinct users per group <= max_items
+    (tested against the batch twin); complete-mode output.
+
+    Returns (event_type, rnk, user_id, n_events) — the estimate array
+    exploded and deterministically ranked (count desc, user asc), so
+    the live result compares row-for-row with a batch oracle."""
+    agg = events.groupBy("event_type").agg(
+        F.expr(
+            f"approx_top_k_accumulate(CAST(user_id AS STRING), {int(max_items)})"
+        ).alias("sk")
+    )
+    # rank INSIDE the array (array_sort with an explicit comparator +
+    # head slice): row_number windows are not allowed on streaming
+    # datasets, and the over-fetch + deterministic (count desc, user
+    # asc) tie-break keeps the k boundary engine-stable
+    ranked = F.expr(
+        f"""slice(array_sort(approx_top_k_estimate(sk, {int(max_items)}),
+            (l, r) -> CASE WHEN l.count > r.count THEN -1
+                           WHEN l.count < r.count THEN 1
+                           WHEN l.item < r.item THEN -1
+                           WHEN l.item > r.item THEN 1
+                           ELSE 0 END), 1, {int(k)})"""
+    )
+    return (
+        agg.select("event_type", F.posexplode(ranked).alias("pos", "e"))
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("int").alias("rnk"),
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").cast("long").alias("n_events"),
+        )
+    )

@@ -700,3 +700,49 @@ def test_hashset_count_tws_across_microbatches(spark, tmp_path):
     assert "3" in snaps and "2" in snaps
     null_snaps = [r["hashset_count"] for r in rows if r["event_type"] == "nulls"]
     assert null_snaps and all(s is None for s in null_snaps)
+
+
+def test_stream_top_users_sketch_matches_batch_exact(spark, sf_small):
+    """Streaming frequent-items sketch (bounded state) must equal the
+    exact batch top-k while the per-group distinct users fit the
+    sketch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from impala_hashset_count_spark.sources.tables import load_table
+    from impala_hashset_count_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+        stream_top_users_sketch,
+    )
+
+    ev = events_stream(spark, sf_small)
+    live = run_to_memory(
+        stream_top_users_sketch(ev, k=3), "top_users_sk", output_mode="complete"
+    )
+    got = sorted(map(tuple, live.collect()))
+
+    batch = load_table(spark, sf_small, "events")
+    counts = (
+        batch.groupBy("event_type", F.col("user_id").cast("string").alias("user_id"))
+        .count()
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("count").desc(), F.col("user_id")
+    )
+    expect = sorted(
+        map(
+            tuple,
+            counts.withColumn("rnk", F.row_number().over(w))
+            .filter("rnk <= 3")
+            .select(
+                "event_type",
+                F.col("rnk").cast("int"),
+                "user_id",
+                F.col("count").cast("long").alias("n_events"),
+            )
+            .collect(),
+        )
+    )
+    assert got == expect
+    assert len(got) > 0

@@ -42,6 +42,7 @@ from typing import Iterator, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -187,6 +188,9 @@ class JsonlDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return _JsonlWriter(self.options, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _JsonlStreamWriter(self.options)
+
 
 class _JsonlWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
@@ -244,6 +248,72 @@ class _JsonlWriter(DataSourceWriter):
                 os.remove(os.path.join(self.path, m.filename))
             except OSError:
                 pass
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming face of the jsonl sink: the same executor-write/
+    driver-commit protocol, per MICRO-BATCH. Each batch commits its own
+    ``_SUCCESS-<batchId>`` manifest; a reader that unions only
+    manifested files sees exactly-once output even though a recovered
+    batch may re-write part files — replayed attempts produce new uuid
+    part names, and re-committing a batchId REPLACES its manifest, so
+    orphans from the failed attempt are never listed. This is the sink
+    half of the durable-offsets contract the stream READER proves
+    (tests/test_streaming.py checkpoint tests): source offsets make a
+    batch replayable, the manifest makes its output idempotent."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl stream writer requires a path")
+
+    def write(self, iterator: Iterator) -> _FileCommit:
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as f:
+            for row in iterator:
+                rec = {
+                    k: (v.isoformat() if isinstance(v, datetime) else v)
+                    for k, v in row.asDict().items()
+                }
+                f.write(json.dumps(rec, sort_keys=True) + "\n")
+                n += 1
+        return _FileCommit(filename=fname, rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(m.filename for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        with open(os.path.join(self.path, f"_SUCCESS-{batchId}"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+def read_jsonl_manifested(path: str) -> list[dict]:
+    """Read back ONLY manifested rows (batch ``_SUCCESS`` or streaming
+    ``_SUCCESS-<batchId>`` manifests) — the consumer contract that
+    makes the sink exactly-once."""
+    rows: list[dict] = []
+    for f in sorted(os.listdir(path)):
+        if not (f == "_SUCCESS" or f.startswith("_SUCCESS-")):
+            continue
+        with open(os.path.join(path, f)) as fh:
+            manifest = json.load(fh)
+        for part in manifest["files"]:
+            with open(os.path.join(path, part)) as fh:
+                rows.extend(json.loads(line) for line in fh if line.strip())
+    return rows
 
 
 def register_python_datasources(spark) -> None:

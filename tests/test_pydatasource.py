@@ -189,3 +189,55 @@ def test_jsonl_writer_overwrite_removes_stale_parts(spark, tmp_path):
     assert back.count() == 40
     manifest = json.load(open(os.path.join(out, "_SUCCESS")))
     assert manifest["rows"] == 40
+
+
+def test_jsonl_stream_writer_per_batch_manifests(spark, tmp_path):
+    """Streaming sink face of the jsonl connector: a bounded synthetic
+    stream drains through writeStream into per-batch manifested part
+    files; the manifested union equals the exact generated rows, and a
+    restart from the same checkpoint adds nothing (exactly-once:
+    durable source offsets x idempotent manifest commit)."""
+    import os
+
+    from impala_hashset_count_spark.sources.pydatasource import (
+        read_jsonl_manifested,
+        synth_event,
+    )
+
+    register_python_datasources(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("rowsPerBatch", 50)
+            .option("maxRows", 120)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("jsonl")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    rows = read_jsonl_manifested(out)
+    assert len(rows) == 120
+    got = sorted((r["event_id"], r["user_id"], r["event_type"]) for r in rows)
+    expect = sorted(
+        (e[0], e[1], e[2])  # (event_id, user_id, event_type)
+        for e in (synth_event(42, i) for i in range(120))
+    )
+    assert got == expect
+    manifests = [f for f in os.listdir(out) if f.startswith("_SUCCESS-")]
+    assert len(manifests) >= 3  # 50 + 50 + 20
+
+    # fresh query, same checkpoint: offsets are durable, nothing re-emits
+    run_once()
+    assert len(read_jsonl_manifested(out)) == 120

@@ -224,3 +224,31 @@ def test_runtime_bloom_filter_injected_on_non_broadcast_dim_join(spark):
         )
     plan_bc = make()._jdf.queryExecution().optimizedPlan().toString()
     assert "bloom_filter_agg" not in plan_bc
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The three join-strategy hints must reach the physical plan —
+    at 100 TB strategy choice is an operator-level decision (broadcast
+    for small dims, shuffle-hash when one side fits a task's memory
+    but not the driver's broadcast, sort-merge for big-big) and the
+    hint is the API that pins it. Results are identical under all
+    three (asserted), only the physical strategy moves."""
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+
+    def joined(hint):
+        return li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+
+    plans = {
+        h: joined(h)._jdf.queryExecution().executedPlan().toString()
+        for h in ("broadcast", "shuffle_hash", "merge")
+    }
+    assert "BroadcastHashJoin" in plans["broadcast"]
+    assert "ShuffledHashJoin" in plans["shuffle_hash"]
+    assert "SortMergeJoin" in plans["merge"]
+    counts = {h: joined(h).count() for h in plans}
+    assert len(set(counts.values())) == 1 and counts["merge"] > 0

@@ -214,6 +214,23 @@ def distinct_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS hashset_count
         FROM events
         GROUP BY event_type
+        UNION ALL
+        SELECT 'topk_sk' AS kind, CAST(u AS BIGINT) AS user_id, event_type,
+               CAST(NULL AS BIGINT) AS first_event_id,
+               CAST(rnk AS BIGINT) AS n_sessions,
+               n AS n_events,
+               CAST(NULL AS VARCHAR) AS hashset_count
+        FROM (
+            SELECT event_type, u, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY n DESC, u
+                   ) AS rnk
+            FROM (
+                SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+        ) WHERE rnk <= 3
     """,
 )
 def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,7 +269,28 @@ def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_events"),
         "hashset_count",
     )
-    return sess.union(ded).union(dist)
+    # the streaming frequent-items sketch's batch twin — the SAME
+    # operator code (groupBy + sketch agg + in-array ranking is
+    # engine-agnostic) run on the batch table, hash-mirrored by the
+    # exact top-3; max_items=4000 keeps the sketch in its exact regime
+    # (distinct users per event_type approaches 1000 here, the
+    # operator's default capacity boundary). The live stream==batch
+    # equality is tests/test_streaming.py::
+    # test_stream_top_users_sketch_matches_batch_exact.
+    from ..streaming.windows import stream_top_users_sketch
+
+    tks = stream_top_users_sketch(
+        load_table(spark, sf_dir, "events"), k=3, max_items=4000
+    ).select(
+        F.lit("topk_sk").alias("kind"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.lit(None).cast("long").alias("first_event_id"),
+        F.col("rnk").cast("long").alias("n_sessions"),
+        F.col("n_events").alias("n_events"),
+        F.lit(None).cast("string").alias("hashset_count"),
+    )
+    return sess.union(ded).union(dist).union(tks)
 
 
 @register(

@@ -1,0 +1,132 @@
+"""MERGE INTO / CDC-apply for snapshot maintenance.
+
+The reference computes over immutable host tables; a production corpus
+is maintained by applying change batches (upserts + deletes) to a
+snapshot — the ``MERGE INTO target USING changes`` statement warehouses
+run nightly, and the operation a Structured Streaming ``foreachBatch``
+sink runs per micro-batch for continuous ingestion.
+
+Spark-first shape (no Delta/Iceberg table format needed — the merge is
+a plain declarative plan over two DataFrames):
+
+- ``latest_changes`` collapses a change LOG (many changes per key) to
+  the last change per key: one window shuffle on the key.
+- ``apply_changes`` merges the collapsed batch into the snapshot:
+  survivors = target LEFT ANTI changed-keys; upserts = the non-delete
+  changes; result = survivors UNION ALL upserts.
+- ``merge_scd2`` is the history-keeping variant (slowly-changing
+  dimension type 2): instead of overwriting, it closes the current
+  version of each changed key and appends the new version.
+
+Scale (100 TB snapshot, MB..GB change batch): the change batch is the
+small side, so the anti join BROADCASTS its key set — the snapshot is
+never shuffled, the merge is one scan of the target plus a map-side
+hash lookup. Writing the merged snapshot partition-aligned with the
+target (same clustering) keeps the next merge's scan pruned. With a
+non-tiny batch, Spark falls back to a shuffled anti join on the key —
+still one shuffle of each side, no fan-out (anti join emits at most
+its left input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Collapse a change log to the LAST change per key.
+
+    ``seq_col`` is the total change order (log sequence number /
+    commit timestamp); ties break on the op so the collapse is
+    deterministic even on malformed logs that reuse a sequence
+    number. One window shuffle on the key."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """MERGE semantics over DataFrames: upsert non-delete changes,
+    drop deleted keys, keep everything else.
+
+    ``changes`` must hold at most ONE row per key (collapse a log with
+    ``latest_changes`` first) and carry the full target schema plus
+    ``op_col``. Matched+non-delete => the change row replaces the
+    target row; matched+delete => the key disappears; unmatched
+    non-delete => inserted. Column order follows the target schema."""
+    changed_keys = F.broadcast(changes.select(*key_cols).distinct())
+    survivors = target.join(changed_keys, on=key_cols, how="left_anti")
+    upserts = changes.filter(F.col(op_col) != F.lit(delete_op)).select(
+        *target.columns
+    )
+    return survivors.unionByName(upserts)
+
+
+def merge_scd2(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: history-preserving merge.
+
+    ``target`` rows carry ``valid_from``/``valid_to``/``is_current``;
+    ``changes`` rows carry the attribute columns plus ``seq_col`` (the
+    new version's effective sequence) and ``op_col``. For each changed
+    key: the CURRENT target version is closed (``valid_to`` = the
+    change's sequence, ``is_current`` = false); a non-delete change
+    appends a new open version. Historical (already-closed) rows pass
+    through untouched — the anti join tests only current rows, so the
+    history is never shuffled when the batch key set broadcasts."""
+    attr_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
+    batch = latest_changes(changes, key_cols, seq_col, op_col)
+    batch_keyed = F.broadcast(
+        batch.select(*key_cols, F.col(seq_col).alias("__new_seq"))
+    )
+
+    history = target.filter(~F.col(current_flag))
+    current = target.filter(F.col(current_flag))
+    untouched = current.join(batch_keyed.select(*key_cols), key_cols, "left_anti")
+    closed = (
+        current.join(batch_keyed, key_cols, "inner")
+        .withColumn(valid_to, F.col("__new_seq"))
+        .withColumn(current_flag, F.lit(False))
+        .drop("__new_seq")
+    )
+    opened = (
+        batch.filter(F.col(op_col) != F.lit(delete_op))
+        .select(
+            *attr_cols,
+            F.col(seq_col).cast("long").alias(valid_from),
+            F.lit(None).cast("long").alias(valid_to),
+            F.lit(True).alias(current_flag),
+        )
+    )
+    return (
+        history.select(*target.columns)
+        .unionByName(untouched.select(*target.columns))
+        .unionByName(closed.select(*target.columns))
+        .unionByName(opened.select(*target.columns))
+    )

@@ -1,0 +1,140 @@
+"""Deterministic mergeable quantile sketch: bottom-k by content hash.
+
+``percentile`` is exact but needs the whole group's values;
+``percentile_approx`` (t-digest) is bounded-state but its estimate
+depends on merge order — re-runs on a different partitioning can give
+different answers, which breaks the repo-wide engine-reproducibility
+contract (every sampler here is hash-deterministic, see
+``operators/sampling.py``).
+
+Bottom-k by hash gives both properties at once: the k rows whose
+``md5(key)`` is smallest form a uniform random sample of the group
+(the hash order is a random permutation, fixed by content), and the
+sample is MERGEABLE — bottom-k of a union is the bottom-k of the
+concatenated per-part bottom-ks, exactly (min-wise sampling). Quantile
+estimates are then discrete order statistics of the sample: value at
+rank ``ceil(q * n)`` — pure selection, no interpolation arithmetic, so
+the result is an actual data value and bit-identical on every engine.
+
+Scale (100 TB): ``bottomk_sample`` is a rank-limited window — Spark's
+``WindowGroupLimit`` pushes the ``row_number <= k`` filter to the map
+side, so each input partition forwards at most k rows per group into
+the one shuffle. The sketch-table faces (``bottomk_accumulate`` /
+``bottomk_combine``) store one ≤k-element array per fine-grain group
+and roll up to coarser grains WITHOUT touching raw data — the same
+stored-sketch pattern as the Datasketches-HLL tier
+(`operators/hashset_count.py`) and the frequent-items sketch
+(`operators/corpus_stats.py`).
+
+Error: a k-sample's q-quantile estimate has standard error
+~sqrt(q(1-q)/k) in rank space (k=256 => ~3 percentile points at the
+median) — the knob is k, and the estimate never leaves the data's
+value domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_rank(key: Column) -> Column:
+    """Deterministic uniform ORDER for a key: the md5 hex digest.
+
+    Fixed-width lowercase hex compares lexicographically exactly as the
+    underlying 128-bit integer, so ordering by the digest string IS
+    ordering by a content-derived uniform — no numeric conversion, and
+    any engine with md5 mirrors it verbatim."""
+    return F.md5(key.cast("string"))
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Per group, the k rows with smallest ``md5(key)`` — a
+    deterministic uniform sample. One shuffle; the rank-limit is pushed
+    map-side by ``WindowGroupLimit``, bounding shuffle volume at
+    k rows per group per input partition."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_rank(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantiles_disc(
+    sample: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: dict[str, float],
+) -> DataFrame:
+    """Discrete quantiles (value at rank ``ceil(q*n)``) per group from
+    a (small) sample — emits ``n_sample`` plus one column per entry of
+    ``qs`` (name -> q). Selection, not interpolation: every output is
+    an actual input value (engine-portable: DuckDB's
+    ``PERCENTILE_DISC`` computes the same rank)."""
+    arr = F.array_sort(F.collect_list(F.col(value_col)))
+    agg = sample.groupBy(*group_cols).agg(
+        arr.alias("__vals"), F.count(F.lit(1)).alias("n_sample")
+    )
+    cols: list[Column] = [F.col(c) for c in group_cols] + [F.col("n_sample")]
+    for name, q in qs.items():
+        idx = F.ceil(F.lit(float(q)) * F.col("n_sample")).cast("int")
+        cols.append(F.element_at(F.col("__vals"), idx).alias(name))
+    return agg.select(*cols)
+
+
+def bottomk_accumulate(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Sketch-table face: one row per (fine-grain) group holding the
+    bottom-k as a sorted ``array<struct<h,v>>`` — store this next to
+    the grain and never rescan raw data for quantiles again."""
+    entry = F.struct(
+        hash_rank(F.col(key_col)).alias("h"),
+        F.col(key_col).cast("string").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    sketch = F.slice(F.array_sort(F.collect_list(entry)), 1, k)
+    return df.groupBy(*group_cols).agg(sketch.alias("bk_sketch"))
+
+
+def bottomk_combine(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int,
+    sketch_col: str = "bk_sketch",
+) -> DataFrame:
+    """Roll stored bottom-k sketches up to a coarser grain: concatenate
+    the per-part arrays, re-sort, keep k. Exactly equal to the sketch
+    of the unioned raw data (min-wise sampling is mergeable), which
+    ``tests/test_quantiles.py`` asserts bit-for-bit."""
+    merged = F.slice(
+        F.array_sort(F.flatten(F.collect_list(F.col(sketch_col)))), 1, k
+    )
+    return sketches.groupBy(*group_cols).agg(merged.alias(sketch_col))
+
+
+def quantiles_from_sketch(
+    sketches: DataFrame,
+    group_cols: list[str],
+    qs: dict[str, float],
+    sketch_col: str = "bk_sketch",
+) -> DataFrame:
+    """Quantile estimates straight from stored sketches (no raw-data
+    access): explode the ≤k sample values and select order
+    statistics."""
+    sample = sketches.select(
+        *group_cols, F.explode(F.col(sketch_col)).alias("e")
+    ).select(*group_cols, F.col("e.v").alias("v"))
+    return quantiles_disc(sample, group_cols, "v", qs)

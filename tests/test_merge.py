@@ -1,0 +1,148 @@
+"""CDC apply / MERGE INTO semantics (`operators/merge.py`)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from impala_hashset_count_spark.operators.merge import (
+    apply_changes,
+    latest_changes,
+    merge_scd2,
+)
+
+TARGET = [
+    (1, "alice", 10.0),
+    (2, "bob", 20.0),
+    (3, "carol", 30.0),
+    (4, "dave", 40.0),
+]
+# op: U = upsert, D = delete
+CHANGES = [
+    (2, "bobby", 25.0, "U"),   # update existing
+    (3, None, None, "D"),      # delete existing
+    (5, "eve", 50.0, "U"),     # insert new
+    (9, None, None, "D"),      # delete of absent key: no-op
+]
+
+
+def _frames(spark):
+    t = spark.createDataFrame(TARGET, ["id", "name", "score"])
+    c = spark.createDataFrame(CHANGES, ["id", "name", "score", "op"])
+    return t, c
+
+
+def test_apply_changes_semantics(spark):
+    t, c = _frames(spark)
+    out = sorted(map(tuple, apply_changes(t, c, ["id"]).collect()))
+    assert out == [
+        (1, "alice", 10.0),
+        (2, "bobby", 25.0),
+        (4, "dave", 40.0),
+        (5, "eve", 50.0),
+    ]
+
+
+def test_apply_changes_matches_sql_merge_semantics(spark):
+    """The DataFrame merge equals the standard SQL formulation
+    (anti-join survivors UNION non-delete changes) run on DuckDB."""
+    t, c = _frames(spark)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, name VARCHAR, score DOUBLE)")
+    con.execute("CREATE TABLE c(id BIGINT, name VARCHAR, score DOUBLE, op VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", TARGET)
+    con.executemany("INSERT INTO c VALUES (?,?,?,?)", CHANGES)
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT id, name, score FROM t
+            WHERE id NOT IN (SELECT id FROM c)
+            UNION ALL
+            SELECT id, name, score FROM c WHERE op <> 'D'
+            """
+        ).fetchall()
+    )
+    out = sorted(map(tuple, apply_changes(t, c, ["id"]).collect()))
+    assert out == oracle
+
+
+def test_apply_changes_rejects_nothing_but_is_idempotent(spark):
+    """Applying the same collapsed batch twice yields the same
+    snapshot — the property a foreachBatch retry relies on."""
+    t, c = _frames(spark)
+    once = apply_changes(t, c, ["id"])
+    twice = apply_changes(once, c, ["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_apply_changes_broadcasts_antijoin(spark):
+    t, c = _frames(spark)
+    plan = apply_changes(t, c, ["id"])._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_latest_changes_collapses_log(spark):
+    log = spark.createDataFrame(
+        [
+            (7, "v1", 1.0, "U", 1),
+            (7, "v2", 2.0, "U", 2),
+            (7, None, None, "D", 3),
+            (8, "w1", 1.0, "U", 5),
+            (8, "w2", 9.0, "U", 4),  # out-of-order arrival; seq wins
+        ],
+        ["id", "name", "score", "op", "seq"],
+    )
+    out = {r.id: (r.op, r.name) for r in latest_changes(log, ["id"], "seq").collect()}
+    assert out == {7: ("D", None), 8: ("U", "w1")}
+
+
+@pytest.mark.parametrize("parts", [2, 8])
+def test_merge_scd2_two_batches(spark, parts):
+    """Two sequential SCD2 batches: history rows accumulate, exactly
+    one current version per live key, closed rows carry the closing
+    sequence."""
+    empty = spark.createDataFrame(
+        [], "id long, name string, score double, valid_from long, "
+        "valid_to long, is_current boolean"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a0", 1.0, "U", 10), (2, "b0", 2.0, "U", 10)],
+        ["id", "name", "score", "op", "seq"],
+    ).repartition(parts)
+    b2 = spark.createDataFrame(
+        [(1, "a1", 1.5, "U", 20), (2, None, None, "D", 20), (3, "c0", 3.0, "U", 20)],
+        ["id", "name", "score", "op", "seq"],
+    ).repartition(parts)
+
+    s1 = merge_scd2(empty, b1, ["id"], "seq")
+    s2 = merge_scd2(s1, b2, ["id"], "seq")
+    rows = sorted(map(tuple, s2.collect()))
+    assert rows == [
+        (1, "a0", 1.0, 10, 20, False),
+        (1, "a1", 1.5, 20, None, True),
+        (2, "b0", 2.0, 10, 20, False),
+        (3, "c0", 3.0, 20, None, True),
+    ]
+    # current view of SCD2 == apply_changes over the same batches
+    flat0 = spark.createDataFrame([], "id long, name string, score double")
+    flat = apply_changes(
+        apply_changes(flat0, b1.drop("seq"), ["id"]), b2.drop("seq"), ["id"]
+    )
+    current = s2.filter(F.col("is_current")).select("id", "name", "score")
+    assert sorted(map(tuple, current.collect())) == sorted(
+        map(tuple, flat.collect())
+    )
+
+
+def test_merge_empty_sides(spark):
+    t, c = _frames(spark)
+    none = c.filter(F.lit(False))
+    assert sorted(map(tuple, apply_changes(t, none, ["id"]).collect())) == sorted(
+        TARGET
+    )
+    empty_t = t.filter(F.lit(False))
+    out = sorted(map(tuple, apply_changes(empty_t, c, ["id"]).collect()))
+    assert out == [(2, "bobby", 25.0), (5, "eve", 50.0)]

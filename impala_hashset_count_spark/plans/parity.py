@@ -25,6 +25,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
+from ..operators.merge import apply_changes
+from ..operators.profile import profile_table
+from ..operators.quantiles import bottomk_sample, quantiles_disc
+from ..operators.zorder import zorder_key, zorder_sql
 from ..operators.hashset_count import (
     approx_distinct_count,
     hashset_count_agg,
@@ -418,37 +422,116 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "percentile_stats_events",
     oracle="""
-        SELECT event_type,
+        SELECT 'exact' AS tag, event_type,
                ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value), 4) AS median_value,
                ROUND(MIN(value), 4) AS min_value,
                ROUND(MAX(value), 4) AS max_value,
                ROUND(AVG(value), 4) AS avg_value,
-               ROUND(STDDEV_SAMP(value), 4) AS sd_value
+               ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+               CAST(NULL AS BIGINT) AS n_sample,
+               CAST(NULL AS DOUBLE) AS q25,
+               CAST(NULL AS DOUBLE) AS q75
         FROM events
+        GROUP BY event_type
+        UNION ALL
+        SELECT 'bk' AS tag, event_type,
+               PERCENTILE_DISC(0.5)  WITHIN GROUP (ORDER BY value) AS median_value,
+               CAST(NULL AS DOUBLE) AS min_value,
+               CAST(NULL AS DOUBLE) AS max_value,
+               CAST(NULL AS DOUBLE) AS avg_value,
+               CAST(NULL AS DOUBLE) AS sd_value,
+               COUNT(*) AS n_sample,
+               PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY value) AS q25,
+               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY value) AS q75
+        FROM (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY MD5(CAST(event_id AS VARCHAR)), event_id) AS rn
+            FROM events
+        ) WHERE rn <= 64
         GROUP BY event_type
     """,
 )
 def percentile_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentile + moments. At 100 TB swap ``percentile`` for
-    ``percentile_approx`` (t-digest sketch, mergeable state)."""
+    """Exact percentile + moments, alongside the engine's DETERMINISTIC
+    quantile sketch (`operators/quantiles.py`):
+
+    - 'exact' rows: full-data ``percentile``/moments — at 100 TB the
+      group's whole value set feeds one aggregate.
+    - 'bk' rows: bottom-k-by-hash sample (k=64) + discrete order
+      statistics. Unlike ``percentile_approx`` (t-digest — bounded
+      state but merge-order-dependent), the bottom-k sample is both
+      bounded AND content-deterministic, so the estimates are
+      hash-verifiable across engines: the oracle recomputes the same
+      md5-ranked sample and DuckDB's ``PERCENTILE_DISC`` selects the
+      same rank ``ceil(q*n)`` values — raw data values, no
+      interpolation arithmetic. ``WindowGroupLimit`` pushes the
+      rank-limit map-side, bounding the shuffle at k rows per group
+      per partition."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    exact = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
         F.round(F.avg("value"), 4).alias("avg_value"),
         F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+    ).select(
+        F.lit("exact").alias("tag"),
+        "event_type",
+        "median_value",
+        "min_value",
+        "max_value",
+        "avg_value",
+        "sd_value",
+        F.lit(None).cast("long").alias("n_sample"),
+        F.lit(None).cast("double").alias("q25"),
+        F.lit(None).cast("double").alias("q75"),
     )
+    sample = bottomk_sample(
+        ev.select("event_id", "event_type", "value"), ["event_type"], "event_id", 64
+    )
+    bk = quantiles_disc(
+        sample, ["event_type"], "value", {"q25": 0.25, "q50": 0.5, "q75": 0.75}
+    ).select(
+        F.lit("bk").alias("tag"),
+        "event_type",
+        F.col("q50").alias("median_value"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("double").alias("sd_value"),
+        F.col("n_sample").cast("long").alias("n_sample"),
+        "q25",
+        "q75",
+    )
+    return exact.unionByName(bk)
 
 
 # =====================================================================
 # Projection / filter (pushdown) and scans
 # =====================================================================
 
+_ZORDER_EXPR_SQL = zorder_sql(
+    ["l_partkey", "l_suppkey"],
+    ["(SELECT MIN(l_partkey) FROM lineitem)", "(SELECT MIN(l_suppkey) FROM lineitem)"],
+    ["(SELECT MAX(l_partkey) FROM lineitem)", "(SELECT MAX(l_suppkey) FROM lineitem)"],
+    bits=16,
+)
+
+
 @register(
     "filter_project_pushdown",
-    oracle="""
-        SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+    oracle=f"""
+        SELECT 'filter' AS tag, l_orderkey, l_partkey, l_quantity, l_returnflag,
+               CAST(NULL AS BIGINT) AS zval
+        FROM lineitem
+        WHERE l_quantity >= 45
+          AND l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_returnflag = 'N'
+        UNION ALL
+        SELECT 'zmap' AS tag, l_orderkey, l_partkey, l_quantity, l_returnflag,
+               {_ZORDER_EXPR_SQL} AS zval
         FROM lineitem
         WHERE l_quantity >= 45
           AND l_shipdate >= TIMESTAMP '1999-01-01'
@@ -456,25 +539,126 @@ def percentile_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicates + projection reach the parquet scan (PushedFilters /
-    ReadSchema in explain) — at 100 TB this is the difference between
-    reading 4 columns of a few row groups and reading everything."""
+    """The physical-layout surface in one tagged result:
+
+    - 'filter' rows: predicates + projection reach the parquet scan
+      (PushedFilters / ReadSchema in explain) — at 100 TB this is the
+      difference between reading 4 columns of a few row groups and
+      reading everything.
+    - 'zmap' rows: the same rows carrying their Z-order (Morton) key
+      over (l_partkey, l_suppkey) (`operators/zorder.py` — the
+      clustering key `cluster_write` range-partitions on so BOTH
+      columns get narrow per-file min/max and the scan above can skip
+      files). Min/max normalization stats come from a broadcast
+      1-row aggregate (no driver action); the bit interleave is pure
+      shift/mask codegen, mirrored term-for-term by `zorder_sql` in
+      the oracle — the layout key itself is hash-verified across
+      engines."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.filter(
+    pred = (
         (F.col("l_quantity") >= 45)
         & (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
         & (F.col("l_returnflag") == "N")
-    ).select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    )
+    out_cols = ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag"]
+    filt = li.filter(pred).select(
+        F.lit("filter").alias("tag"), *out_cols, F.lit(None).cast("long").alias("zval")
+    )
+    joined, z = zorder_key(li, ["l_partkey", "l_suppkey"], bits=16)
+    zmap = joined.filter(pred).select(
+        F.lit("zmap").alias("tag"), *out_cols, z.cast("long").alias("zval")
+    )
+    return filt.unionByName(zmap)
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_totalprice",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+]
+
+
+def _profile_oracle_sql() -> str:
+    pieces = []
+    for c in _PROFILE_COLS:
+        if c in ("o_orderkey", "o_custkey", "o_totalprice"):
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            ms = xs = "CAST(NULL AS VARCHAR)"
+        else:
+            src = f"CAST({c} AS DATE)" if c == "o_orderdate" else c
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            ms, xs = f"CAST(MIN({src}) AS VARCHAR)", f"CAST(MAX({src}) AS VARCHAR)"
+        pieces.append(
+            f"""SELECT 'profile' AS tag, CAST(NULL AS VARCHAR) AS o_orderstatus,
+                CAST(NULL AS VARCHAR) AS o_orderpriority,
+                '{c}' AS column, COUNT(*) AS n_rows,
+                COUNT(*) - COUNT({c}) AS n_null,
+                COUNT(DISTINCT {c}) AS n_distinct,
+                {mn} AS min_num, {mx} AS max_num,
+                {ms} AS min_str, {xs} AS max_str FROM orders"""
+        )
+    return " UNION ALL ".join(pieces)
 
 
 @register(
     "distinct_orders_dims",
-    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    oracle=f"""
+        SELECT 'dims' AS tag, o_orderstatus, o_orderpriority,
+               CAST(NULL AS VARCHAR) AS column, CAST(NULL AS BIGINT) AS n_rows,
+               CAST(NULL AS BIGINT) AS n_null, CAST(NULL AS BIGINT) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        UNION ALL
+        {_profile_oracle_sql()}
+    """,
 )
 def distinct_orders_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT = hash aggregate without aggregates (exact dedup
-    primitive on low-cardinality projections)."""
-    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+    """The exact-dedup/cardinality surface in one tagged result:
+
+    - 'dims' rows: DISTINCT = hash aggregate without aggregates (exact
+      dedup primitive on low-cardinality projections).
+    - 'profile' rows: the single-pass table profiler
+      (`operators/profile.py`) over six orders columns — per-column
+      null counts, EXACT distinct counts (N ``count_distinct`` in one
+      aggregate: one scan + one Expand, the reference UDA's motivating
+      multi-distinct workload), and type-routed min/max. The oracle
+      recomputes every statistic per column."""
+    orders = _t(spark, sf_dir, "orders")
+    dims_cols = ["o_orderstatus", "o_orderpriority"]
+    dims = (
+        orders.select(*dims_cols)
+        .distinct()
+        .select(
+            F.lit("dims").alias("tag"),
+            *dims_cols,
+            F.lit(None).cast("string").alias("column"),
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_null"),
+            F.lit(None).cast("long").alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_num"),
+            F.lit(None).cast("double").alias("max_num"),
+            F.lit(None).cast("string").alias("min_str"),
+            F.lit(None).cast("string").alias("max_str"),
+        )
+    )
+    prof = profile_table(orders, _PROFILE_COLS).select(
+        F.lit("profile").alias("tag"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "column",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
+    return dims.unionByName(prof)
 
 
 # =====================================================================
@@ -570,13 +754,38 @@ def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'without_orders' AS op, c_custkey, c_name FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+        UNION ALL
+        SELECT 'merged' AS op, c_custkey, c_name FROM (
+            WITH chg AS (
+                SELECT c_custkey, UPPER(c_name) AS c_name, 'U' AS cop
+                FROM customer WHERE c_custkey % 10 = 3
+                UNION ALL
+                SELECT c_custkey, CAST(NULL AS VARCHAR), 'D'
+                FROM customer WHERE c_custkey % 10 = 6
+                UNION ALL
+                SELECT c_custkey + 1000000, 'new_' || CAST(c_custkey AS VARCHAR), 'U'
+                FROM customer WHERE c_custkey % 10 = 2
+            )
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+            UNION ALL
+            SELECT c_custkey, c_name FROM chg WHERE cop <> 'D'
+        )
     """,
 )
 def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (= EXISTS) and LEFT ANTI (= NOT EXISTS) in one tagged
     result — both sides of the membership partition. No fan-out in
     either branch; the right side is reduced to its keys (at scale:
-    dramatically cheaper than join+distinct)."""
+    dramatically cheaper than join+distinct).
+
+    The 'merged' rows drive MERGE INTO (`operators/merge.py`
+    ``apply_changes``) — the anti join's production application: a
+    deterministic CDC batch (updates on custkey%10==3, deletes on
+    %10==6, inserts on %10==2 at shifted keys) applied to the customer
+    snapshot; survivors = broadcast anti join on the batch keys, the
+    snapshot itself never shuffles. The oracle recomputes the merge
+    with the standard SQL formulation."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").select("o_custkey")
     semi = cust.join(
@@ -585,7 +794,32 @@ def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti = cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select(F.lit("without_orders").alias("op"), "c_custkey", "c_name")
-    return semi.union(anti)
+
+    snap = cust.select("c_custkey", "c_name")
+    key = F.col("c_custkey")
+    changes = (
+        snap.filter(key % 10 == 3)
+        .select(key.alias("c_custkey"), F.upper("c_name").alias("c_name"),
+                F.lit("U").alias("cop"))
+        .unionByName(
+            snap.filter(key % 10 == 6).select(
+                key.alias("c_custkey"),
+                F.lit(None).cast("string").alias("c_name"),
+                F.lit("D").alias("cop"),
+            )
+        )
+        .unionByName(
+            snap.filter(key % 10 == 2).select(
+                (key + 1000000).alias("c_custkey"),
+                F.concat(F.lit("new_"), key.cast("string")).alias("c_name"),
+                F.lit("U").alias("cop"),
+            )
+        )
+    )
+    merged = apply_changes(snap, changes, ["c_custkey"], op_col="cop").select(
+        F.lit("merged").alias("op"), "c_custkey", "c_name"
+    )
+    return semi.union(anti).union(merged)
 
 
 @register(

@@ -472,3 +472,87 @@ def stream_top_users_sketch(
             F.col("e.count").cast("long").alias("n_events"),
         )
     )
+
+
+def stream_cdc_upsert(
+    changes_stream: DataFrame,
+    snapshot_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+):
+    """Continuous MERGE INTO: fold each CDC micro-batch into a
+    maintained snapshot with ``operators/merge.py`` — the streaming
+    face of ``apply_changes`` and the standard "foreachBatch upsert"
+    production pattern for sinks without a transactional table format.
+
+    Snapshot versions are directories ``snapshot_path/v=<batch_id>``;
+    each batch collapses its rows to the last change per key
+    (``latest_changes``), applies them to the LATEST version with id
+    strictly below the current batch (so a replayed batch rebuilds its
+    version from the same predecessor — never from its own partial
+    output), and overwrites its version directory. With deterministic
+    replayed batches (the file source re-delivers the same epoch from
+    checkpointed offsets) the sink is exactly-once at snapshot
+    granularity: re-running a batch produces a byte-equivalent
+    version.
+
+    Scale: per batch, one broadcast anti join against the batch's keys
+    — the snapshot is scanned once and never shuffled; at 100 TB the
+    snapshot write is the cost, which table formats amortize with
+    copy-on-write at file granularity (same merge plan, smaller
+    rewrite set). ``read_snapshot`` returns the latest version."""
+    import os
+
+    from ..operators.merge import apply_changes, latest_changes
+
+    data_cols = [c for c in changes_stream.columns if c not in (op_col, seq_col)]
+
+    def _versions(spark: SparkSession) -> list[int]:
+        if not os.path.isdir(snapshot_path):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(snapshot_path)
+            if d.startswith("v=")
+        )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        prior = [v for v in _versions(spark) if v < batch_id]
+        if prior:
+            target = spark.read.parquet(
+                os.path.join(snapshot_path, f"v={prior[-1]}")
+            )
+        else:
+            target = spark.createDataFrame([], bdf.select(*data_cols).schema)
+        batch = latest_changes(bdf, key_cols, seq_col, op_col)
+        merged = apply_changes(
+            target, batch, key_cols, op_col=op_col, delete_op=delete_op
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_path, f"v={batch_id}")
+        )
+
+    return (
+        changes_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_snapshot(spark: SparkSession, snapshot_path: str) -> DataFrame:
+    """Latest version written by ``stream_cdc_upsert``."""
+    import os
+
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(snapshot_path)
+        if d.startswith("v=")
+    )
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions under {snapshot_path}")
+    return spark.read.parquet(os.path.join(snapshot_path, f"v={versions[-1]}"))

@@ -746,3 +746,81 @@ def test_stream_top_users_sketch_matches_batch_exact(spark, sf_small):
     )
     assert got == expect
     assert len(got) > 0
+
+
+def test_stream_cdc_upsert_maintains_snapshot_across_runs(spark, tmp_path):
+    """Live foreachBatch MERGE (`streaming/windows.stream_cdc_upsert`):
+    two CDC files drained in separate runs on one checkpoint; each run
+    folds only its new changes into the snapshot, and the final
+    snapshot equals the batch-side apply_changes of both batches in
+    order (including an intra-batch multi-change key collapsed by
+    seq)."""
+    import os
+
+    from impala_hashset_count_spark.operators.merge import (
+        apply_changes,
+        latest_changes,
+    )
+    from impala_hashset_count_spark.streaming.windows import (
+        read_snapshot,
+        stream_cdc_upsert,
+    )
+
+    schema = "id bigint, name string, score double, op string, seq bigint"
+    b1 = spark.createDataFrame(
+        [
+            (1, "a0", 1.0, "U", 1),
+            (2, "b0", 2.0, "U", 2),
+            (2, "b1", 2.5, "U", 3),  # multi-change key within one batch
+            (3, "c0", 3.0, "U", 4),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(2, None, None, "D", 10), (3, "c1", 3.5, "U", 11), (4, "d0", 4.0, "U", 12)],
+        schema,
+    )
+    src = str(tmp_path / "cdc_src")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_cdc_upsert(
+            stream, snap, ckpt, ["id"], "seq"
+        )
+        # availableNow is set by the caller pattern elsewhere; here the
+        # default trigger + processAllAvailable drains synchronously.
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    s1 = sorted(map(tuple, read_snapshot(spark, snap).collect()))
+    assert s1 == [(1, "a0", 1.0), (2, "b1", 2.5), (3, "c0", 3.0)]
+
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = sorted(map(tuple, read_snapshot(spark, snap).collect()))
+
+    empty = spark.createDataFrame([], "id bigint, name string, score double")
+    expect_df = apply_changes(
+        apply_changes(empty, latest_changes(b1, ["id"], "seq"), ["id"]),
+        latest_changes(b2, ["id"], "seq"),
+        ["id"],
+    )
+    assert got == sorted(map(tuple, expect_df.collect()))
+    assert got == [(1, "a0", 1.0), (3, "c1", 3.5), (4, "d0", 4.0)]
+
+    # two version directories exist; replaying (fresh checkpoint, same
+    # files) rebuilds byte-equivalent snapshot content
+    versions = sorted(os.listdir(snap))
+    assert len([v for v in versions if v.startswith("v=")]) == 2
+    snap2 = str(tmp_path / "snapshot2")
+    ckpt2 = str(tmp_path / "cdc_ckpt2")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_cdc_upsert(stream, snap2, ckpt2, ["id"], "seq")
+    q.processAllAvailable()
+    q.stop()
+    replay = sorted(map(tuple, read_snapshot(spark, snap2).collect()))
+    assert replay == got

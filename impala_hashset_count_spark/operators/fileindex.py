@@ -1,0 +1,179 @@
+"""File-level min/max index + manual data skipping + compaction.
+
+Table formats (Delta/Iceberg) skip files by consulting per-file
+column statistics kept in the table's metadata. Plain parquet
+directories already CARRY those statistics — in each file's footer —
+so the same data skipping is available without a format: build an
+index DataFrame of per-file min/max (footers only, no data read),
+intersect it with a predicate, and hand the surviving file list back
+to the reader. Pays off exactly when the layout is clustered
+(`operators/zorder.py::cluster_write`): a z-ordered table gives every
+indexed column narrow per-file ranges.
+
+Scale (100 TB, ~100k files): the index build reads FOOTERS ONLY, in
+parallel — the file list is parallelized across executors and each
+task reads a few KB of metadata per file via pyarrow; there is no
+data scan at all. The resulting index is tiny (rows = files x
+columns) and is itself a DataFrame: store it, and pruning is a
+filter over metadata. The pruned file list does come back to the
+driver — it is the read plan, the same thing a table format's driver
+computes; at extreme file counts, prune in stages (partition dirs
+first).
+
+``compact_small_files`` is the companion maintenance op: many tiny
+files (per-micro-batch sinks, over-parallel writes) destroy both scan
+throughput (per-file open cost) and skipping (footer count), and the
+fix is a periodic width-reduction rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_INDEX_SCHEMA = (
+    "file string, n_rows long, column string, "
+    "min_num double, max_num double, min_str string, max_str string"
+)
+
+
+def _list_parquet_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def build_file_index(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-(file, column) min/max/row-count from parquet FOOTERS,
+    read in parallel on executors (no data scan). Numeric statistics
+    land in ``min_num``/``max_num``; byte/string statistics in
+    ``min_str``/``max_str``."""
+    files = _list_parquet_files(path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    want = list(cols)
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fname in pdf["file"]:
+                md = pq.ParquetFile(fname).metadata
+                stats: dict[str, list] = {c: [None, None] for c in want}
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        c = col.path_in_schema
+                        if c in stats and col.statistics is not None:
+                            st = col.statistics
+                            lo, hi = stats[c]
+                            stats[c] = [
+                                st.min if lo is None else min(lo, st.min),
+                                st.max if hi is None else max(hi, st.max),
+                            ]
+                for c, (lo, hi) in stats.items():
+                    numeric = isinstance(lo, (int, float)) and not isinstance(
+                        lo, bool
+                    )
+                    rows.append(
+                        {
+                            "file": fname,
+                            "n_rows": md.num_rows,
+                            "column": c,
+                            "min_num": float(lo) if numeric and lo is not None else None,
+                            "max_num": float(hi) if numeric and hi is not None else None,
+                            "min_str": None if numeric else (None if lo is None else str(lo)),
+                            "max_str": None if numeric else (None if hi is None else str(hi)),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file",
+                    "n_rows",
+                    "column",
+                    "min_num",
+                    "max_num",
+                    "min_str",
+                    "max_str",
+                ],
+            )
+
+    file_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        min(len(files), 64)
+    )
+    return file_df.mapInPandas(read_footers, _INDEX_SCHEMA)
+
+
+def prune_files(
+    index: DataFrame, ranges: dict[str, tuple[float, float]]
+) -> list[str]:
+    """Files whose per-column [min,max] intersects EVERY predicate
+    range (conjunction). A file lacking statistics for a column is
+    conservatively kept. Runs on the (tiny) index DataFrame; the
+    returned list is the read plan."""
+    per_col = []
+    for c, (lo, hi) in ranges.items():
+        hit = index.filter(
+            (F.col("column") == c)
+            & (
+                F.col("min_num").isNull()
+                | ((F.col("max_num") >= lo) & (F.col("min_num") <= hi))
+            )
+        ).select("file")
+        per_col.append(hit)
+    plan = per_col[0]
+    for other in per_col[1:]:
+        plan = plan.intersect(other)
+    return sorted(r.file for r in plan.collect())
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    ranges: dict[str, tuple[float, float]],
+) -> DataFrame:
+    """Read only the files surviving the index cut, then apply the
+    exact predicate — semantics identical to a full scan + filter
+    (pruning is conservative), touching a fraction of the files on a
+    clustered layout."""
+    files = prune_files(index, ranges)
+    if not files:
+        base = spark.read.parquet(path)
+        return base.filter(F.lit(False))
+    df = spark.read.parquet(*files)
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        cond = cond & F.col(c).between(lo, hi)
+    return df.filter(cond)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a many-small-files dataset into ~target-sized files.
+    Width is computed from the on-disk byte total; the rewrite is a
+    ``coalesce`` (narrow — no shuffle, preserves any existing sort
+    within the merged groups' concatenation order). Returns the file
+    count written. Re-cluster with ``cluster_write`` instead when the
+    layout itself should change."""
+    files = _list_parquet_files(src)
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
+    return n

@@ -1,0 +1,109 @@
+"""Footer-based file index, data skipping, compaction
+(`operators/fileindex.py`)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from impala_hashset_count_spark.operators.fileindex import (
+    build_file_index,
+    compact_small_files,
+    prune_files,
+    read_pruned,
+)
+from impala_hashset_count_spark.operators.zorder import cluster_write
+from impala_hashset_count_spark.session import ship_package
+
+
+def _zcluster(spark, sf_small, tmp_path, n_files=8):
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    path = os.path.join(str(tmp_path), "zli")
+    cluster_write(li, ["l_partkey", "l_suppkey"], path, n_files=n_files)
+    return li, path
+
+
+def test_index_matches_direct_footer_read(spark, sf_small, tmp_path):
+    ship_package(spark)
+    _, path = _zcluster(spark, sf_small, tmp_path)
+    idx = build_file_index(spark, path, ["l_partkey", "l_suppkey"]).collect()
+    got = {
+        (r.file, r.column): (r.min_num, r.max_num, r.n_rows) for r in idx
+    }
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for c in ("l_partkey", "l_suppkey"):
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    if col.path_in_schema == c and col.statistics is not None:
+                        st = col.statistics
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            assert got[(f, c)] == (float(lo), float(hi), md.num_rows)
+
+
+def test_read_pruned_equals_full_scan_and_skips(spark, sf_small, tmp_path):
+    ship_package(spark)
+    li, path = _zcluster(spark, sf_small, tmp_path)
+    idx = build_file_index(spark, path, ["l_partkey", "l_suppkey"])
+
+    mins = li.agg(F.min("l_partkey"), F.min("l_suppkey")).first()
+    maxs = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    ranges = {
+        "l_partkey": (
+            mins[0] + 0.05 * (maxs[0] - mins[0]),
+            mins[0] + 0.25 * (maxs[0] - mins[0]),
+        ),
+        "l_suppkey": (
+            mins[1] + 0.05 * (maxs[1] - mins[1]),
+            mins[1] + 0.25 * (maxs[1] - mins[1]),
+        ),
+    }
+    kept = prune_files(idx, ranges)
+    assert 0 < len(kept) < 8  # genuine skipping on the clustered layout
+
+    got = sorted(
+        map(tuple, read_pruned(spark, path, idx, ranges).collect())
+    )
+    cond = F.col("l_partkey").between(*ranges["l_partkey"]) & F.col(
+        "l_suppkey"
+    ).between(*ranges["l_suppkey"])
+    expect = sorted(map(tuple, spark.read.parquet(path).filter(cond).collect()))
+    assert got == expect and len(got) > 0
+
+
+def test_prune_conservative_on_missing_column_stats(spark, tmp_path):
+    ship_package(spark)
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "k long, v double")
+    path = os.path.join(str(tmp_path), "plain")
+    df.repartition(4).write.parquet(path)
+    idx = build_file_index(spark, path, ["v"])
+    # unclustered: every file spans ~the full range; a mid-range cut keeps all
+    kept = prune_files(idx, {"v": (40.0, 60.0)})
+    assert len(kept) == 4
+
+
+def test_empty_prune_returns_empty_frame(spark, sf_small, tmp_path):
+    ship_package(spark)
+    _, path = _zcluster(spark, sf_small, tmp_path)
+    idx = build_file_index(spark, path, ["l_partkey"])
+    out = read_pruned(spark, path, idx, {"l_partkey": (1e12, 2e12)})
+    assert out.count() == 0
+
+
+def test_compact_small_files_roundtrip(spark, sf_small, tmp_path):
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    src = os.path.join(str(tmp_path), "many")
+    dst = os.path.join(str(tmp_path), "few")
+    orders.repartition(64).write.parquet(src)
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) == 64
+    n = compact_small_files(spark, src, dst, target_file_bytes=1 << 30)
+    written = glob.glob(os.path.join(dst, "*.parquet"))
+    assert len(written) == n == 1
+    assert sorted(map(tuple, spark.read.parquet(dst).collect())) == sorted(
+        map(tuple, orders.collect())
+    )

@@ -232,3 +232,62 @@ def rollup_distinct_from_sketches(
     return sketch_table.groupBy(*keep_dims).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct")
     )
+
+
+def distinct_state_accumulate(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """EXACT mergeable distinct state per group: the sorted array of
+    the group's distinct non-NULL values, as strings (the reference's
+    value domain — everything arrives through ``ToStringVal``,
+    `hashset-count.cc:25-39`).
+
+    This is the batch-INCREMENTAL face of the reference lifecycle:
+    what ``DistHashSetSerialize`` (`cc:195-262`) emits at the phase
+    boundary — the full value set, bucket-ordered — persisted as a
+    STATE TABLE between ingestion batches, so arriving data folds in
+    via ``distinct_state_merge`` without ever rescanning history
+    (the exact-tier twin of ``distinct_sketch_table``). State is
+    O(distinct values) per group — exactly the reference's memory
+    model (its 300k-bucket in-memory set); when that is too large,
+    the HLL sketch table is the bounded-state alternative, the same
+    trade the reference README documents (`README.md:10`)."""
+    return df.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_set(F.col(value_col).cast("string"))).alias(
+            "dstate"
+        )
+    )
+
+
+def distinct_state_merge(
+    states: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """``DistHashSetMerge`` (`hashset-count.cc:269-461`) over PERSISTED
+    states: per group, the distinct union of the state arrays
+    (sort-merge-union-with-dedup is literally what the reference's
+    merge implements; here it is one ``flatten`` +
+    ``array_distinct`` + ``array_sort``). Serves both uses of the
+    reference's merge callback: folding a NEW batch's states into the
+    stored table (union the two state tables first), and rolling the
+    table up to a coarser grain. Associative and order-insensitive,
+    so partitioning cannot change the result (tested)."""
+    return states.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("dstate")))
+        ).alias("dstate")
+    )
+
+
+def distinct_state_count(
+    states: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """``DistHashSetFinalize`` (`hashset-count.cc:464-524`) over a
+    state table: render the count as a decimal STRING, and return SQL
+    NULL — not "0" — for a group whose state never saw a non-NULL
+    value (the reference's documented empty-state semantics,
+    SURVEY.md §8)."""
+    n = F.size(F.col("dstate"))
+    return states.select(
+        *group_cols,
+        F.when(n > 0, n.cast("string")).alias("hashset_count"),
+    )

@@ -31,6 +31,9 @@ from ..operators.quantiles import bottomk_sample, quantiles_disc
 from ..operators.zorder import zorder_key, zorder_sql
 from ..operators.hashset_count import (
     approx_distinct_count,
+    distinct_state_accumulate,
+    distinct_state_count,
+    distinct_state_merge,
     hashset_count_agg,
     hashset_count_rdd,
     register_sql_udaf,
@@ -168,10 +171,18 @@ def hashset_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS hashset_count
         FROM events
         GROUP BY event_type
+        UNION ALL
+        SELECT 'state_events' AS tier, event_type AS group_key,
+               CASE WHEN COUNT(user_id) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS VARCHAR)
+               END AS hashset_count
+        FROM events
+        GROUP BY event_type
     """,
 )
 def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tiers a and c of the rebuild in one tagged result.
+    """Tiers a and c of the rebuild, plus the batch-incremental STATE
+    TABLE face, in one tagged result.
 
     'idiomatic_lineitem' is tier a: faithful semantics from pure
     built-ins — the 100 TB path (partial/final hash agg + whole-stage
@@ -179,7 +190,17 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Init/Update/Merge/Finalize lifecycle (`hashset-count.h:30-34`) as
     ``aggregateByKey`` — documentation-by-construction of the
     reference's merge contract (`hashset-count.cc:269-461`). Both rows
-    carry the reference edge semantics (NULL-not-0, string result)."""
+    carry the reference edge semantics (NULL-not-0, string result).
+
+    'state_events' is the incremental face: the events table split
+    into two ingestion batches (event_id parity), each accumulated to
+    an exact distinct-state table (``distinct_state_accumulate`` — the
+    persisted form of DistHashSetSerialize's output), the two state
+    tables MERGED (``distinct_state_merge`` = the reference's
+    sort-merge-union-dedup) and finalized (NULL-not-0 string count) —
+    history is never rescanned. The oracle computes the direct
+    distinct count over the full table: a hash match proves the
+    two-batch state path is exactly lossless."""
     li = _t(spark, sf_dir, "lineitem")
     idiomatic = (
         li.groupBy("l_linestatus")
@@ -198,7 +219,22 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("group_key"),
         "hashset_count",
     )
-    return idiomatic.union(rdd_twin)
+    ev_b = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    states = distinct_state_accumulate(
+        ev_b.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id"
+    ).unionByName(
+        distinct_state_accumulate(
+            ev_b.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id"
+        )
+    )
+    state_tier = distinct_state_count(
+        distinct_state_merge(states, ["event_type"]), ["event_type"]
+    ).select(
+        F.lit("state_events").alias("tier"),
+        F.col("event_type").alias("group_key"),
+        "hashset_count",
+    )
+    return idiomatic.union(rdd_twin).union(state_tier)
 
 
 @register("approx_distinct_lineitem", headline=True)  # sketch values

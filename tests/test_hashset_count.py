@@ -409,3 +409,88 @@ def test_sketch_estimates_accurate_and_partition_stable(spark, sf_small):
     assert outs[0] == outs[1] == outs[2]
     for flag, est in outs[0]:
         assert abs(est - exact[flag]) <= max(0.05 * exact[flag], 2), (flag, est)
+
+
+class TestDistinctStateTable:
+    """Batch-incremental exact distinct state
+    (`operators/hashset_count.py::distinct_state_*`) — the persisted
+    Serialize/Merge/Finalize lifecycle."""
+
+    def _ops(self):
+        from impala_hashset_count_spark.operators.hashset_count import (
+            distinct_state_accumulate,
+            distinct_state_count,
+            distinct_state_merge,
+        )
+
+        return distinct_state_accumulate, distinct_state_merge, distinct_state_count
+
+    def test_two_batch_merge_equals_direct(self, spark, sf_small):
+        acc, merge, count = self._ops()
+        ev = spark.read.parquet(f"{sf_small}/events.parquet").select(
+            "event_id", "event_type", "user_id"
+        )
+        states = acc(
+            ev.filter("event_id % 3 = 0"), ["event_type"], "user_id"
+        )
+        for r in (1, 2):
+            states = states.unionByName(
+                acc(ev.filter(f"event_id % 3 = {r}"), ["event_type"], "user_id")
+            )
+        got = sorted(
+            map(tuple, count(merge(states, ["event_type"]), ["event_type"]).collect())
+        )
+        direct = sorted(
+            (r.event_type, str(r.n))
+            for r in ev.groupBy("event_type")
+            .agg(F.count_distinct(F.col("user_id").cast("string")).alias("n"))
+            .collect()
+        )
+        assert got == direct
+
+    def test_rollup_to_coarser_grain(self, spark, sf_small):
+        acc, merge, count = self._ops()
+        ev = spark.read.parquet(f"{sf_small}/events.parquet").withColumn(
+            "hour", F.date_trunc("hour", F.col("ts").cast("timestamp"))
+        )
+        fine = acc(ev, ["event_type", "hour"], "user_id")
+        coarse = count(merge(fine, ["event_type"]), ["event_type"])
+        direct = count(acc(ev, ["event_type"], "user_id"), ["event_type"])
+        assert sorted(map(tuple, coarse.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_null_only_group_finalizes_null_and_nul_bytes_distinct(self, spark):
+        acc, merge, count = self._ops()
+        df = spark.createDataFrame(
+            [
+                ("empty", None),
+                ("empty", None),
+                ("nuls", "a\x00b"),
+                ("nuls", "a\x00c"),
+                ("nuls", "a"),
+                ("blank", ""),
+            ],
+            "g string, v string",
+        )
+        out = {
+            r.g: r.hashset_count
+            for r in count(merge(acc(df, ["g"], "v"), ["g"]), ["g"]).collect()
+        }
+        # reference semantics: NULL (not "0") on all-NULL; "" counts;
+        # embedded NULs stay distinct (the reference's documented
+        # corruption is deliberately not replicated)
+        assert out == {"empty": None, "nuls": "3", "blank": "1"}
+
+    def test_partitioning_invariance(self, spark, sf_small):
+        acc, merge, count = self._ops()
+        base = spark.read.parquet(f"{sf_small}/events.parquet").select(
+            "event_type", "user_id"
+        )
+        outs = []
+        for parts in (2, 32):
+            st = acc(base.repartition(parts), ["event_type"], "user_id")
+            outs.append(
+                sorted(map(tuple, count(st, ["event_type"]).collect()))
+            )
+        assert outs[0] == outs[1]

@@ -146,3 +146,46 @@ def test_merge_empty_sides(spark):
     empty_t = t.filter(F.lit(False))
     out = sorted(map(tuple, apply_changes(empty_t, c, ["id"]).collect()))
     assert out == [(2, "bobby", 25.0), (5, "eve", 50.0)]
+
+
+def test_property_apply_changes_matches_dict_model(spark):
+    """Property check (hypothesis): for arbitrary snapshots and change
+    logs — duplicate keys in the log, deletes of absent keys, NULL
+    payloads — collapsing then applying equals the obvious Python dict
+    model."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.integers(min_value=0, max_value=9)
+    target_strategy = st.dictionaries(keys, st.text(max_size=4), max_size=8)
+    log_strategy = st.lists(
+        st.tuples(
+            keys,
+            st.one_of(st.none(), st.text(max_size=4)),
+            st.sampled_from(["U", "D"]),
+        ),
+        max_size=15,
+    )
+
+    @given(target=target_strategy, log=log_strategy)
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    def check(target, log):
+        model = dict(target)
+        for key, name, op in log:  # seq = position in the log
+            if op == "D":
+                model.pop(key, None)
+            else:
+                model[key] = name
+        t = spark.createDataFrame(
+            [(k, v) for k, v in target.items()] or [], "id long, name string"
+        )
+        c = spark.createDataFrame(
+            [(k, n, op, i) for i, (k, n, op) in enumerate(log)] or [],
+            "id long, name string, op string, seq long",
+        )
+        out = apply_changes(t, latest_changes(c, ["id"], "seq"), ["id"])
+        assert sorted(map(tuple, out.collect())) == sorted(model.items())
+
+    check()

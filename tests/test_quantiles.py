@@ -153,3 +153,59 @@ def test_bottomk_empty_input(spark):
     assert (
         quantiles_disc(ev, ["event_type"], "value", {"q50": 0.5}).count() == 0
     )
+
+
+def test_property_bottomk_merge_and_determinism(spark):
+    """Property check (hypothesis): for arbitrary keyed value sets and
+    arbitrary 2-way splits, bottom-k of the whole == combine of the
+    parts' sketches, and equals the Python min-k model."""
+    import hashlib as _hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),  # unique-ish keys
+            st.sampled_from(["g1", "g2"]),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+
+    @given(rows=rows_strategy, split=st.integers(min_value=0, max_value=2))
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    def check(rows, split):
+        k = 5
+        df = spark.createDataFrame(rows, "key long, g string, v double")
+        part_a = df.filter(F.col("key") % 3 <= split)
+        part_b = df.filter(F.col("key") % 3 > split)
+        fine = bottomk_accumulate(part_a, ["g"], "v", "key", k).unionByName(
+            bottomk_accumulate(part_b, ["g"], "v", "key", k)
+        )
+        rolled = sorted(
+            map(tuple, bottomk_combine(fine, ["g"], k).collect())
+        )
+        direct = sorted(
+            map(tuple, bottomk_accumulate(df, ["g"], "v", "key", k).collect())
+        )
+        assert rolled == direct
+        model = {}
+        for key, g, v in rows:
+            h = _hashlib.md5(str(key).encode()).hexdigest()
+            model.setdefault(g, []).append((h, str(key), v))
+        expect = sorted(
+            (g, [tuple(e) for e in sorted(entries)[:k]])
+            for g, entries in model.items()
+        )
+        got = [
+            (g, [tuple(e) for e in sk])
+            for g, sk in direct
+        ]
+        assert sorted(got) == expect
+
+    check()

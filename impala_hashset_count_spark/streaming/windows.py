@@ -556,3 +556,64 @@ def read_snapshot(spark: SparkSession, snapshot_path: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {snapshot_path}")
     return spark.read.parquet(os.path.join(snapshot_path, f"v={versions[-1]}"))
+
+
+def stream_quantiles_sketch(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming quantiles with BOUNDED state: per event_type, the
+    deterministic bottom-k-by-hash sample (`operators/quantiles.py`)
+    held in the state store — the quantile twin of
+    ``approx_distinct_stateful``'s HLL tier. State is O(k) per key
+    forever; merging a batch is min-k over the concatenation (min-wise
+    sampling is exactly mergeable), so the running sample — and hence
+    every estimate — is IDENTICAL to the batch sketch over the data
+    seen so far, no matter how the stream was micro-batched (live ==
+    batch twin is tested). Emits discrete order statistics (value at
+    rank ceil(q*n) of the sample): data values, no interpolation."""
+    import hashlib
+
+    def fn(key, pdfs, state):
+        entries = (
+            [tuple(e) for e in zip(*state.get)] if state.exists else []
+        )
+        for pdf in pdfs:
+            sub = pdf[["event_id", "value"]].dropna()
+            for eid, v in zip(sub["event_id"], sub["value"]):
+                h = hashlib.md5(str(int(eid)).encode()).hexdigest()
+                entries.append((h, str(int(eid)), float(v)))
+        entries = sorted(set(entries))[:k]
+        state.update(tuple(list(col) for col in zip(*entries)))
+        vals = sorted(v for _h, _t, v in entries)
+        n = len(vals)
+
+        # ceil(q*n) without float-boundary surprises: q is a small
+        # exact rational, so take the ceiling in integer math
+        def disc_exact(qnum, qden):
+            idx = -(-(qnum * n) // qden)  # ceil(q*n), integer math
+            return vals[idx - 1] if n else None
+
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_sample": [n],
+                "q25": [disc_exact(1, 4)],
+                "q50": [disc_exact(1, 2)],
+                "q75": [disc_exact(3, 4)],
+            }
+        )
+
+    return (
+        events.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "event_type string, n_sample long, q25 double, "
+                "q50 double, q75 double"
+            ),
+            stateStructType=(
+                "hs array<string>, ts array<string>, vs array<double>"
+            ),
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -824,3 +824,61 @@ def test_stream_cdc_upsert_maintains_snapshot_across_runs(spark, tmp_path):
     q.stop()
     replay = sorted(map(tuple, read_snapshot(spark, snap2).collect()))
     assert replay == got
+
+
+def test_stream_quantiles_sketch_two_batches_equals_batch_sketch(spark, tmp_path):
+    """Streaming bottom-k quantiles (bounded state): after two REAL
+    micro-batches, the final per-key estimates equal the batch sketch
+    over the union of both batches — micro-batching cannot change a
+    min-wise sample."""
+    from impala_hashset_count_spark.operators.quantiles import (
+        bottomk_sample,
+        quantiles_disc,
+    )
+    from impala_hashset_count_spark.streaming.windows import (
+        stream_quantiles_sketch,
+    )
+
+    schema = "event_id bigint, event_type string, value double"
+    src = str(tmp_path / "q_src")
+    b1 = [(i, "a" if i % 3 else "b", float(i * 7 % 23)) for i in range(0, 60)]
+    b2 = [(i, "a" if i % 3 else "b", float(i * 5 % 19)) for i in range(60, 120)]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch(b1)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream_quantiles_sketch(stream, k=16)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_quant_sk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(b2)
+        q.processAllAvailable()
+        # update-mode memory sink: the LAST snapshot per key is current
+        rows = spark.table("t_quant_sk").collect()
+    finally:
+        q.stop()
+    live = {}
+    for r in rows:  # later rows overwrite: memory sink appends updates
+        live[r.event_type] = (r.n_sample, r.q25, r.q50, r.q75)
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    sample = bottomk_sample(full, ["event_type"], "event_id", 16)
+    expect = {
+        r.event_type: (r.n_sample, r.q25, r.q50, r.q75)
+        for r in quantiles_disc(
+            sample, ["event_type"], "value", {"q25": 0.25, "q50": 0.5, "q75": 0.75}
+        ).collect()
+    }
+    assert live == expect
+    assert all(n == 16 for n, *_ in live.values())

@@ -544,18 +544,52 @@ def stream_cdc_upsert(
     )
 
 
-def read_snapshot(spark: SparkSession, snapshot_path: str) -> DataFrame:
-    """Latest version written by ``stream_cdc_upsert``."""
+def snapshot_versions(snapshot_path: str) -> list[int]:
+    """Version ids present under a ``stream_cdc_upsert`` snapshot."""
     import os
 
-    versions = sorted(
+    return sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(snapshot_path)
         if d.startswith("v=")
     )
+
+
+def read_snapshot(
+    spark: SparkSession, snapshot_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a ``stream_cdc_upsert`` snapshot: the latest version, or —
+    time travel — the newest version <= ``version`` (the state as of
+    that batch id). Raises if no version qualifies."""
+    import os
+
+    versions = snapshot_versions(snapshot_path)
+    if version is not None:
+        versions = [v for v in versions if v <= version]
     if not versions:
-        raise FileNotFoundError(f"no snapshot versions under {snapshot_path}")
+        raise FileNotFoundError(
+            f"no snapshot version {'<= ' + str(version) + ' ' if version is not None else ''}"
+            f"under {snapshot_path}"
+        )
     return spark.read.parquet(os.path.join(snapshot_path, f"v={versions[-1]}"))
+
+
+def vacuum_snapshots(snapshot_path: str, keep_last: int = 2) -> list[int]:
+    """Retention for ``stream_cdc_upsert`` snapshots: delete all but
+    the newest ``keep_last`` versions (each version is a full
+    snapshot, so old ones are only needed for time travel). Returns
+    the deleted version ids. ``keep_last`` must be >= 1 — the latest
+    version is both the read surface and the next merge's base."""
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(snapshot_path)
+    drop = versions[:-keep_last]
+    for v in drop:
+        shutil.rmtree(os.path.join(snapshot_path, f"v={v}"))
+    return drop
 
 
 def stream_quantiles_sketch(events: DataFrame, k: int = 64) -> DataFrame:

@@ -882,3 +882,61 @@ def test_stream_quantiles_sketch_two_batches_equals_batch_sketch(spark, tmp_path
     }
     assert live == expect
     assert all(n == 16 for n, *_ in live.values())
+
+
+def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
+    """Versioned-snapshot lifecycle: time-travel reads see the state as
+    of a batch id; vacuum keeps the newest versions and the latest
+    read is unaffected."""
+    import os
+
+    import pytest as _pytest
+
+    from impala_hashset_count_spark.streaming.windows import (
+        read_snapshot,
+        snapshot_versions,
+        stream_cdc_upsert,
+        vacuum_snapshots,
+    )
+
+    schema = "id bigint, name string, score double, op string, seq bigint"
+    src = str(tmp_path / "tt_src")
+    snap = str(tmp_path / "tt_snap")
+    ckpt = str(tmp_path / "tt_ckpt")
+    batches = [
+        [(1, "a0", 1.0, "U", 1)],
+        [(2, "b0", 2.0, "U", 2)],
+        [(1, None, None, "D", 3), (3, "c0", 3.0, "U", 4)],
+    ]
+    stream = None
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = stream_cdc_upsert(stream, snap, ckpt, ["id"], "seq")
+    q.processAllAvailable()
+    q.stop()
+
+    assert snapshot_versions(snap) == [0, 1, 2]
+    assert sorted(map(tuple, read_snapshot(spark, snap, version=0).collect())) == [
+        (1, "a0", 1.0)
+    ]
+    assert sorted(map(tuple, read_snapshot(spark, snap, version=1).collect())) == [
+        (1, "a0", 1.0),
+        (2, "b0", 2.0),
+    ]
+    latest = sorted(map(tuple, read_snapshot(spark, snap).collect()))
+    assert latest == [(2, "b0", 2.0), (3, "c0", 3.0)]
+
+    dropped = vacuum_snapshots(snap, keep_last=1)
+    assert dropped == [0, 1]
+    assert snapshot_versions(snap) == [2]
+    assert sorted(map(tuple, read_snapshot(spark, snap).collect())) == latest
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, snap, version=1)
+    with _pytest.raises(ValueError):
+        vacuum_snapshots(snap, keep_last=0)
+    assert not os.path.exists(os.path.join(snap, "v=0"))

@@ -252,3 +252,67 @@ def test_join_strategy_hints_are_honored(spark):
     assert "SortMergeJoin" in plans["merge"]
     counts = {h: joined(h).count() for h in plans}
     assert len(set(counts.values())) == 1 and counts["merge"] > 0
+
+
+def test_aggstate_accumulate_one_scan_one_shuffle(spark):
+    """The composite state table builds in ONE scan and ONE exchange
+    (partial/final hash agg) — every component (moments, HLL,
+    frequent-items sketch, bottom-k array) rides the same aggregate.
+    At 100 TB this is the whole cost of maintaining the summary."""
+    from impala_hashset_count_spark.operators.aggstate import (
+        agg_state_accumulate,
+    )
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    plan = (
+        agg_state_accumulate(ev, ["event_type"], "value", "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_aggstate_merge_touches_only_state_rows(spark):
+    """Rolling the state table to a coarser grain plans ONE aggregate
+    over the state rows — no scan of the raw table appears."""
+    from impala_hashset_count_spark.operators.aggstate import (
+        agg_state_accumulate,
+        agg_state_merge,
+    )
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as SF_fn
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "day", SF_fn.to_date(SF_fn.col("ts").cast("timestamp"))
+    )
+    fine = agg_state_accumulate(ev, ["event_type", "day"], "value", "user_id")
+    fine.write.mode("overwrite").parquet("/tmp/ihc_state_plan_probe")
+    stored = spark.read.parquet("/tmp/ihc_state_plan_probe")
+    plan = (
+        agg_state_merge(stored, ["event_type"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one scan (the state table), one shuffle, and the events table is
+    # nowhere in the plan
+    assert plan.count("Scan parquet") == 1
+    assert "events" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_zorder_stats_join_is_broadcast(spark):
+    """The min/max normalization stats attach via a BROADCAST of the
+    1-row aggregate — the data side is never shuffled for the key."""
+    from impala_hashset_count_spark.operators.zorder import zorder_key
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    joined, z = zorder_key(li, ["l_partkey", "l_suppkey"], bits=16)
+    plan = explain_str(joined.select(z.alias("z")))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

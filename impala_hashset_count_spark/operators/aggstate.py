@@ -115,16 +115,27 @@ def agg_state_merge(
 
 
 def agg_state_finalize(
-    states: DataFrame, group_cols: list[str], top_k: int = 5
+    states: DataFrame,
+    group_cols: list[str],
+    top_k: int = 5,
+    top_items: int = 1024,
 ) -> DataFrame:
     """Read the summary out of the state: moments, distinct estimate,
     top-k heavy hitters (deterministically ranked, comma-joined), and
     the sample median (discrete order statistic — an actual data
     value). All arithmetic is over exact integers or raw values, so
-    the output is engine/merge-order stable."""
+    the output is engine/merge-order stable.
+
+    The heavy-hitter estimate OVER-FETCHES the sketch's full summary
+    and re-ranks with an explicit (count desc, item asc) comparator
+    BEFORE slicing top_k — asking the sketch for exactly k would let
+    a count tie at the k boundary resolve by merge order (observed:
+    streaming-merged vs direct sketches returned different boundary
+    items), the same boundary hazard `corpus_stats.top_tokens_sketch`
+    documents."""
     mean = (F.col("sum_q").cast("double") / _QUANT) / F.col("n_vals")
     ranked = F.expr(
-        f"""slice(array_sort(approx_top_k_estimate(topk_sk, {int(top_k)}),
+        f"""slice(array_sort(approx_top_k_estimate(topk_sk, {int(top_items)}),
             (l, r) -> CASE WHEN l.count > r.count THEN -1
                            WHEN l.count < r.count THEN 1
                            WHEN l.item < r.item THEN -1

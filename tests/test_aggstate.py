@@ -135,3 +135,80 @@ def test_null_values_and_empty_groups(spark):
     # all-NULL group: moments NULL, counts present
     g2 = out["g2"]
     assert g2.n_vals == 0 and g2.mean_v is None and g2.vmin is None
+
+
+def test_stream_summary_maintenance_equals_direct(spark, sf_small, tmp_path):
+    """LIVE incremental rollup maintenance: two real micro-batches of
+    events folded into the stored summary by state-row merge; the final
+    finalized table equals the direct batch accumulate over everything
+    — and a replayed run (fresh checkpoint, same files) produces the
+    same summary, not doubled sums."""
+    from impala_hashset_count_spark.streaming.windows import (
+        read_snapshot,
+        stream_summary_maintenance,
+    )
+
+    ev = _events(spark, sf_small).limit(400).cache()
+    a = ev.filter("event_id % 2 = 0")
+    b = ev.filter("event_id % 2 = 1")
+    schema = (
+        "event_id bigint, event_type string, user_id bigint, "
+        "value double, ts timestamp"
+    )
+    src = str(tmp_path / "sm_src")
+    snap = str(tmp_path / "sm_snap")
+    ckpt = str(tmp_path / "sm_ckpt")
+    a.select("event_id", "event_type", "user_id", "value",
+             F.col("ts").cast("timestamp").alias("ts")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    b.select("event_id", "event_type", "user_id", "value",
+             F.col("ts").cast("timestamp").alias("ts")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain(ck):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_summary_maintenance(
+            stream, snap, ck, ["event_type"], "value", "user_id"
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain(ckpt)
+    got = sorted(
+        map(
+            tuple,
+            agg_state_finalize(
+                read_snapshot(spark, snap), ["event_type"]
+            ).collect(),
+        )
+    )
+    expect = sorted(
+        map(
+            tuple,
+            agg_state_finalize(
+                agg_state_accumulate(
+                    ev.limit(400), ["event_type"], "value", "user_id"
+                ),
+                ["event_type"],
+            ).collect(),
+        )
+    )
+    assert got == expect
+
+    # replay with a fresh checkpoint into the SAME snapshot dir: the
+    # versions are rebuilt from scratch predecessors, sums not doubled
+    drain(str(tmp_path / "sm_ckpt2"))
+    replay = sorted(
+        map(
+            tuple,
+            agg_state_finalize(
+                read_snapshot(spark, snap), ["event_type"]
+            ).collect(),
+        )
+    )
+    assert replay == expect
+    ev.unpersist()

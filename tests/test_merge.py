@@ -189,3 +189,17 @@ def test_property_apply_changes_matches_dict_model(spark):
         assert sorted(map(tuple, out.collect())) == sorted(model.items())
 
     check()
+
+
+def test_apply_changes_composite_key(spark):
+    """Multi-column keys: the membership test is on the key TUPLE."""
+    t = spark.createDataFrame(
+        [(1, "x", "a"), (1, "y", "b"), (2, "x", "c")],
+        "k1 long, k2 string, payload string",
+    )
+    c = spark.createDataFrame(
+        [(1, "x", "a2", "U"), (2, "x", None, "D"), (3, "z", "d", "U")],
+        "k1 long, k2 string, payload string, op string",
+    )
+    out = sorted(map(tuple, apply_changes(t, c, ["k1", "k2"]).collect()))
+    assert out == [(1, "x", "a2"), (1, "y", "b"), (3, "z", "d")]

@@ -168,3 +168,15 @@ def test_cluster_write_shrinks_bboxes_and_skips_files(spark, sf_small, tmp_path)
     assert (
         spark.read.parquet(zpath).count() == li.count()
     )
+
+
+def test_interleave_three_columns(spark):
+    rows = [(1, 2, 3), (255, 0, 255), (7, 7, 7)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    got = [
+        r.z
+        for r in df.select(
+            interleave_bits([F.col("a"), F.col("b"), F.col("c")], 8).alias("z")
+        ).collect()
+    ]
+    assert got == [_py_morton(r, 8) for r in rows]

@@ -31,7 +31,13 @@ Scale: accumulate is one shuffle at the fine grain; merge of a new
 batch is a shuffle of STATE ROWS (cells, not raw rows); finalize is a
 projection. Sum columns quantize to integer micro-units so the merged
 double is independent of merge order (the repo-wide engine-stability
-convention, see `operators/corpus_stats.py`).
+convention, see `operators/corpus_stats.py`). One sizing caveat: the
+bottom-k component rides the shared aggregate via ``collect_list`` +
+slice, which buffers a CELL's rows before cutting — fine at the fine
+grains a summary table is built on (that is the point of the table),
+but for coarse grains with giant cells build the quantile sketch
+separately with ``quantiles.bottomk_accumulate`` (pre-cut by a
+rank-limited window, buffer bounded at k) and join it on.
 """
 
 from __future__ import annotations

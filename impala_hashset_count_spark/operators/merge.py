@@ -62,6 +62,7 @@ def apply_changes(
     key_cols: list[str],
     op_col: str = "op",
     delete_op: str = "D",
+    broadcast_changes: bool = True,
 ) -> DataFrame:
     """MERGE semantics over DataFrames: upsert non-delete changes,
     drop deleted keys, keep everything else.
@@ -70,8 +71,18 @@ def apply_changes(
     ``latest_changes`` first) and carry the full target schema plus
     ``op_col``. Matched+non-delete => the change row replaces the
     target row; matched+delete => the key disappears; unmatched
-    non-delete => inserted. Column order follows the target schema."""
-    changed_keys = F.broadcast(changes.select(*key_cols).distinct())
+    non-delete => inserted. Column order follows the target schema.
+
+    ``broadcast_changes`` pins the typical CDC shape (small batch,
+    huge snapshot): the anti join broadcasts the batch's key set and
+    the snapshot never shuffles. A FORCED broadcast of a huge batch
+    would overwhelm executors, so pass ``False`` for backfill-sized
+    batches — the anti join then shuffles both sides on the key (AQE
+    may still downgrade to broadcast at runtime if the key set turns
+    out small)."""
+    changed_keys = changes.select(*key_cols).distinct()
+    if broadcast_changes:
+        changed_keys = F.broadcast(changed_keys)
     survivors = target.join(changed_keys, on=key_cols, how="left_anti")
     upserts = changes.filter(F.col(op_col) != F.lit(delete_op)).select(
         *target.columns

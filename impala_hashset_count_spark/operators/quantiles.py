@@ -98,15 +98,23 @@ def bottomk_accumulate(
     k: int,
 ) -> DataFrame:
     """Sketch-table face: one row per (fine-grain) group holding the
-    bottom-k as a sorted ``array<struct<h,v>>`` — store this next to
-    the grain and never rescan raw data for quantiles again."""
+    bottom-k as a sorted ``array<struct<h,t,v>>`` — store this next to
+    the grain and never rescan raw data for quantiles again.
+
+    The input is pre-cut with ``bottomk_sample`` so the aggregation
+    buffer never holds more than k rows per group (a bare
+    ``collect_list`` would buffer the whole group before the slice —
+    an OOM hazard on giant cells). The window and the aggregate hash
+    on the same keys, so Catalyst reuses the partitioning: one
+    exchange total."""
+    cut = bottomk_sample(df, group_cols, key_col, k)
     entry = F.struct(
         hash_rank(F.col(key_col)).alias("h"),
         F.col(key_col).cast("string").alias("t"),
         F.col(value_col).cast("double").alias("v"),
     )
     sketch = F.slice(F.array_sort(F.collect_list(entry)), 1, k)
-    return df.groupBy(*group_cols).agg(sketch.alias("bk_sketch"))
+    return cut.groupBy(*group_cols).agg(sketch.alias("bk_sketch"))
 
 
 def bottomk_combine(

@@ -503,7 +503,14 @@ def stream_cdc_upsert(
     — the snapshot is scanned once and never shuffled; at 100 TB the
     snapshot write is the cost, which table formats amortize with
     copy-on-write at file granularity (same merge plan, smaller
-    rewrite set). ``read_snapshot`` returns the latest version."""
+    rewrite set). ``read_snapshot`` returns the latest version.
+
+    Version discovery walks the snapshot directory with the local
+    filesystem API (this harness runs on local disk); on HDFS/object
+    storage, swap ``_versions`` for a listing through the same
+    ``FileSystem``/object-store client the checkpoint uses — the
+    version protocol itself (build from newest strictly-older id) is
+    storage-agnostic."""
     import os
 
     from ..operators.merge import apply_changes, latest_changes

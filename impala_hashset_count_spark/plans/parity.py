@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
+from ..operators.kmv import kmv_accumulate, kmv_combine, kmv_estimate
 from ..operators.merge import apply_changes
 from ..operators.profile import profile_table
 from ..operators.quantiles import bottomk_sample, quantiles_disc
@@ -178,6 +179,27 @@ def hashset_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS hashset_count
         FROM events
         GROUP BY event_type
+        UNION ALL
+        SELECT 'kmv_lineitem' AS tier, g.l_returnflag AS group_key,
+               CAST(CASE WHEN s.n IS NULL THEN NULL
+                         WHEN s.n < 128 THEN s.n
+                         ELSE 571957152676052992 // s.hk
+                    END AS VARCHAR) AS hashset_count
+        FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+        LEFT JOIN (
+            SELECT l_returnflag, COUNT(*) AS n, MAX(hk) AS hk
+            FROM (
+                SELECT l_returnflag, hk,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_returnflag ORDER BY hk
+                       ) AS rn
+                FROM (SELECT DISTINCT l_returnflag,
+                             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13)
+                                  AS BIGINT) AS hk
+                      FROM lineitem WHERE l_partkey IS NOT NULL)
+            ) WHERE rn <= 128
+            GROUP BY l_returnflag
+        ) s ON g.l_returnflag = s.l_returnflag
     """,
 )
 def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,7 +256,25 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("group_key"),
         "hashset_count",
     )
-    return idiomatic.union(rdd_twin).union(state_tier)
+    # 'kmv_lineitem' — the deterministic KMV sketch (operators/kmv.py),
+    # deliberately routed through the STORED-SKETCH lifecycle: accumulate
+    # at the fine (l_returnflag, l_linestatus) grain, MERGE the stored
+    # sketches up to l_returnflag, then finalize. The oracle recomputes
+    # the direct single-pass pipeline at the coarse grain, so a hash
+    # match proves min-wise merge exactness (combine == direct) under
+    # the driver's hard signal — the reference's Serialize/Merge
+    # contract (`hashset-count.cc:269-461`) at O(k) state.
+    k = 128
+    li_k = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_partkey"
+    )
+    fine = kmv_accumulate(li_k, ["l_returnflag", "l_linestatus"], "l_partkey", k)
+    kmv_tier = kmv_estimate(kmv_combine(fine, ["l_returnflag"], k), k).select(
+        F.lit("kmv_lineitem").alias("tier"),
+        F.col("l_returnflag").alias("group_key"),
+        F.col("kmv_distinct").cast("string").alias("hashset_count"),
+    )
+    return idiomatic.union(rdd_twin).union(state_tier).union(kmv_tier)
 
 
 @register("approx_distinct_lineitem", headline=True)  # sketch values

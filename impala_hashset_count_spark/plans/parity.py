@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from ..operators.kmv import kmv_accumulate, kmv_combine, kmv_estimate
+from ..operators.range_join import binned_range_join
 from ..operators.merge import apply_changes
 from ..operators.profile import profile_table
 from ..operators.quantiles import bottomk_sample, quantiles_disc
@@ -958,22 +959,61 @@ def join_theta_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_range_late_shipments",
     oracle="""
-        SELECT o.o_orderpriority, COUNT(*) AS n_late
+        SELECT 'resid' AS tier, o.o_orderpriority, COUNT(*) AS n_pairs
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY o.o_orderpriority
+        UNION ALL
+        SELECT 'binned' AS tier, o.o_orderpriority, COUNT(*) AS n_pairs
+        FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem) p
+        JOIN orders o
+          ON p.d >= CAST(o.o_orderdate AS DATE)
+         AND p.d <= CAST(o.o_orderdate AS DATE) + 7
         GROUP BY o.o_orderpriority
     """,
 )
 def join_range_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range predicate as a residual on an equi join."""
+    """Range joins, both regimes tagged:
+
+    - 'resid': range predicate as a RESIDUAL on an equi join — when a
+      key equality exists, keep it as the join key and the range as a
+      post-join filter (hash join, never a nested loop).
+    - 'binned': a PURE point-in-interval join (no equi key at all —
+      which ship dates fall in the week after each order, by priority)
+      through ``operators.range_join.binned_range_join``: intervals
+      exploded onto fixed-width bins, points tagged with their one bin,
+      equi-join on bin id + exact residual. This is the shape Spark
+      would otherwise plan as BroadcastNestedLoopJoin/cartesian
+      (plan-asserted in `tests/test_range_join.py`); the DuckDB oracle
+      computes the naive non-equi join directly, so the hash match
+      proves the binned rewrite exact (boundaries included)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
-    return (
+    resid = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_late"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select(F.lit("resid").alias("tier"), "o_orderpriority", "n_pairs")
     )
+    epoch = F.lit("1970-01-01").cast("date")
+    pts = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("d"))
+        .distinct()
+    )
+    ivs = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("od"),
+        (F.datediff(F.col("o_orderdate").cast("date"), epoch) + 7).alias("od_end"),
+    )
+    binned = (
+        binned_range_join(pts, ivs, "d", "od", "od_end", bin_width=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(F.lit("binned").alias("tier"), "o_orderpriority", "n_pairs")
+    )
+    return resid.union(binned)
 
 
 @register(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..operators.kmv import kmv_accumulate, kmv_combine, kmv_estimate
 from ..operators.range_join import binned_range_join
+from ..operators.ivm import maintain_join_view
 from ..operators.merge import apply_changes
 from ..operators.profile import profile_table
 from ..operators.quantiles import bottomk_sample, quantiles_disc
@@ -800,19 +801,53 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_left_customer_orders",
     oracle="""
-        SELECT c.c_mktsegment,
+        WITH c2 AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 10 = 4 THEN 'MOVED'
+                        ELSE c_mktsegment END AS c_mktsegment
+            FROM customer
+        ),
+        b2 AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 1000
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 2
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, 100.0
+            FROM orders WHERE o_orderkey % 7 = 3
+        )
+        SELECT 'left' AS tier, c.c_mktsegment,
                COUNT(DISTINCT c.c_custkey) AS n_customers,
                COUNT(o.o_orderkey) AS n_orders,
                ROUND(SUM(COALESCE(o.o_totalprice, 0)), 2) AS total_spend
         FROM customer c
         LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_mktsegment
+        UNION ALL
+        SELECT 'ivm' AS tier, c2.c_mktsegment,
+               COUNT(DISTINCT c2.c_custkey) AS n_customers,
+               COUNT(b2.o_orderkey) AS n_orders,
+               ROUND(SUM(b2.o_totalprice), 2) AS total_spend
+        FROM c2 JOIN b2 ON c2.c_custkey = b2.o_custkey
+        GROUP BY c2.c_mktsegment
     """,
 )
 def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged: the plain LEFT join aggregate, plus the INCREMENTALLY
+    MAINTAINED join view (`operators/ivm.py`).
+
+    'ivm' applies a deterministic CDC batch to BOTH bases (customers
+    c_custkey%10==4 re-segmented; orders %7==1 repriced, %7==2
+    deleted, %7==3 cloned as inserts), folds the deltas into the
+    materialized customer⋈orders view with ``maintain_join_view``
+    (broadcast delta terms — the view and bases never shuffle), and
+    aggregates the MAINTAINED view. The oracle recomputes the join of
+    the final base states directly, so the hash match proves the
+    delta-join maintenance exact (removal/upsert/insert disjointness
+    included)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return (
+    left = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_mktsegment")
         .agg(
@@ -820,7 +855,54 @@ def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("total_spend"),
         )
+        .select(F.lit("left").alias("tier"), "c_mktsegment", "n_customers", "n_orders", "total_spend")
     )
+    a = cust.select("c_custkey", "c_mktsegment")
+    b = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    da = a.filter(F.col("c_custkey") % 10 == 4).select(
+        "c_custkey", F.lit("MOVED").alias("c_mktsegment"), F.lit("U").alias("op")
+    )
+    db = (
+        b.filter(F.col("o_orderkey") % 7 == 1)
+        .select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            b.filter(F.col("o_orderkey") % 7 == 2).select(
+                "o_orderkey",
+                F.lit(None).cast("long").alias("o_custkey"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            b.filter(F.col("o_orderkey") % 7 == 3).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit(100.0).alias("o_totalprice"),
+                F.lit("U").alias("op"),
+            )
+        )
+    )
+    a2 = apply_changes(a, da, ["c_custkey"])
+    b2 = apply_changes(b, db, ["o_orderkey"])
+    view0 = a.join(b, a["c_custkey"] == b["o_custkey"], "inner")
+    view1 = maintain_join_view(
+        view0, a2, b2, da, db,
+        ["c_custkey"], ["o_orderkey"], [("c_custkey", "o_custkey")],
+    )
+    ivm = (
+        view1.groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .select(F.lit("ivm").alias("tier"), "c_mktsegment", "n_customers", "n_orders", "total_spend")
+    )
+    return left.union(ivm)
 
 
 @register(

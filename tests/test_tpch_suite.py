@@ -1,5 +1,5 @@
-"""TPC-H breadth beyond the registry's Q1/Q3/Q4/Q17: Q5, Q6, Q7, Q8,
-Q10, Q12, Q13, Q14, Q15, Q18, and Q19 shapes run as ONE portable
+"""TPC-H breadth beyond the registry's Q1/Q3/Q4/Q17: all 18 remaining
+query shapes (Q2, Q5-Q16, Q18-Q22) run as ONE portable
 ANSI-SQL text on BOTH engines
 (Spark over temp views, DuckDB over the same parquet) and compared
 canonically — multi-way join ordering, mixed agg+join pipelines,
@@ -8,8 +8,15 @@ get an engine-vs-engine hard signal without consuming registry slots.
 
 Queries are adapted to the driver's TPC-H-ish schema (TESTDATA.md):
 no l_shipmode/l_commitdate (Q12 keys on l_linestatus and date math
-instead), no c_address/c_phone (Q10 projects the available columns),
-Q19's predicate keeps the OR-of-conjuncts brand/size/quantity shape.
+instead), no c_address/c_phone (Q10 projects the available columns;
+Q22's cntrycode is a custkey residue), Q19's predicate keeps the
+OR-of-conjuncts brand/size/quantity shape, and there is NO partsupp
+table — Q2/Q9/Q11/Q16/Q20 keep their defining plan shapes (correlated
+scalar MIN, LIKE-filtered profit rollup, global-scalar HAVING
+threshold, NOT-IN + COUNT DISTINCT, nested IN with correlated-sum
+HAVING) with lineitem standing in as the part-supplier relation and
+p_retailprice for supplycost; Q21 defines "late" via
+l_shipdate > o_orderdate + 90 (no receipt/commit dates).
 Floats are compared to 6dp — this is a local parity test, not the
 driver hash gate, so summation-order noise must not fail it.
 """
@@ -192,7 +199,142 @@ _Q18 = """
     LIMIT 100
 """
 
+_Q2 = """
+    SELECT s.s_name, s.s_acctbal, p.p_partkey, p.p_brand, n.n_name
+    FROM part p, supplier s, lineitem l, nation n
+    WHERE p.p_partkey = l.l_partkey
+      AND s.s_suppkey = l.l_suppkey
+      AND s.s_nationkey = n.n_nationkey
+      AND p.p_size = 15
+      AND l.l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice)
+            FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey
+          )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+"""
+
+_Q9 = """
+    SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - p_retailprice * 0.1 * l_quantity AS amount
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey
+          AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey
+          AND s_nationkey = n_nationkey
+          AND p_name LIKE '%a%'
+    ) AS profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+_Q11 = """
+    SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity), 4) AS value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice * l_quantity) > (
+        SELECT SUM(l_extendedprice * l_quantity) * 0.005
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_3'
+    )
+    ORDER BY value DESC, l_partkey
+"""
+
+_Q16 = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#13'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_Q20 = """
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+                  )
+              AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 50
+          )
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    ORDER BY s_name
+"""
+
+_Q21 = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND CAST(l3.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+          )
+      AND s_nationkey = n_nationkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+_Q22 = """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 4) AS totacctbal
+    FROM (
+        SELECT c_custkey % 7 AS cntrycode, c_acctbal
+        FROM customer
+        WHERE c_custkey % 7 IN (1, 2, 3, 4, 5)
+          AND c_acctbal > (
+                SELECT AVG(c_acctbal) FROM customer
+                WHERE c_acctbal > 0.00 AND c_custkey % 7 IN (1, 2, 3, 4, 5)
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT'
+              )
+    ) AS custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+"""
+
 SUITE = {
+    "q2": _Q2,
+    "q9": _Q9,
+    "q11": _Q11,
+    "q16": _Q16,
+    "q20": _Q20,
+    "q21": _Q21,
+    "q22": _Q22,
     "q5": _Q5,
     "q6": _Q6,
     "q7": _Q7,

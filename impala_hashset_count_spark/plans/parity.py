@@ -29,6 +29,8 @@ from ..operators.kmv import kmv_accumulate, kmv_combine, kmv_estimate
 from ..operators.range_join import binned_range_join
 from ..operators.ivm import maintain_join_view
 from ..operators.merge import apply_changes
+from ..operators import checks as chk
+from ..operators.checks import check_constraints, check_foreign_key
 from ..operators.profile import profile_table
 from ..operators.quantiles import bottomk_sample, quantiles_disc
 from ..operators.zorder import zorder_key, zorder_sql
@@ -676,9 +678,49 @@ def _profile_oracle_sql() -> str:
                 COUNT(*) - COUNT({c}) AS n_null,
                 COUNT(DISTINCT {c}) AS n_distinct,
                 {mn} AS min_num, {mx} AS max_num,
-                {ms} AS min_str, {xs} AS max_str FROM orders"""
+                {ms} AS min_str, {xs} AS max_str,
+                CAST(NULL AS VARCHAR) AS check_name,
+                CAST(NULL AS BIGINT) AS n_violations FROM orders"""
         )
     return " UNION ALL ".join(pieces)
+
+
+_CHECKS_ORACLE = """
+    SELECT 'checks' AS tag, CAST(NULL AS VARCHAR) AS o_orderstatus,
+           CAST(NULL AS VARCHAR) AS o_orderpriority,
+           CAST(NULL AS VARCHAR) AS column,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           CAST(NULL AS BIGINT) AS n_null, CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           c.check_name, c.n_violations
+    FROM (
+        SELECT 'not_null:o_custkey' AS check_name,
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_violations
+        UNION ALL
+        SELECT 'unique:o_orderkey',
+               (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders)
+        UNION ALL
+        SELECT 'in_range:o_totalprice',
+               (SELECT COUNT(*) FROM orders
+                WHERE o_totalprice < 0 OR o_totalprice > 600000)
+        UNION ALL
+        SELECT 'in_set:o_orderstatus',
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderstatus IS NOT NULL
+                  AND o_orderstatus NOT IN ('F', 'O', 'P'))
+        UNION ALL
+        SELECT 'matches:o_orderpriority',
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+        UNION ALL
+        SELECT 'foreign_key:o_custkey',
+               (SELECT COUNT(*) FROM orders
+                WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+    ) c
+"""
 
 
 @register(
@@ -688,10 +730,14 @@ def _profile_oracle_sql() -> str:
                CAST(NULL AS VARCHAR) AS column, CAST(NULL AS BIGINT) AS n_rows,
                CAST(NULL AS BIGINT) AS n_null, CAST(NULL AS BIGINT) AS n_distinct,
                CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
-               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+               CAST(NULL AS VARCHAR) AS check_name,
+               CAST(NULL AS BIGINT) AS n_violations
         FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
         UNION ALL
         {_profile_oracle_sql()}
+        UNION ALL
+        {_CHECKS_ORACLE}
     """,
 )
 def distinct_orders_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,23 +750,34 @@ def distinct_orders_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
       null counts, EXACT distinct counts (N ``count_distinct`` in one
       aggregate: one scan + one Expand, the reference UDA's motivating
       multi-distinct workload), and type-routed min/max. The oracle
-      recomputes every statistic per column."""
+      recomputes every statistic per column.
+    - 'checks' rows: the declarative constraint suite
+      (`operators/checks.py`) — not_null / unique / in_range / in_set /
+      regex / referential integrity over orders, all but the FK in ONE
+      aggregate pass; every count recomputed independently by the
+      oracle, so the hash certifies each constraint's NULL/duplicate
+      semantics."""
     orders = _t(spark, sf_dir, "orders")
     dims_cols = ["o_orderstatus", "o_orderpriority"]
+    nulls = [
+        F.lit(None).cast("string").alias("column"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_null"),
+        F.lit(None).cast("long").alias("n_distinct"),
+        F.lit(None).cast("double").alias("min_num"),
+        F.lit(None).cast("double").alias("max_num"),
+        F.lit(None).cast("string").alias("min_str"),
+        F.lit(None).cast("string").alias("max_str"),
+    ]
     dims = (
         orders.select(*dims_cols)
         .distinct()
         .select(
             F.lit("dims").alias("tag"),
             *dims_cols,
-            F.lit(None).cast("string").alias("column"),
-            F.lit(None).cast("long").alias("n_rows"),
-            F.lit(None).cast("long").alias("n_null"),
-            F.lit(None).cast("long").alias("n_distinct"),
-            F.lit(None).cast("double").alias("min_num"),
-            F.lit(None).cast("double").alias("max_num"),
-            F.lit(None).cast("string").alias("min_str"),
-            F.lit(None).cast("string").alias("max_str"),
+            *nulls,
+            F.lit(None).cast("string").alias("check_name"),
+            F.lit(None).cast("long").alias("n_violations"),
         )
     )
     prof = profile_table(orders, _PROFILE_COLS).select(
@@ -735,8 +792,34 @@ def distinct_orders_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_num",
         "min_str",
         "max_str",
+        F.lit(None).cast("string").alias("check_name"),
+        F.lit(None).cast("long").alias("n_violations"),
     )
-    return dims.unionByName(prof)
+    suite = check_constraints(
+        orders,
+        [
+            chk.not_null("o_custkey"),
+            chk.unique(["o_orderkey"]),
+            chk.in_range("o_totalprice", 0.0, 600000.0),
+            chk.in_set("o_orderstatus", ["F", "O", "P"]),
+            chk.matches("o_orderpriority", "^[1-5]-"),
+        ],
+    ).unionByName(
+        check_foreign_key(
+            orders, _t(spark, sf_dir, "customer"), ["o_custkey"], ["c_custkey"]
+        )
+    )
+    checks = suite.select(
+        F.lit("checks").alias("tag"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        *nulls[0:1],
+        F.col("n_rows"),
+        *nulls[2:],
+        F.col("constraint").alias("check_name"),
+        "n_violations",
+    )
+    return dims.unionByName(prof).unionByName(checks)
 
 
 # =====================================================================

@@ -1,0 +1,104 @@
+"""Constraint-check suite: per-constraint semantics (NULL handling,
+boundaries, duplicate surplus, FK orphans), single-aggregate plan
+shape, and empty-input behavior."""
+
+from pyspark.sql import functions as F
+
+from impala_hashset_count_spark.operators.checks import (
+    check_constraints,
+    check_foreign_key,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    satisfies,
+    unique,
+)
+from tests.test_plans import explain_str
+
+SCHEMA = "id long, v double, status string"
+
+
+def _suite(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = check_constraints(
+        df,
+        [
+            not_null("v"),
+            in_range("v", 0.0, 10.0),
+            in_set("status", ["A", "B"]),
+            matches("status", "^[A-Z]$"),
+            unique(["id"]),
+            satisfies("pos_id", F.col("id") > 0),
+        ],
+    )
+    return {r["constraint"]: (r["n_rows"], r["n_violations"], r["passed"]) for r in out.collect()}
+
+
+def test_constraint_semantics(spark):
+    rows = [
+        (1, 5.0, "A"),     # clean
+        (2, None, "B"),    # null v: violates not_null only
+        (3, -1.0, "ab"),   # range + matches + set violations
+        (3, 11.0, "A"),    # dup id + range violation
+        (-4, 0.0, None),   # boundary ok; NULL status never violates set/matches
+    ]
+    got = _suite(spark, rows)
+    assert got["not_null:v"] == (5, 1, False)
+    assert got["in_range:v"] == (5, 2, False)      # -1 and 11; NULL exempt
+    assert got["in_set:status"] == (5, 1, False)   # 'ab'; NULL exempt
+    assert got["matches:status"] == (5, 1, False)
+    assert got["unique:id"] == (5, 1, False)       # one surplus row for id=3
+    assert got["satisfies:pos_id"] == (5, 1, False)
+
+
+def test_all_pass_and_empty_input(spark):
+    got = _suite(spark, [(1, 1.0, "A"), (2, 2.0, "B")])
+    assert all(v[1] == 0 and v[2] for v in got.values())
+    got_empty = _suite(spark, [])
+    assert all(v == (0, 0, True) for v in got_empty.values())
+
+
+def test_multi_column_unique_counts_null_keys(spark):
+    df = spark.createDataFrame(
+        [(1, None, "A"), (1, None, "B"), (1, 2.0, "C")], SCHEMA
+    )
+    out = check_constraints(df, [unique(["id", "v"])]).collect()[0]
+    # (1, NULL) appears twice -> one surplus, GROUP BY semantics
+    assert out["n_violations"] == 1
+
+
+def test_single_aggregate_single_scan(spark):
+    df = spark.createDataFrame([(1, 1.0, "A")], SCHEMA)
+    out = check_constraints(
+        df,
+        [
+            not_null("v"),
+            in_range("v", 0, 1),
+            unique(["id"]),
+            unique(["status"]),
+            in_set("status", ["A"]),
+        ],
+    )
+    plan = explain_str(out)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan", plan, flags=re.M)) == 1
+    # two distinct keys ride ONE aggregate via the multi-distinct
+    # Expand rewrite (a single unique() gets the cheaper
+    # group-by-key rewrite with no Expand at all)
+    assert "Expand" in plan
+
+
+def test_foreign_key_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, ref long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = check_foreign_key(child, parent, ["ref"], ["pk"]).collect()[0]
+    # 99 is an orphan; NULL ref never violates
+    assert (out["n_rows"], out["n_violations"], out["passed"]) == (4, 1, False)
+    plan = explain_str(
+        check_foreign_key(child, parent, ["ref"], ["pk"])
+    )
+    assert "BroadcastHashJoin LeftAnti" in plan or "BroadcastHashJoin" in plan

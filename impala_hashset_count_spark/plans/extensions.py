@@ -51,6 +51,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.decontaminate import contamination_stats
+from ..operators.graph import degrees, triangle_counts
 from ..operators.line_dedup import boilerplate_lines, strip_boilerplate_lines
 from ..operators.packing import chunk_documents, pack_sequences_greedy
 from ..operators.sampling import (
@@ -1043,8 +1044,28 @@ _TRANSITIVE_ORACLE = r"""
         SELECT DISTINCT src, src FROM edges
         UNION
         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src),
+    tris AS (
+        SELECT p1.id_1 AS a, p1.id_2 AS b, p2.id_2 AS c
+        FROM pairs p1
+        JOIN pairs p2 ON p2.id_1 = p1.id_1 AND p2.id_2 > p1.id_2
+        JOIN pairs p3 ON p3.id_1 = p1.id_2 AND p3.id_2 = p2.id_2
+    ),
+    tcounts AS (
+        SELECT id, COUNT(*) AS ntri FROM (
+            SELECT a AS id FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        ) GROUP BY id
     )
-    SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+    SELECT 'comp' AS tag, id, MIN(r) AS rep,
+           CAST(NULL AS BIGINT) AS degree, CAST(NULL AS BIGINT) AS n_triangles
+    FROM reach GROUP BY id
+    UNION ALL
+    SELECT 'graph' AS tag, d.id, CAST(NULL AS BIGINT) AS rep,
+           d.degree, COALESCE(t.ntri, 0) AS n_triangles
+    FROM deg d LEFT JOIN tcounts t ON d.id = t.id
 """
 
 
@@ -1061,10 +1082,39 @@ def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value; the production path composes the same closure with
     the MinHash-LSH pair tier (``near_dup_dedup``, recall-tested). Each
     propagation iteration shuffles O(edges); near-dup clusters are
-    near-cliques, so 1-3 iterations converge."""
+    near-cliques, so 1-3 iterations converge.
+
+    'graph' rows add the pair-graph MEASUREMENTS (`operators/graph.py`):
+    per-node degree and exact triangle participation via degree-ordered
+    orientation (wedge fan-out O(m^1.5) regardless of hub skew —
+    triangle density separates true dup cliques from chain-shaped
+    false-positive bridges). The oracle enumerates triangles in
+    canonical a<b<c form, so the hash certifies the oriented
+    enumeration exact. Both arms re-derive the pair list (static
+    planning cannot share an Exchange across union arms — at scale,
+    materialize the pair table once, as the operators' API takes)."""
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
-    return near_dup_components(pairs)
+    comp = near_dup_components(pairs).select(
+        F.lit("comp").alias("tag"),
+        "id",
+        "rep",
+        F.lit(None).cast("long").alias("degree"),
+        F.lit(None).cast("long").alias("n_triangles"),
+    )
+    pairs2 = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    graph = (
+        degrees(pairs2)
+        .join(triangle_counts(pairs2), "id", "left")
+        .select(
+            F.lit("graph").alias("tag"),
+            "id",
+            F.lit(None).cast("long").alias("rep"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+    return comp.unionByName(graph)
 
 
 # ---------------------------------------------------------------------

@@ -101,3 +101,35 @@ def gap_fill(
         .fillna(0, ["n_events"])
         .select("key", "bucket", "n_events")
     )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Fixed-bound equi-width histogram per group: (group, bucket, n)
+    with ``bucket = clamp(floor((v - lo) / w), 0, n_buckets-1)`` and
+    NULL values excluded. Fixed bounds (vs data-derived) keep the
+    bucketing a pure per-row projection — zero extra pass, zero
+    driver-side state, and bucket ids comparable ACROSS datasets and
+    days (the property drift monitoring needs). Every step is a single
+    IEEE op mirrored exactly by any engine; the counts are integers —
+    the whole histogram sits under a value-hash oracle. One shuffle
+    (the count aggregate)."""
+    w = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bucket"))
+    )

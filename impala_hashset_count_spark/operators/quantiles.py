@@ -90,6 +90,49 @@ def quantiles_disc(
     return agg.select(*cols)
 
 
+def quantile_disc_full(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    q: float,
+    out_col: str,
+) -> DataFrame:
+    """EXACT discrete quantile over the full data, without buffering a
+    group in memory: rank every row with a window (one shuffle on the
+    group key) and select the row at rank ``ceil(q*n)`` — standard
+    ``PERCENTILE_DISC`` semantics, emitting an actual data value
+    (engine-bit-stable; ``0.5*n`` and its ceil are exact IEEE for any
+    int n). Ties in ``value_col`` order arbitrarily but the SELECTED
+    value is the same whichever tied row wins."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    d = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    return d.filter(
+        F.col("__rn") == F.ceil(F.lit(float(q)) * F.col("__n")).cast("int")
+    ).select(*group_cols, F.col(value_col).alias(out_col))
+
+
+def mad_disc(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Robust center/scale per group: discrete median and the median
+    absolute deviation around it (both PERCENTILE_DISC semantics, so
+    every output is a data value or a single exact ``abs``-of-difference
+    — the engine-stable robust-z building block for outlier gating,
+    where mean/stddev would be dragged by the outliers being hunted).
+    Two window shuffles on the same group key (Catalyst reuses the
+    partitioning); the per-group medians join back broadcast."""
+    med = quantile_disc_full(df, group_cols, value_col, 0.5, "median_value")
+    dev = df.join(F.broadcast(med), on=group_cols).withColumn(
+        "__absdev", F.abs(F.col(value_col) - F.col("median_value"))
+    )
+    mad = quantile_disc_full(dev, group_cols, "__absdev", 0.5, "mad")
+    return med.join(mad, on=group_cols)
+
+
 def bottomk_accumulate(
     df: DataFrame,
     group_cols: list[str],

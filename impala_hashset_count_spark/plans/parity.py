@@ -32,7 +32,8 @@ from ..operators.merge import apply_changes
 from ..operators import checks as chk
 from ..operators.checks import check_constraints, check_foreign_key
 from ..operators.profile import profile_table
-from ..operators.quantiles import bottomk_sample, quantiles_disc
+from ..operators.analytics import histogram_fixed
+from ..operators.quantiles import bottomk_sample, mad_disc, quantiles_disc
 from ..operators.zorder import zorder_key, zorder_sql
 from ..operators.hashset_count import (
     approx_distinct_count,
@@ -510,7 +511,10 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(STDDEV_SAMP(value), 4) AS sd_value,
                CAST(NULL AS BIGINT) AS n_sample,
                CAST(NULL AS DOUBLE) AS q25,
-               CAST(NULL AS DOUBLE) AS q75
+               CAST(NULL AS DOUBLE) AS q75,
+               CAST(NULL AS DOUBLE) AS mad,
+               CAST(NULL AS BIGINT) AS bucket,
+               CAST(NULL AS BIGINT) AS n_bucket
         FROM events
         GROUP BY event_type
         UNION ALL
@@ -522,7 +526,10 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS DOUBLE) AS sd_value,
                COUNT(*) AS n_sample,
                PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY value) AS q25,
-               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY value) AS q75
+               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY value) AS q75,
+               CAST(NULL AS DOUBLE) AS mad,
+               CAST(NULL AS BIGINT) AS bucket,
+               CAST(NULL AS BIGINT) AS n_bucket
         FROM (
             SELECT event_type, value,
                    ROW_NUMBER() OVER (
@@ -531,6 +538,42 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ) WHERE rn <= 64
         GROUP BY event_type
+        UNION ALL
+        SELECT 'mad' AS tag, e.event_type,
+               m.med AS median_value,
+               CAST(NULL AS DOUBLE) AS min_value,
+               CAST(NULL AS DOUBLE) AS max_value,
+               CAST(NULL AS DOUBLE) AS avg_value,
+               CAST(NULL AS DOUBLE) AS sd_value,
+               CAST(NULL AS BIGINT) AS n_sample,
+               CAST(NULL AS DOUBLE) AS q25,
+               CAST(NULL AS DOUBLE) AS q75,
+               PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY ABS(e.value - m.med)) AS mad,
+               CAST(NULL AS BIGINT) AS bucket,
+               CAST(NULL AS BIGINT) AS n_bucket
+        FROM events e
+        JOIN (
+            SELECT event_type,
+                   PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS med
+            FROM events GROUP BY event_type
+        ) m ON e.event_type = m.event_type
+        GROUP BY e.event_type, m.med
+        UNION ALL
+        SELECT 'hist' AS tag, event_type,
+               CAST(NULL AS DOUBLE) AS median_value,
+               CAST(NULL AS DOUBLE) AS min_value,
+               CAST(NULL AS DOUBLE) AS max_value,
+               CAST(NULL AS DOUBLE) AS avg_value,
+               CAST(NULL AS DOUBLE) AS sd_value,
+               CAST(NULL AS BIGINT) AS n_sample,
+               CAST(NULL AS DOUBLE) AS q25,
+               CAST(NULL AS DOUBLE) AS q75,
+               CAST(NULL AS DOUBLE) AS mad,
+               LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT), 0), 9) AS bucket,
+               COUNT(*) AS n_bucket
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type, bucket
     """,
 )
 def percentile_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,44 +591,69 @@ def percentile_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       same rank ``ceil(q*n)`` values — raw data values, no
       interpolation arithmetic. ``WindowGroupLimit`` pushes the
       rank-limit map-side, bounding the shuffle at k rows per group
-      per partition."""
+      per partition.
+    - 'mad' rows: robust center/scale — the discrete median and the
+      median absolute deviation around it (``quantiles.mad_disc``:
+      window-rank selection over the FULL data, no group buffering;
+      two shuffles on one key, medians join back broadcast). The
+      outlier gate mean/stddev can't provide, and engine-bit-stable
+      because every output is a data value or one exact abs-diff.
+    - 'hist' rows: fixed-bound equi-width histogram
+      (``analytics.histogram_fixed``, [0,500) in 10 buckets) — a pure
+      per-row projection + one count aggregate; integer counts, bucket
+      ids comparable across datasets/days (drift monitoring)."""
     ev = _t(spark, sf_dir, "events")
-    exact = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
-        F.round(F.min("value"), 4).alias("min_value"),
-        F.round(F.max("value"), 4).alias("max_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
-    ).select(
-        F.lit("exact").alias("tag"),
-        "event_type",
-        "median_value",
-        "min_value",
-        "max_value",
-        "avg_value",
-        "sd_value",
-        F.lit(None).cast("long").alias("n_sample"),
-        F.lit(None).cast("double").alias("q25"),
-        F.lit(None).cast("double").alias("q75"),
+
+    def _shape(df, tag, **cols):
+        names = [
+            "median_value", "min_value", "max_value", "avg_value",
+            "sd_value", "n_sample", "q25", "q75", "mad", "bucket", "n_bucket",
+        ]
+        types = {
+            "n_sample": "long", "bucket": "long", "n_bucket": "long",
+        }
+        out = [F.lit(tag).alias("tag"), F.col("event_type")]
+        for n in names:
+            if n in cols:
+                out.append(cols[n].alias(n))
+            else:
+                out.append(F.lit(None).cast(types.get(n, "double")).alias(n))
+        return df.select(*out)
+
+    exact = _shape(
+        ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("m"),
+            F.round(F.min("value"), 4).alias("mn"),
+            F.round(F.max("value"), 4).alias("mx"),
+            F.round(F.avg("value"), 4).alias("av"),
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+        ),
+        "exact",
+        median_value=F.col("m"), min_value=F.col("mn"), max_value=F.col("mx"),
+        avg_value=F.col("av"), sd_value=F.col("sd"),
     )
     sample = bottomk_sample(
         ev.select("event_id", "event_type", "value"), ["event_type"], "event_id", 64
     )
-    bk = quantiles_disc(
-        sample, ["event_type"], "value", {"q25": 0.25, "q50": 0.5, "q75": 0.75}
-    ).select(
-        F.lit("bk").alias("tag"),
-        "event_type",
-        F.col("q50").alias("median_value"),
-        F.lit(None).cast("double").alias("min_value"),
-        F.lit(None).cast("double").alias("max_value"),
-        F.lit(None).cast("double").alias("avg_value"),
-        F.lit(None).cast("double").alias("sd_value"),
-        F.col("n_sample").cast("long").alias("n_sample"),
-        "q25",
-        "q75",
+    bk = _shape(
+        quantiles_disc(
+            sample, ["event_type"], "value", {"q25": 0.25, "q50": 0.5, "q75": 0.75}
+        ),
+        "bk",
+        median_value=F.col("q50"), n_sample=F.col("n_sample").cast("long"),
+        q25=F.col("q25"), q75=F.col("q75"),
     )
-    return exact.unionByName(bk)
+    mad = _shape(
+        mad_disc(ev.select("event_type", "value"), ["event_type"], "value"),
+        "mad",
+        median_value=F.col("median_value"), mad=F.col("mad"),
+    )
+    hist = _shape(
+        histogram_fixed(ev, ["event_type"], "value", 0.0, 500.0, 10),
+        "hist",
+        bucket=F.col("bucket"), n_bucket=F.col("n_bucket"),
+    )
+    return exact.unionByName(bk).unionByName(mad).unionByName(hist)
 
 
 # =====================================================================

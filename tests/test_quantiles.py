@@ -209,3 +209,49 @@ def test_property_bottomk_merge_and_determinism(spark):
         assert sorted(got) == expect
 
     check()
+
+
+def test_quantile_disc_full_and_mad(spark):
+    import statistics
+
+    from impala_hashset_count_spark.operators.quantiles import (
+        mad_disc,
+        quantile_disc_full,
+    )
+
+    rows = [("a", float(v)) for v in [9, 1, 5, 3, 7]] + [
+        ("b", float(v)) for v in [10, 20, 30, 40]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    med = {
+        r["g"]: r["m"]
+        for r in quantile_disc_full(df, ["g"], "v", 0.5, "m").collect()
+    }
+    # PERCENTILE_DISC: rank ceil(0.5*5)=3 -> 5; ceil(0.5*4)=2 -> 20
+    assert med == {"a": 5.0, "b": 20.0}
+    got = {r["g"]: (r["median_value"], r["mad"]) for r in mad_disc(df, ["g"], "v").collect()}
+    # a: |v-5| = [4,4,0,2,2] sorted [0,2,2,4,4], rank 3 -> 2
+    # b: |v-20| = [10,0,10,20] sorted [0,10,10,20], rank 2 -> 10
+    assert got == {"a": (5.0, 2.0), "b": (20.0, 10.0)}
+    # sanity vs statistics.median_low-ish on odd group
+    assert med["a"] == statistics.median([9, 1, 5, 3, 7])
+
+
+def test_histogram_fixed_clamps_and_counts(spark):
+    from impala_hashset_count_spark.operators.analytics import histogram_fixed
+
+    rows = [
+        ("a", -5.0),   # clamps to bucket 0
+        ("a", 0.0),    # bucket 0
+        ("a", 49.999), # bucket 0
+        ("a", 50.0),   # bucket 1 (edge goes up)
+        ("a", 499.0),  # bucket 9
+        ("a", 730.0),  # clamps to bucket 9
+        ("a", None),   # excluded
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["bucket"]): r["n_bucket"]
+        for r in histogram_fixed(df, ["g"], "v", 0.0, 500.0, 10).collect()
+    }
+    assert got == {("a", 0): 3, ("a", 1): 1, ("a", 9): 2}

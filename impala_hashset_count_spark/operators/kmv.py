@@ -152,7 +152,9 @@ def kmv_estimate(
     anywhere). Empty sketch (all-NULL group) -> NULL, not 0
     (`hashset-count.cc:507-510`)."""
     n = F.size(F.col(sketch_col))
-    h_k = F.element_at(F.col(sketch_col), k)
+    # try_element_at: under capacity there IS no k-th element and the
+    # n<k branch answers exactly — must not throw under ANSI mode
+    h_k = F.try_element_at(F.col(sketch_col), F.lit(k))
     # int64 floor division via SQL `div` on staged columns keeps the
     # arithmetic integer end-to-end (both operands positive, so `div`
     # == floor division in Spark and `//` matches it in DuckDB).
@@ -166,3 +168,67 @@ def kmv_estimate(
         ),
     )
     return out.drop("__hk", "__n")
+
+
+def kmv_set_estimates(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    k: int,
+    sketch_col: str = "kmv_sketch",
+) -> DataFrame:
+    """Distinct-set ALGEBRA from stored sketches — |A ∪ B|, Jaccard,
+    and |A ∩ B| estimates per group, touching no raw data.
+
+    This is the capability that separates a sketch from a counter:
+    distinct counts are not additive, and the reference's exact state
+    (`hashset-count.cc`) can only union. KMV composes: the bottom-k of
+    A ∪ B is exactly computable from the two sketches (min-wise merge),
+    and because every sketch draws from the SAME content-fixed hash
+    permutation, the merged sketch is a uniform sample of the union —
+    so the fraction of its entries present in BOTH input sketches is
+    the standard KMV Jaccard estimator (Bar-Yossef et al.; the same
+    estimator family MinHash uses, `operators/dedup.py`).
+
+    All arithmetic is integer (membership counts, one floor-division
+    per estimate): deterministic across engines and partitionings.
+    Returns (group, union_est, jaccard_k, jaccard_n, inter_est) where
+    jaccard ≈ jaccard_n / jaccard_k (exact integers; jaccard_k =
+    |merged sketch| <= k) and inter_est = union_est * jaccard_n div
+    jaccard_k. Groups must be present in both inputs (inner join —
+    semantics of "compare these two slices")."""
+    sa = a.select(*group_cols, F.col(sketch_col).alias("__ska"))
+    sb = b.select(*group_cols, F.col(sketch_col).alias("__skb"))
+    both = sa.join(sb, on=group_cols, how="inner")
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(F.concat(F.col("__ska"), F.col("__skb")))
+        ),
+        1,
+        k,
+    )
+    staged = both.withColumn("__m", merged).withColumn(
+        "__jn",
+        F.size(
+            F.filter(
+                F.col("__m"),
+                lambda h: F.array_contains(F.col("__ska"), h)
+                & F.array_contains(F.col("__skb"), h),
+            )
+        ).cast("long"),
+    ).withColumn("__jk", F.size(F.col("__m")).cast("long"))
+    est = kmv_estimate(
+        staged.withColumnRenamed("__m", "u_sketch"),
+        k,
+        sketch_col="u_sketch",
+        out_col="union_est",
+    )
+    return est.select(
+        *group_cols,
+        "union_est",
+        F.col("__jk").alias("jaccard_k"),
+        F.col("__jn").alias("jaccard_n"),
+        F.when(F.col("__jk") == 0, F.lit(None).cast("bigint")).otherwise(
+            F.expr("union_est * __jn div __jk")
+        ).alias("inter_est"),
+    )

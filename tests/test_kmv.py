@@ -122,3 +122,52 @@ def test_window_group_limit_bounds_shuffle(spark):
     from tests.test_plans import explain_str
 
     assert "WindowGroupLimit" in explain_str(sk)
+
+
+def test_set_estimates_exact_under_capacity(spark):
+    from impala_hashset_count_spark.operators.kmv import kmv_set_estimates
+
+    k = 256
+    a_rows = [("g", f"v{i}") for i in range(40)]          # A = v0..v39
+    b_rows = [("g", f"v{i}") for i in range(30, 70)]      # B = v30..v69
+    a = kmv_accumulate(spark.createDataFrame(a_rows, "g string, v string"), ["g"], "v", k)
+    b = kmv_accumulate(spark.createDataFrame(b_rows, "g string, v string"), ["g"], "v", k)
+    r = kmv_set_estimates(a, b, ["g"], k).collect()[0]
+    # under capacity everything is exact: union 70, intersection 10
+    assert r["union_est"] == 70
+    assert r["jaccard_k"] == 70 and r["jaccard_n"] == 10
+    assert r["inter_est"] == 10
+
+
+def test_set_estimates_accuracy_at_capacity(spark):
+    from impala_hashset_count_spark.operators.kmv import kmv_set_estimates
+
+    k = 256
+    n = 4000
+    overlap = 2000
+    a_rows = [("g", f"x{i}") for i in range(n)]
+    b_rows = [("g", f"x{i}") for i in range(n - overlap, 2 * n - overlap)]
+    a = kmv_accumulate(spark.createDataFrame(a_rows, "g string, v string"), ["g"], "v", k)
+    b = kmv_accumulate(spark.createDataFrame(b_rows, "g string, v string"), ["g"], "v", k)
+    r = kmv_set_estimates(a, b, ["g"], k).collect()[0]
+    true_union = 2 * n - overlap
+    true_inter = overlap
+    assert abs(r["union_est"] - true_union) / true_union < 0.25
+    assert abs(r["inter_est"] - true_inter) / true_inter < 0.45
+    # determinism: second invocation bit-identical
+    r2 = kmv_set_estimates(a, b, ["g"], k).collect()[0]
+    assert tuple(r) == tuple(r2)
+
+
+def test_set_estimates_disjoint_sets(spark):
+    from impala_hashset_count_spark.operators.kmv import kmv_set_estimates
+
+    k = 64
+    a = kmv_accumulate(
+        spark.createDataFrame([("g", f"a{i}") for i in range(500)], "g string, v string"),
+        ["g"], "v", k)
+    b = kmv_accumulate(
+        spark.createDataFrame([("g", f"b{i}") for i in range(500)], "g string, v string"),
+        ["g"], "v", k)
+    r = kmv_set_estimates(a, b, ["g"], k).collect()[0]
+    assert r["jaccard_n"] == 0 and r["inter_est"] == 0

@@ -195,6 +195,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    candidate_threshold: float = 0.3,
+    prefix: int = 256,
+    min_sim: float = 0.4,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Fuzzy near-dup pairs by EDIT DISTANCE: candidates from the
+    shared-shingle inverted index at a LOOSE Jaccard threshold
+    (``candidate_threshold``), each verified with JVM-side
+    ``levenshtein`` over a bounded ``prefix`` of both texts. Returns
+    (id_1, id_2, edit_sim) with id_1 < id_2 and
+    ``edit_sim = 1 - lev/max(len)`` >= ``min_sim``.
+
+    Scale notes: candidate generation is the same O(shared-shingles)
+    join the exact tier uses (``max_shingle_docs`` skew guard applies);
+    the O(prefix^2) DP runs ONLY on candidate pairs and is bounded by
+    the prefix regardless of document length — at 100 TB the cost is
+    candidates x a constant, never corpus x corpus. edit_sim is two
+    IEEE ops on exact ints (division + subtraction), so the value is
+    engine-bit-stable for the oracle hash."""
+    cand = ngram_jaccard_pairs(
+        df, id_col, text_col, n, candidate_threshold, max_shingle_docs
+    ).select("id_1", "id_2")
+    t = df.select(
+        F.col(id_col).alias("_eid"),
+        F.substring(F.col(text_col), 1, prefix).alias("_pfx"),
+    )
+    p = cand.join(
+        t.select(F.col("_eid").alias("id_1"), F.col("_pfx").alias("p1")), "id_1"
+    ).join(t.select(F.col("_eid").alias("id_2"), F.col("_pfx").alias("p2")), "id_2")
+    mx = F.greatest(F.length("p1"), F.length("p2"))
+    sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein("p1", "p2") / mx
+    )
+    return (
+        p.select("id_1", "id_2", sim.alias("edit_sim"))
+        .filter(F.col("edit_sim") >= min_sim)
+    )
+
+
 # ---------------------------------------------------------------------
 # 3. MinHash + banded LSH
 # ---------------------------------------------------------------------

@@ -317,6 +317,171 @@ def bmp_resize(payload: bytes, target: int = 224) -> tuple[int, int, int, int, b
     return (w, h, ow, oh, _nn_resize_rgb(rgb, w, h, ow, oh))
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_filter_row(ftype: int, cur: bytes, prev: bytes) -> bytes:
+    """Apply PNG filter ``ftype`` to one raw RGB scanline (bpp=3):
+    emits the filtered bytes a decoder must reconstruct from."""
+    n = len(cur)
+    out = bytearray(n)
+    if ftype == 0:
+        return bytes(cur)
+    if ftype == 1:  # Sub
+        for i in range(n):
+            left = cur[i - 3] if i >= 3 else 0
+            out[i] = (cur[i] - left) & 0xFF
+    elif ftype == 2:  # Up
+        for i in range(n):
+            out[i] = (cur[i] - prev[i]) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(n):
+            left = cur[i - 3] if i >= 3 else 0
+            out[i] = (cur[i] - ((left + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(n):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (cur[i] - pred) & 0xFF
+    else:
+        raise ValueError(f"unsupported PNG filter {ftype}")
+    return bytes(out)
+
+
+def encode_png(width: int, height: int, rgb: bytes, filters: str | int = "cycle") -> bytes:
+    """Pure-stdlib PNG encoder for 8-bit RGB (color type 2,
+    non-interlaced): IHDR + zlib-compressed IDAT with a per-scanline
+    filter byte + IEND, CRC32 on every chunk. ``filters='cycle'``
+    applies filter type ``row % 5`` so a decoder must implement ALL
+    FIVE reconstruction filters (None/Sub/Up/Average/Paeth) to get the
+    pixels back — the test-fixture generator that makes the real
+    compressed-format decode path falsifiable; an int pins one filter
+    type for targeted tests."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    stride = width * 3
+    prev = b"\x00" * stride
+    scanlines = []
+    for y in range(height):
+        cur = rgb[y * stride : (y + 1) * stride]
+        ftype = (y % 5) if filters == "cycle" else int(filters)
+        scanlines.append(bytes([ftype]) + _png_filter_row(ftype, cur, prev))
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(scanlines))
+    # split IDAT across two chunks when possible — decoders must
+    # concatenate IDAT data before inflating (the spec allows any split)
+    mid = len(idat) // 2
+    idat_chunks = (
+        chunk(b"IDAT", idat[:mid]) + chunk(b"IDAT", idat[mid:])
+        if mid
+        else chunk(b"IDAT", idat)
+    )
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + idat_chunks + chunk(b"IEND", b"")
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL compressed-image decode with zero dependencies: 8-bit RGB
+    non-interlaced PNG -> (width, height, rgb_bytes). Walks the chunk
+    list verifying each CRC32, concatenates multi-chunk IDAT streams,
+    zlib-inflates, and reconstructs every scanline through all five
+    PNG filters (None/Sub/Up/Average/Paeth). This is the tier that
+    proves a real DEFLATE-compressed format end-to-end in a codec-less
+    container (BMP proves the uncompressed path; PIL-gated
+    ``decode_image`` covers everything else where available)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    dims = None
+    idat = []
+    while pos + 8 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color != 2 or comp or filt or interlace:
+                raise ValueError("only 8-bit RGB non-interlaced PNG supported")
+            dims = (w, h)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if dims is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
+    w, h = dims
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(stride * h)
+    prev = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        cur = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(3, stride):
+                cur[i] = (cur[i] + cur[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        out[y * stride : (y + 1) * stride] = cur
+        prev = cur
+    return w, h, bytes(out)
+
+
+def png_resize(payload: bytes, target: int = 224) -> tuple[int, int, int, int, bytes]:
+    """REAL decode + aspect-fit nearest-neighbor resize for 8-bit RGB
+    PNG payloads — same output contract as ``bmp_resize``/``real_resize``.
+    Pure stdlib (zlib inflate + filter reconstruction): the compressed-
+    format real-decode tier for codec-less containers."""
+    w, h, rgb = decode_png(payload)
+    scale = min(target / w, target / h)
+    ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+    return (w, h, ow, oh, _nn_resize_rgb(rgb, w, h, ow, oh))
+
+
 def fake_resize(payload: bytes, target: int = 224) -> tuple[int, int, int, int, bytes]:
     """Deterministic stand-in for an image resize: aspect-fit the fake
     source dimensions into ``target`` x ``target`` and emit a payload of
@@ -343,18 +508,27 @@ def resize_images(df: DataFrame, target: int = 224, decode: str = "stub") -> Dat
     ``decode='bmp'`` is a REAL decode tier with zero dependencies
     (``bmp_resize``: stdlib BMP parse + nearest-neighbor resample) —
     proven end-to-end in tests even in this codec-less container.
+    ``decode='png'`` is the REAL COMPRESSED-format tier (``png_resize``:
+    stdlib zlib inflate + all-five-filter scanline reconstruction).
     ``decode='real'`` runs ``decode_image`` + PIL ``Image.resize``
     (``real_resize``) and raises ``NotImplementedError`` where PIL is
     absent. Every tier shares the Spark-side batch shape, schema, and
     byte accounting."""
-    if decode not in ("stub", "bmp", "real"):
-        raise ValueError(f"decode must be 'stub', 'bmp' or 'real', got {decode!r}")
+    if decode not in ("stub", "bmp", "png", "real"):
+        raise ValueError(
+            f"decode must be 'stub', 'bmp', 'png' or 'real', got {decode!r}"
+        )
     if decode == "real" and not pil_available():
         raise NotImplementedError(
-            "decode='real' requires PIL; use the 'bmp' tier for real "
+            "decode='real' requires PIL; use the 'bmp'/'png' tiers for real "
             "decode without codecs, or the stub tier for oracle runs"
         )
-    resize_fn = {"stub": fake_resize, "bmp": bmp_resize, "real": real_resize}[decode]
+    resize_fn = {
+        "stub": fake_resize,
+        "bmp": bmp_resize,
+        "png": png_resize,
+        "real": real_resize,
+    }[decode]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -514,6 +688,65 @@ WAV_FEATURE_SCHEMA = (
     "doc_id bigint, byte_len int, sample_rate int, n_channels int, "
     "n_samples bigint, duration_s double, peak int, rms double"
 )
+
+
+#: Output schema of the PNG round-trip decode branch.
+PNG_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, pix_sum bigint, "
+    "out_width int, out_height int, out_sum bigint"
+)
+
+
+def ramp_rgb(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic synthetic RGB pixels: byte i = (doc_id*7 + i*13)
+    % 256 — a pure function of (doc_id, width, height), so a SQL oracle
+    can recompute pixel sums via generate_series. The image twin of
+    ``ramp_pcm16``."""
+    import numpy as np
+
+    i = np.arange(width * height * 3, dtype=np.int64)
+    return ((doc_id * 7 + i * 13) % 256).astype(np.uint8).tobytes()
+
+
+def png_roundtrip_features(df: DataFrame, target: int = 16) -> DataFrame:
+    """REAL compressed-image tier end-to-end inside one mapInPandas
+    stage: per doc, synthesize deterministic ramp pixels
+    (``w = 8 + doc_id % 24``, ``h = 8 + (doc_id // 3) % 16``), encode a
+    PNG with CYCLING per-scanline filters (so all five filter
+    reconstructions are on the proof path), decode it back through the
+    real chunk-walking zlib parser (``decode_png``), and emit the
+    DECODED pixel sum plus the nearest-neighbor-resized dimensions and
+    pixel sum. Every output is a pure function of doc_id, so a SQL
+    oracle recomputes them arithmetically — any CRC, inflate, filter,
+    or resample bug flips a sum and hash-fails. Input: (doc_id,
+    payload); only doc_id is used (payload keeps the batch shape shared
+    with the other arms)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w = 8 + did % 24
+                h = 8 + (did // 3) % 16
+                png = encode_png(w, h, ramp_rgb(did, w, h), filters="cycle")
+                dw, dh, rgb = decode_png(png)
+                scale = min(target / dw, target / dh)
+                ow, oh = max(1, int(dw * scale)), max(1, int(dh * scale))
+                rz = _nn_resize_rgb(rgb, dw, dh, ow, oh)
+                rows.append((did, dw, dh, sum(rgb), ow, oh, sum(rz)))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "pix_sum",
+                    "out_width", "out_height", "out_sum",
+                ],
+            )
+            for c in ("width", "height", "out_width", "out_height"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return df.select("doc_id").mapInPandas(batches, schema=PNG_FEATURE_SCHEMA)
 
 
 def ramp_pcm16(doc_id: int, n_frames: int) -> bytes:

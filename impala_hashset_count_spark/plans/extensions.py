@@ -595,7 +595,31 @@ _JACCARD_ORACLE = r"""
         FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
         GROUP BY 1, 2
     ),
-    {minhash_ctes}
+    {minhash_ctes},
+    ascii_docs AS (
+        SELECT doc_id FROM documents
+        WHERE LENGTH(text) = OCTET_LENGTH(ENCODE(text))
+    ),
+    ecand AS (
+        SELECT p.id_1, p.id_2
+        FROM p
+        JOIN sz s1 ON p.id_1 = s1.doc_id
+        JOIN sz s2 ON p.id_2 = s2.doc_id
+        WHERE p.common * 1.0 / (s1.sz + s2.sz - p.common) >= 0.3
+          AND p.id_1 IN (SELECT doc_id FROM ascii_docs)
+          AND p.id_2 IN (SELECT doc_id FROM ascii_docs)
+    ),
+    pfx AS (SELECT doc_id, SUBSTRING(text, 1, 256) AS pfx FROM documents),
+    esim AS (
+        SELECT e.id_1, e.id_2,
+               CASE WHEN GREATEST(LENGTH(a.pfx), LENGTH(b.pfx)) = 0 THEN 1.0
+                    ELSE 1.0 - LEVENSHTEIN(a.pfx, b.pfx) * 1.0
+                               / GREATEST(LENGTH(a.pfx), LENGTH(b.pfx))
+               END AS edit_sim
+        FROM ecand e
+        JOIN pfx a ON e.id_1 = a.doc_id
+        JOIN pfx b ON e.id_2 = b.doc_id
+    )
     SELECT 'exact' AS tag, id_1, id_2,
            ROUND(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
     FROM p
@@ -609,6 +633,8 @@ _JACCARD_ORACLE = r"""
     JOIN szh h1 ON mc.id_1 = h1.doc_id
     JOIN szh h2 ON mc.id_2 = h2.doc_id
     WHERE mc.common * 1.0 / (h1.sz + h2.sz - mc.common) >= 0.5
+    UNION ALL
+    SELECT 'edit', id_1, id_2, edit_sim FROM esim WHERE edit_sim >= 0.4
 """.replace("{minhash_ctes}", _minhash_oracle_ctes().lstrip())
 
 
@@ -628,7 +654,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       driver hash-checks it value-for-value. The headline
       ``dedup_minhash_lsh`` entry keeps the xxhash64 production tier
       (n-ary hash, no shingle strings, ~2x faster) with recall tests
-      against this baseline."""
+      against this baseline.
+    - ``edit``: EDIT-DISTANCE fuzzy verification
+      (``edit_distance_pairs``): loose-Jaccard (0.3) candidates, each
+      scored with JVM-side ``levenshtein`` over a 256-char prefix;
+      ``jaccard`` carries ``edit_sim = 1 - lev/max(len)``, two IEEE ops
+      on exact ints so the value is engine-bit-stable. Restricted to
+      ASCII docs for the oracle because DuckDB's LEVENSHTEIN counts
+      BYTES while Spark's counts codepoints (on ASCII they agree);
+      production has no such restriction."""
+    from ..operators.dedup import edit_distance_pairs
+
     d = _t(spark, sf_dir, "documents")
     exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
         F.lit("exact").alias("tag"), "id_1", "id_2", "jaccard"
@@ -636,7 +672,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = minhash_lsh_pairs(
         d, "doc_id", "text", n=3, k=64, bands=32, threshold=0.5, hash_fn="md5"
     ).select(F.lit("minhash").alias("tag"), "id_1", "id_2", "jaccard")
-    return exact.unionByName(mh)
+    ascii_docs = d.filter(F.length("text") == F.octet_length("text"))
+    ed = edit_distance_pairs(
+        ascii_docs, "doc_id", "text", n=3,
+        candidate_threshold=0.3, prefix=256, min_sim=0.4,
+    ).select(
+        F.lit("edit").alias("tag"), "id_1", "id_2",
+        F.col("edit_sim").alias("jaccard"),
+    )
+    return exact.unionByName(mh).unionByName(ed)
 
 
 @register("dedup_minhash_lsh", headline=True)  # production xxhash64 tier:

@@ -405,8 +405,43 @@ def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame
                    64 + OCTET_LENGTH(ENCODE(text)) % 576 AS w,
                    64 + (OCTET_LENGTH(ENCODE(text)) // 7) % 448 AS h
             FROM documents
-        )
-        SELECT doc_id,
+        ),
+        dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 24 AS w,
+                   8 + (doc_id // 3) % 16 AS h
+            FROM documents
+        ),
+        pix AS (
+            SELECT doc_id,
+                   (doc_id * 7 + UNNEST(RANGE(w * h * 3)) * 13) % 256 AS v
+            FROM dims
+        ),
+        psum AS (SELECT doc_id, SUM(v) AS pix_sum FROM pix GROUP BY doc_id),
+        od AS (
+            SELECT doc_id, w, h,
+                   CAST(GREATEST(1, FLOOR(w * LEAST(16.0 / w, 16.0 / h)))
+                        AS BIGINT) AS ow,
+                   CAST(GREATEST(1, FLOOR(h * LEAST(16.0 / w, 16.0 / h)))
+                        AS BIGINT) AS oh
+            FROM dims
+        ),
+        oy AS (
+            SELECT doc_id, w, h, ow, oh, UNNEST(RANGE(oh)) AS y FROM od
+        ),
+        oxy AS (
+            SELECT doc_id, w, h, ow, oh, y, UNNEST(RANGE(ow)) AS x FROM oy
+        ),
+        opix AS (
+            SELECT doc_id,
+                   (doc_id * 7
+                    + ((LEAST(h - 1, y * h // oh) * w
+                        + LEAST(w - 1, x * w // ow)) * 3
+                       + UNNEST(RANGE(3))) * 13) % 256 AS v
+            FROM oxy
+        ),
+        osum AS (SELECT doc_id, SUM(v) AS out_sum FROM opix GROUP BY doc_id)
+        SELECT 'stub' AS tag, doc_id,
                CAST(n AS INTEGER) AS byte_len,
                CAST(w AS INTEGER) AS width,
                CAST(h AS INTEGER) AS height,
@@ -420,28 +455,82 @@ def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame
                     AS INTEGER) AS out_height,
                CAST(GREATEST(1, FLOOR(w * LEAST(224.0 / w, 224.0 / h)))
                     * GREATEST(1, FLOOR(h * LEAST(224.0 / w, 224.0 / h)))
-                    * 3 AS INTEGER) AS out_bytes
+                    * 3 AS INTEGER) AS out_bytes,
+               CAST(NULL AS BIGINT) AS pix_sum,
+               CAST(NULL AS BIGINT) AS out_sum
         FROM m
+        UNION ALL
+        SELECT 'png' AS tag, od.doc_id,
+               CAST(od.w * od.h * 3 AS INTEGER) AS byte_len,
+               CAST(od.w AS INTEGER) AS width,
+               CAST(od.h AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(1 AS INTEGER) AS n_frames,
+               CAST(od.w AS INTEGER) AS src_width,
+               CAST(od.h AS INTEGER) AS src_height,
+               CAST(od.ow AS INTEGER) AS out_width,
+               CAST(od.oh AS INTEGER) AS out_height,
+               CAST(od.ow * od.oh * 3 AS INTEGER) AS out_bytes,
+               psum.pix_sum, osum.out_sum
+        FROM od JOIN psum ON od.doc_id = psum.doc_id
+                JOIN osum ON od.doc_id = osum.doc_id
     """,
 )
 def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The image branch of the multimodal plumbing end-to-end: binary
-    payload column -> byte-balanced repartition (``size_balanced`` — at
-    media scale a few giant payloads would otherwise skew tasks) ->
-    mapInPandas metadata extraction AND mapInPandas aspect-fit resize
-    into 224x224, joined on doc_id. Decode/resample is the documented
-    deterministic STUB (fake_decode/fake_resize; the real path is
-    PIL-gated) — the oracle mirrors the math over OCTET_LENGTH, proving
-    the Arrow batch shape produces exactly the declared schema and
-    values. Payload byte accounting (out_bytes == out_w*out_h*3 ==
-    len(payload)) is asserted in tests/test_multimodal_ivf.py."""
-    from ..operators.multimodal import size_balanced
+    """The image branch of the multimodal plumbing end-to-end, tagged:
+
+    - ``stub``: binary payload column -> byte-balanced repartition
+      (``size_balanced`` — at media scale a few giant payloads would
+      otherwise skew tasks) -> mapInPandas metadata extraction AND
+      mapInPandas aspect-fit resize into 224x224, joined on doc_id.
+      Decode/resample is the documented deterministic STUB
+      (fake_decode/fake_resize; the PIL path is gated) — the oracle
+      mirrors the math over OCTET_LENGTH, proving the Arrow batch shape
+      produces exactly the declared schema and values. Payload byte
+      accounting (out_bytes == out_w*out_h*3 == len(payload)) is
+      asserted in tests/test_multimodal_ivf.py.
+    - ``png``: the REAL COMPRESSED-format decode tier proven by the
+      driver's hard signal (``png_roundtrip_features``): per doc,
+      deterministic ramp pixels are encoded as a PNG with CYCLING
+      per-scanline filters and decoded back through the real
+      chunk-walk + CRC + zlib-inflate + five-filter reconstruction
+      parser (``decode_png``) inside one mapInPandas stage, then
+      nearest-neighbor resized; the oracle recomputes the decoded and
+      resized pixel SUMS arithmetically (generate_series over the same
+      ramp), so any CRC, inflate, filter, or resample bug hash-fails."""
+    from ..operators.multimodal import png_roundtrip_features, size_balanced
 
     d = _t(spark, sf_dir, "documents")
     payloads = size_balanced(attach_binary_payload(d, "doc_id", "text"), "payload")
     meta = extract_image_metadata(payloads)
     rez = resize_images(payloads, target=224).drop("payload")
-    return meta.join(rez, "doc_id")
+    stub = (
+        meta.join(rez, "doc_id")
+        .withColumn("tag", F.lit("stub"))
+        .withColumn("pix_sum", F.lit(None).cast("long"))
+        .withColumn("out_sum", F.lit(None).cast("long"))
+    )
+    png = png_roundtrip_features(payloads, target=16).select(
+        F.lit("png").alias("tag"),
+        "doc_id",
+        (F.col("width") * F.col("height") * 3).cast("int").alias("byte_len"),
+        "width",
+        "height",
+        F.lit(3).cast("int").alias("channels"),
+        F.lit(1).cast("int").alias("n_frames"),
+        F.col("width").alias("src_width"),
+        F.col("height").alias("src_height"),
+        "out_width",
+        "out_height",
+        (F.col("out_width") * F.col("out_height") * 3).cast("int").alias("out_bytes"),
+        "pix_sum",
+        "out_sum",
+    )
+    return stub.select(
+        "tag", "doc_id", "byte_len", "width", "height", "channels", "n_frames",
+        "src_width", "src_height", "out_width", "out_height", "out_bytes",
+        "pix_sum", "out_sum",
+    ).unionByName(png)
 
 
 @register(

@@ -446,3 +446,55 @@ def test_simhash_md5_tier_finds_planted_near_dups_and_hashes_60_bits(spark):
 
     with pytest.raises(ValueError):
         simhash_signatures(df, "doc_id", "text", hash_fn="sha1")
+
+
+def test_edit_distance_pairs_planted_near_dups(spark):
+    """Candidates share shingles; edit_sim equals an independent pure-
+    Python Levenshtein over the same 256-char prefixes; unrelated docs
+    never pair."""
+    from impala_hashset_count_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (1, base),
+        (2, base.replace("lazy", "hazy")),          # 1-char edit
+        (3, base),                                  # identical to 1
+        (4, "completely different text with no overlap whatsoever here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = {(r.id_1, r.id_2): r.edit_sim
+            for r in edit_distance_pairs(df, "doc_id", "text").collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = dict(docs)
+    for (i, j), sim in rows.items():
+        a, b = texts[i][:256], texts[j][:256]
+        assert sim == 1.0 - lev(a, b) / max(len(a), len(b))
+    assert rows[(1, 3)] == 1.0
+    assert 0.9 < rows[(1, 2)] < 1.0
+    assert not any(4 in p for p in rows)
+
+
+def test_edit_distance_pairs_prefix_bounds_cost(spark):
+    """Documents differing only beyond the prefix are identical at the
+    scored surface (sim == 1.0) — the DP cost is bounded by the prefix,
+    not the document length."""
+    from impala_hashset_count_spark.operators.dedup import edit_distance_pairs
+
+    head = "shared words " * 30                     # > 256 chars of shared prefix
+    df = spark.createDataFrame(
+        [(1, head + "tail one"), (2, head + "completely other ending")],
+        "doc_id bigint, text string",
+    )
+    rows = edit_distance_pairs(
+        df, "doc_id", "text", candidate_threshold=0.1, prefix=64
+    ).collect()
+    assert len(rows) == 1 and rows[0].edit_sim == 1.0

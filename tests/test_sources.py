@@ -405,3 +405,45 @@ def test_observation_metrics_piggyback_on_one_pass(spark, sf_small):
     expect_sum = li.agg(F.round(F.sum("l_quantity"), 2).alias("s")).collect()[0].s
     assert m["sum_qty"] == expect_sum
     assert 0 < out < m["rows_seen"]
+
+
+def test_gzip_compressed_ingestion(spark, tmp_path):
+    """Transparent codec ingestion: Spark reads .gz text/csv/jsonl
+    directly (decompression happens inside the scan — at 100 TB the
+    common landing format for raw web text is compressed shards). Note
+    gzip shards are NOT splittable: one shard == at most one task, so
+    production keeps shards at ~task size; verified here by the scan
+    producing exactly the written rows from multiple shards."""
+    import gzip
+    import json
+    import os
+
+    lines = [f"doc {i} payload" for i in range(50)]
+    txt_dir = tmp_path / "txt"
+    txt_dir.mkdir()
+    for shard in range(3):
+        with gzip.open(txt_dir / f"part-{shard}.txt.gz", "wt") as f:
+            for i in range(shard * 50, shard * 50 + 50):
+                f.write(f"doc {i} payload\n")
+    got = sorted(r.value for r in spark.read.text(str(txt_dir)).collect())
+    assert len(got) == 150 and got[0] == "doc 0 payload"
+
+    csv_p = tmp_path / "t.csv.gz"
+    with gzip.open(csv_p, "wt") as f:
+        f.write("id,name\n1,a\n2,b\n")
+    cdf = spark.read.option("header", True).csv(str(csv_p))
+    assert sorted((r.id, r.name) for r in cdf.collect()) == [("1", "a"), ("2", "b")]
+
+    jl_p = tmp_path / "t.jsonl.gz"
+    with gzip.open(jl_p, "wt") as f:
+        for i in range(5):
+            f.write(json.dumps({"k": i, "v": f"s{i}"}) + "\n")
+    jdf = spark.read.json(str(jl_p))
+    assert sorted((r.k, r.v) for r in jdf.collect()) == [(i, f"s{i}") for i in range(5)]
+
+    # and the write side: gzip-compressed json output round-trips
+    out = os.path.join(str(tmp_path), "out_json_gz")
+    jdf.write.option("compression", "gzip").json(out)
+    assert any(f.endswith(".json.gz") for f in os.listdir(out))
+    back = spark.read.json(out)
+    assert sorted((r.k, r.v) for r in back.collect()) == [(i, f"s{i}") for i in range(5)]

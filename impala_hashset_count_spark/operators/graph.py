@@ -96,3 +96,96 @@ def triangle_counts(
     return member.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def pagerank_fixed(
+    pairs: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    iters: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected pair graph in
+    INTEGER fixed-point arithmetic — centrality for the near-dup graph
+    (which node is the template everything copies) that is
+    ENGINE-BIT-STABLE and therefore oracle-checkable: ranks are BIGINT
+    micro-units (``scale`` = 1.0), every step is integer division and
+    integer sums (order-independent), so Spark and a SQL mirror produce
+    identical values regardless of partitioning or summation order —
+    the same discipline corpus_stats uses for float sums.
+
+    r_0(v) = scale // n;
+    r_{t+1}(v) = (15*scale) // (100*n) + (85 * sum_{u~v} r_t(u)//deg(u)) // 100
+
+    (damping 0.85 as the exact rational 85/100). Undirected pair edges
+    mean no dangling nodes (every node has degree >= 1). The plan is
+    fully declarative: the node count joins in as a broadcast 1-row
+    aggregate, each iteration is one equi-join + one sum shuffle on the
+    edge list — O(iters * edges), the textbook distributed shape.
+    Returns (id, pr_fixed) with sum(pr_fixed) <= scale (floor division
+    leaks mass deterministically; both engines replicate the leak).
+
+    A fixed iteration count is deliberate: convergence-tested PageRank
+    needs a driver-side loop test anyway, while 3 fixed iterations keep
+    the whole computation one static plan AND SQL-expressible (chained
+    CTEs) — on near-clique dup clusters the ranking is stable by then.
+    """
+    edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionAll(
+        pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    nodes = deg.select(F.col("s").alias("id"), "deg")
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = nodes.join(F.broadcast(nn)).select(
+        "id", "deg", "n", F.expr(f"{scale} div n").alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                r.select(F.col("id").alias("s"), F.expr("pr div deg").alias("c")),
+                "s",
+            )
+            .groupBy("d")
+            .agg(F.sum("c").alias("csum"))
+        )
+        r = (
+            nodes.join(F.broadcast(nn))
+            .join(contrib.select(F.col("d").alias("id"), "csum"), "id", "left")
+            .select(
+                "id",
+                "deg",
+                "n",
+                (
+                    F.expr(f"{15 * scale} div (100 * n)")
+                    + F.expr("(85 * coalesce(csum, 0)) div 100")
+                ).alias("pr"),
+            )
+        )
+    return r.select("id", F.col("pr").cast("long").alias("pr_fixed"))
+
+
+def pagerank_oracle_ctes(iters: int = 3, scale: int = 10**12) -> str:
+    """Generate the DuckDB CTE chain mirroring ``pagerank_fixed``
+    term-for-term, against pre-existing ``edges(src, dst)`` and
+    ``deg(id, degree)`` CTEs. Emits ``pr{iters}(id, pr)``."""
+    parts = [
+        f"pn AS (SELECT COUNT(*) AS n FROM deg),\n"
+        f"    pr0 AS (SELECT d.id, {scale} // pn.n AS pr FROM deg d, pn)"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""pc{t} AS (
+        SELECT e.dst AS id, SUM(pr.pr // dg.degree) AS csum
+        FROM edges e
+        JOIN pr{t - 1} pr ON e.src = pr.id
+        JOIN deg dg ON e.src = dg.id
+        GROUP BY e.dst
+    ),
+    pr{t} AS (
+        SELECT d.id,
+               {15 * scale} // (100 * pn.n)
+               + (85 * COALESCE(c.csum, 0)) // 100 AS pr
+        FROM deg d CROSS JOIN pn LEFT JOIN pc{t} c ON d.id = c.id
+    )"""
+        )
+    return ",\n    ".join(parts)

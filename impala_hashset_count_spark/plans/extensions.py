@@ -51,7 +51,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.decontaminate import contamination_stats
-from ..operators.graph import degrees, triangle_counts
+from ..operators.graph import degrees, pagerank_fixed, pagerank_oracle_ctes, triangle_counts
 from ..operators.line_dedup import boilerplate_lines, strip_boilerplate_lines
 from ..operators.packing import chunk_documents, pack_sequences_greedy
 from ..operators.sampling import (
@@ -1102,15 +1102,27 @@ _TRANSITIVE_ORACLE = r"""
             UNION ALL SELECT b FROM tris
             UNION ALL SELECT c FROM tris
         ) GROUP BY id
-    )
+    ),
+    {pagerank_ctes}
     SELECT 'comp' AS tag, id, MIN(r) AS rep,
-           CAST(NULL AS BIGINT) AS degree, CAST(NULL AS BIGINT) AS n_triangles
+           CAST(NULL AS BIGINT) AS degree, CAST(NULL AS BIGINT) AS n_triangles,
+           CAST(NULL AS BIGINT) AS pr_fixed
     FROM reach GROUP BY id
     UNION ALL
     SELECT 'graph' AS tag, d.id, CAST(NULL AS BIGINT) AS rep,
-           d.degree, COALESCE(t.ntri, 0) AS n_triangles
+           d.degree, COALESCE(t.ntri, 0) AS n_triangles,
+           CAST(NULL AS BIGINT) AS pr_fixed
     FROM deg d LEFT JOIN tcounts t ON d.id = t.id
+    UNION ALL
+    SELECT 'pagerank' AS tag, id, CAST(NULL AS BIGINT) AS rep,
+           CAST(NULL AS BIGINT) AS degree, CAST(NULL AS BIGINT) AS n_triangles,
+           pr AS pr_fixed
+    FROM pr3
 """
+
+_TRANSITIVE_ORACLE = _TRANSITIVE_ORACLE.replace(
+    "{pagerank_ctes}", pagerank_oracle_ctes(3)
+)
 
 
 @register("dedup_transitive_components", oracle=_TRANSITIVE_ORACLE)
@@ -1134,31 +1146,59 @@ def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle density separates true dup cliques from chain-shaped
     false-positive bridges). The oracle enumerates triangles in
     canonical a<b<c form, so the hash certifies the oriented
-    enumeration exact. Both arms re-derive the pair list (static
-    planning cannot share an Exchange across union arms — at scale,
-    materialize the pair table once, as the operators' API takes)."""
+    enumeration exact.
+
+    'pagerank' rows add graph CENTRALITY (``pagerank_fixed``): 3-step
+    PageRank in INTEGER fixed-point micro-units — every step integer
+    division + integer sums, so the BIGINT ranks are engine-bit-stable
+    and the DuckDB mirror (generated CTE chain, term-for-term) verifies
+    them under the hash signal. On the near-dup graph this ranks the
+    template document everything else copies.
+
+    The pair list is derived ONCE and eagerly materialized
+    (``localCheckpoint``) before fanning out to the three arms — static
+    planning cannot share an Exchange across union arms, and the
+    expensive stage here is the shingle self-join, not the tiny pair
+    table. ``near_dup_components`` already materializes internally (its
+    fixpoint loop), so this entry was never a single lazy plan; at
+    scale the pair table would be written to storage instead."""
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5
+    ).localCheckpoint()
+    nulls = {
+        c: F.lit(None).cast("long").alias(c)
+        for c in ("rep", "degree", "n_triangles", "pr_fixed")
+    }
     comp = near_dup_components(pairs).select(
         F.lit("comp").alias("tag"),
         "id",
         "rep",
-        F.lit(None).cast("long").alias("degree"),
-        F.lit(None).cast("long").alias("n_triangles"),
+        nulls["degree"],
+        nulls["n_triangles"],
+        nulls["pr_fixed"],
     )
-    pairs2 = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
     graph = (
-        degrees(pairs2)
-        .join(triangle_counts(pairs2), "id", "left")
+        degrees(pairs)
+        .join(triangle_counts(pairs), "id", "left")
         .select(
             F.lit("graph").alias("tag"),
             "id",
-            F.lit(None).cast("long").alias("rep"),
+            nulls["rep"],
             "degree",
             F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            nulls["pr_fixed"],
         )
     )
-    return comp.unionByName(graph)
+    pr = pagerank_fixed(pairs, iters=3).select(
+        F.lit("pagerank").alias("tag"),
+        "id",
+        nulls["rep"],
+        nulls["degree"],
+        nulls["n_triangles"],
+        "pr_fixed",
+    )
+    return comp.unionByName(graph).unionByName(pr)
 
 
 # ---------------------------------------------------------------------

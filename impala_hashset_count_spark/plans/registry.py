@@ -57,9 +57,12 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 #: whose driver verification is newest, so any future truncation cuts
 #: only long-proven entries.
 _SWEEP_FIRST = (
-    # round-3 changes — newest hard-signal verification first: the two
-    # r2 non-green rows (fixed), the newly oracle'd simhash, and the
-    # entries that grew tagged branches this round
+    # round-3 changes — newest hard-signal verification first: the
+    # real-PNG-decode and edit-distance arms, then the two r2 non-green
+    # rows (fixed), the newly oracle'd simhash, and the entries that
+    # grew tagged branches this round
+    "multimodal_image_pipeline",
+    "dedup_ngram_jaccard",
     "corpus_stats_documents",
     "scalar_array_embeddings",
     "dedup_simhash",
@@ -76,7 +79,6 @@ _SWEEP_FIRST = (
     "scalar_date_json",
     "streaming_state_batch",
     "streaming_windows_batch",
-    "multimodal_image_pipeline",
     "multimodal_av_features",
     "text_analysis_documents",
 )

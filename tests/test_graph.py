@@ -74,3 +74,72 @@ def test_degrees(spark):
         for r in degrees(_df(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])).collect()
     }
     assert deg == {0: 2, 1: 2, 2: 3, 3: 1}
+
+
+def _pagerank_model(edges, iters=3, scale=10**12):
+    """Pure-Python fixed-point PageRank model (same integer recurrence
+    as pagerank_fixed): edges = undirected (a, b) pairs."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    r = {v: scale // n for v in adj}
+    for _ in range(iters):
+        contrib = {v: 0 for v in adj}
+        for v, ns in adj.items():
+            share = r[v] // deg[v]
+            for u in ns:
+                contrib[u] += share
+        r = {v: (15 * scale) // (100 * n) + (85 * contrib[v]) // 100 for v in adj}
+    return r
+
+
+def test_pagerank_fixed_matches_python_model(spark):
+    from impala_hashset_count_spark.operators.graph import pagerank_fixed
+
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(1, 31))
+    edges = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)}
+    df = spark.createDataFrame(sorted(edges), "id_1 bigint, id_2 bigint")
+    got = {r.id: r.pr_fixed for r in pagerank_fixed(df, iters=3).collect()}
+    assert got == _pagerank_model(edges, iters=3)
+
+
+def test_pagerank_fixed_hub_star_and_symmetry(spark):
+    """A hub with 10 leaves: the hub outranks every leaf; all leaves
+    (symmetric) have IDENTICAL fixed-point ranks — no float noise."""
+    from impala_hashset_count_spark.operators.graph import pagerank_fixed
+
+    edges = [(0, i) for i in range(1, 11)]
+    df = spark.createDataFrame(edges, "id_1 bigint, id_2 bigint")
+    got = {r.id: r.pr_fixed for r in pagerank_fixed(df, iters=3).collect()}
+    leaf_ranks = {got[i] for i in range(1, 11)}
+    assert len(leaf_ranks) == 1
+    assert got[0] > leaf_ranks.pop()
+    assert got == _pagerank_model(edges, iters=3)
+
+
+def test_pagerank_fixed_partition_sweep_bit_identical(spark):
+    """The integer recurrence is summation-order-independent: identical
+    BIGINT output at 2 and 32 shuffle partitions."""
+    from impala_hashset_count_spark.operators.graph import pagerank_fixed
+
+    edges = [(i, (i * 3 + 1) % 20) for i in range(20) if i != (i * 3 + 1) % 20]
+    edges = sorted({tuple(sorted(e)) for e in edges})
+    df = spark.createDataFrame(edges, "id_1 bigint, id_2 bigint")
+    results = []
+    for parts in ("2", "32"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            results.append(sorted(
+                (r.id, r.pr_fixed) for r in pagerank_fixed(df, iters=3).collect()
+            ))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert results[0] == results[1]
+    # conserved-ish mass: floor division only leaks, never creates
+    assert sum(v for _, v in results[0]) <= 10**12

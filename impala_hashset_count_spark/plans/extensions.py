@@ -35,6 +35,7 @@ from ..functions.text import (
 )
 from ..functions.udtfs import register_udtfs
 from ..operators.analytics import cohort_retention, gap_fill
+from ..operators.bloom import bloom_build, bloom_oracle_ctes, bloom_probe
 from ..operators.corpus_stats import (
     bm25_topn,
     term_doc_stats,
@@ -412,6 +413,15 @@ def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deduplication
 # ---------------------------------------------------------------------
 
+_BLOOM_CTES = bloom_oracle_ctes(
+    "SELECT DISTINCT text AS key FROM documents "
+    "WHERE doc_id % 20 = 0 AND text IS NOT NULL",
+    "SELECT DISTINCT text AS key FROM documents "
+    "WHERE doc_id % 20 <> 0 AND text IS NOT NULL",
+    n_bits=256,
+    k=5,
+)
+
 _HYGIENE_ORACLE = f"""
     WITH words AS (
         SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS raw,
@@ -440,7 +450,16 @@ _HYGIENE_ORACLE = f"""
         SELECT DISTINCT doc_id, ARRAY_TO_STRING(tk[i:i+7], ' ') AS s
         FROM tk, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 7, 0))) AS g(i)
     ),
-    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    {_BLOOM_CTES},
+    bmetrics AS (
+        SELECT SUM(CASE WHEN NOT maybe_seen THEN 1 ELSE 0 END) AS kept,
+               SUM(CASE WHEN maybe_seen THEN 1 ELSE 0 END) AS dropped,
+               SUM(CASE WHEN maybe_seen
+                        AND key NOT IN (SELECT key FROM bhist)
+                   THEN 1 ELSE 0 END) AS false_drop
+        FROM bprobe
+    )
     SELECT 'stats' AS tag, CAST(NULL AS BIGINT) AS doc_id,
            CAST(NULL AS VARCHAR) AS s,
            COUNT(*) AS n1,
@@ -462,7 +481,13 @@ _HYGIENE_ORACLE = f"""
     SELECT 'decon_drop', doc_id, NULL, NULL, NULL, NULL
     FROM (SELECT DISTINCT doc_id FROM sh
           WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM ev))
+    UNION ALL
+    SELECT 'bloom', NULL, m.s, m.n1, NULL, NULL
+    FROM (SELECT 'kept' AS s, kept AS n1 FROM bmetrics
+          UNION ALL SELECT 'dropped', dropped FROM bmetrics
+          UNION ALL SELECT 'false_drop', false_drop FROM bmetrics) m
 """
+
 
 
 @register("dedup_exact_stats", oracle=_HYGIENE_ORACLE)
@@ -484,11 +509,18 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``operators.decontaminate``) would remove when the held-out
       'eval set' is the doc_id % 20 == 0 slice — the asymmetric
       eval-overlap screen, mirrored shingle-for-shingle in SQL.
+    - ``bloom``: the DECLARATIVE Bloom filter (``operators/bloom.py``)
+      under the hash signal: a bitmap-word table (BIT_OR of shifted
+      masks, md5 tier) built over the %20==0 slice's texts, probed by
+      the remaining distinct texts; rows are (s=metric, n1=count) for
+      kept / dropped / false_drop — the oracle rebuilds the exact words
+      and reproduces every verdict INCLUDING the false positives
+      (n_bits=256 is deliberately tight so FPs occur and are checked).
 
     Scale shape: stats is one scan + partial aggs; boiler/strip are
     the line_dedup design (vocabulary-sized broadcast, one reassembly
-    shuffle); decon is a broadcast anti join — the corpus never
-    shuffles for it."""
+    shuffle); decon is a broadcast anti join, bloom a broadcast word
+    table — the corpus never shuffles for either."""
     d = _t(spark, sf_dir, "documents")
     stats = d.agg(
         F.count("*").alias("n1"),
@@ -514,10 +546,42 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = contamination_stats(corpus, eval_slice, "doc_id", "text", n=8).filter(
         "contaminated"
     ).select(F.lit("decon_drop").alias("tag"), "doc_id")
+    hist = eval_slice.filter(F.col("text").isNotNull()).select(
+        F.col("text").alias("key")
+    ).distinct()
+    batch_keys = corpus.filter(F.col("text").isNotNull()).select(
+        F.col("text").alias("key")
+    ).distinct()
+    bfilter = bloom_build(hist, "key", n_bits=256, k=5, hash_fn="md5")
+    probed = bloom_probe(
+        batch_keys, "key", bfilter, n_bits=256, k=5, hash_fn="md5"
+    ).join(hist.withColumn("inh", F.lit(True)), "key", "left")
+    bmetrics = probed.agg(
+        F.sum(F.when(~F.col("maybe_seen"), 1).otherwise(0)).alias("kept"),
+        F.sum(F.when(F.col("maybe_seen"), 1).otherwise(0)).alias("dropped"),
+        F.sum(
+            F.when(F.col("maybe_seen") & F.col("inh").isNull(), 1).otherwise(0)
+        ).alias("false_drop"),
+    )
+    bloom_rows = bmetrics.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("s"), F.col(m).alias("n1"))
+                    for m in ("kept", "dropped", "false_drop")
+                ]
+            )
+        ).alias("kv")
+    ).select(
+        F.lit("bloom").alias("tag"),
+        F.col("kv.s").alias("s"),
+        F.col("kv.n1").alias("n1"),
+    )
     return (
         stats.unionByName(bp, allowMissingColumns=True)
         .unionByName(stripped, allowMissingColumns=True)
         .unionByName(dropped, allowMissingColumns=True)
+        .unionByName(bloom_rows, allowMissingColumns=True)
         .select("tag", "doc_id", "s", "n1", "n2", "n3")
     )
 

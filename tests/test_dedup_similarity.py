@@ -498,3 +498,100 @@ def test_edit_distance_pairs_prefix_bounds_cost(spark):
         df, "doc_id", "text", candidate_threshold=0.1, prefix=64
     ).collect()
     assert len(rows) == 1 and rows[0].edit_sim == 1.0
+
+
+def test_bloom_dedup_incremental_never_passes_true_duplicates(spark):
+    """Bloom incremental dedup: every key already in history is dropped
+    (no false negatives by construction); new keys overwhelmingly
+    survive; within-batch dups removed exactly (keep-lowest)."""
+    from impala_hashset_count_spark.operators.bloom import bloom_dedup_incremental
+    from impala_hashset_count_spark.operators.dedup import exact_dedup_incremental
+
+    hist = spark.createDataFrame(
+        [(f"seen-{i}",) for i in range(500)], "key string"
+    )
+    batch = spark.createDataFrame(
+        [(f"seen-{i}", i) for i in range(0, 100)]          # true dups
+        + [(f"new-{i}", 1000 + i) for i in range(200)]     # genuinely new
+        + [("new-0", 5000), ("new-1", 6000)],              # in-batch dups
+        "key string, ord bigint",
+    )
+    out = bloom_dedup_incremental(batch, hist, "key", "ord",
+                                  expected_items=1000, fpp=0.01)
+    rows = {r.key: r.ord for r in out.collect()}
+    # zero false negatives: no historical key survives
+    assert not any(k.startswith("seen-") for k in rows)
+    # in-batch dups keep the LOWEST ord
+    assert rows.get("new-0") == 1000 and rows.get("new-1") == 1001
+    # false-positive drops bounded (fpp=1% over 200 new keys; allow slack)
+    assert len(rows) >= 190
+    # the exact tier is the superset reference: bloom survivors are a
+    # subset of exact survivors (bloom only ever drops more)
+    exact = {r.key for r in exact_dedup_incremental(
+        batch, hist.select(F.col("key")), ["key"], "ord").collect()}
+    assert set(rows) <= exact
+
+
+def test_bloom_build_probe_match_python_model(spark):
+    """The (word_idx, word) table and every membership verdict equal a
+    pure-Python replica of the md5-tier bit math — including which
+    new keys false-positive."""
+    import hashlib
+
+    from impala_hashset_count_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    n_bits, k = 256, 5
+    hist = [f"h{i}" for i in range(40)]
+
+    def positions(key):
+        return [
+            int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % n_bits
+            for i in range(k)
+        ]
+
+    words = {}
+    for key in hist:
+        for p in positions(key):
+            words[p // 64] = words.get(p // 64, 0) | (1 << (p % 64))
+
+    def signed64(w):  # Spark BIGINT words are signed two's-complement
+        return w - (1 << 64) if w >= (1 << 63) else w
+
+    hdf = spark.createDataFrame([(h,) for h in hist] + [(None,)], "key string")
+    bloom = bloom_build(hdf, "key", n_bits, k=k, hash_fn="md5")
+    assert {(r.word_idx, r.word) for r in bloom.collect()} == {
+        (i, signed64(w)) for i, w in words.items()
+    }
+
+    probes = hist[:5] + [f"q{i}" for i in range(60)]
+    pdf = spark.createDataFrame([(p,) for p in probes] + [(None,)],
+                                "key string")
+    got = {r.key: r.maybe_seen for r in
+           bloom_probe(pdf, "key", bloom, n_bits, k=k, hash_fn="md5").collect()}
+    for p in probes:
+        expect = all(words.get(pos // 64, 0) >> (pos % 64) & 1 for pos in positions(p))
+        assert got[p] == expect, p
+    assert got[None] is False          # NULL keys are never 'seen'
+    assert all(got[h] for h in hist[:5])  # no false negatives
+
+
+def test_bloom_union_of_filters_equals_filter_of_union(spark):
+    """BIT_OR mergeability: building two filters and BIT_OR-merging
+    their word tables equals building one filter over the union."""
+    from impala_hashset_count_spark.operators.bloom import bloom_build
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(30)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(30)], "key string")
+    n_bits = 192
+    fa = bloom_build(a, "key", n_bits, hash_fn="md5")
+    fb = bloom_build(b, "key", n_bits, hash_fn="md5")
+    merged = (
+        fa.unionByName(fb).groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+    )
+    direct = bloom_build(a.unionByName(b), "key", n_bits, hash_fn="md5")
+    assert {(r.word_idx, r.word) for r in merged.collect()} == {
+        (r.word_idx, r.word) for r in direct.collect()
+    }

@@ -237,3 +237,52 @@ def temperature_mix(
         .filter(u < F.col("__keep"))
         .drop("__keep")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    k: int,
+    by: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — PRIORITY
+    SAMPLING (Duffield-Lund-Thorup): each row gets priority
+    ``q = w / u`` where ``u`` is the content-fixed md5 uniform of its
+    key, and the ``k`` highest-priority rows are kept (per ``by`` group
+    if given). Heavier rows are proportionally likelier to be sampled;
+    the same data always yields the same sample (no seed state across
+    executors, stable under re-runs and engines — the weighted
+    counterpart of ``stratified_hash_sample``).
+
+    For unbiased totals, downstream estimators use
+    ``w_hat = max(w, tau)`` with ``tau`` = the (k+1)-th priority; this
+    function returns the sample with its priorities so callers can
+    derive ``tau`` from rank k+1 if they keep it (pass k+1 and drop the
+    last row after reading its q).
+
+    Engine-bit-stable by construction: ``u = (h64 + 1) / 2^32`` where
+    h64 is the 32-bit md5 prefix — an exact integer divided by a power
+    of two is EXACT in binary floating point, so ``q = w / u`` is one
+    IEEE division of exact operands; ranking is a total order on
+    (q DESC, key). One window shuffle, WindowGroupLimit-bounded when
+    ``by`` is given; the global case is a rank window over one column.
+    NULL keys are excluded (no stable identity to hash)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key = F.col(key_col)
+    u = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32))
+    q = (w.cast("double") / u).alias("priority")
+    win = (
+        Window.partitionBy(by).orderBy(F.desc("priority"), key)
+        if by is not None
+        else Window.orderBy(F.desc("priority"), key)
+    )
+    return (
+        df.filter(key.isNotNull())
+        .withColumn("priority", q)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+    )

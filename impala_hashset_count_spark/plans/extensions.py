@@ -372,6 +372,21 @@ def train_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS BIGINT) / 4294967296.0 AS u
             FROM documents
         )
+        UNION ALL
+        SELECT 'wsample', doc_id, lang, CAST(sample_rank AS VARCHAR)
+        FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id)
+                       AS sample_rank
+            FROM (
+                SELECT doc_id, lang,
+                       CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE)
+                       / ((CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)),
+                                                  1, 8) AS BIGINT) + 1.0)
+                          / 4294967296.0) AS priority
+                FROM documents WHERE doc_id IS NOT NULL
+            )
+        ) WHERE sample_rank <= 25
     """,
 )
 def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,11 +402,19 @@ def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       md5-uniform and the cumulative boundaries, so the driver checks
       the LABELING itself (names sorted => boundaries test<0.1,
       train<0.9, else val).
+    - ``wsample``: WEIGHTED sampling without replacement
+      (``operators.sampling.priority_sample`` — priority sampling,
+      q = weight/u over the md5 uniform): top-25 docs by
+      byte-length-weighted priority, rank in ``bucket``. u is an exact
+      integer over 2^32 (exact in binary FP) so q is ONE IEEE division
+      — the oracle recomputes every priority and the full ranking.
 
-    Both are pure projections/filters over one narrow scan — the md5
-    exprs are computed columns, so they do not reach parquet
-    ``PushedFilters``; persisting the bucket/split as stored columns
-    would make them prunable."""
+    All are narrow projections/filters plus (for wsample) one rank
+    window — the md5 exprs are computed columns, so they do not reach
+    parquet ``PushedFilters``; persisting the bucket/split as stored
+    columns would make them prunable."""
+    from ..operators.sampling import priority_sample
+
     d = _t(spark, sf_dir, "documents")
     bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
     samp = (
@@ -406,7 +429,18 @@ def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("split").alias("tag"), "doc_id", "lang", F.col("split").alias("bucket")
     )
-    return samp.unionByName(split)
+    ws = priority_sample(
+        d.select("doc_id", "lang", F.octet_length("text").alias("__w")),
+        "doc_id",
+        "__w",
+        k=25,
+    ).select(
+        F.lit("wsample").alias("tag"),
+        "doc_id",
+        "lang",
+        F.col("sample_rank").cast("string").alias("bucket"),
+    )
+    return samp.unionByName(split).unionByName(ws)
 
 
 # ---------------------------------------------------------------------

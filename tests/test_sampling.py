@@ -255,3 +255,47 @@ def test_temperature_mix_plan_broadcasts_rates(spark, sf_small):
     out = temperature_mix(d, "lang", "doc_id", total_rows=100)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_priority_sample_matches_python_model(spark):
+    """Sample membership and ranks equal a pure-Python replica of the
+    md5-priority math; NULL keys excluded."""
+    import hashlib
+
+    from impala_hashset_count_spark.operators.sampling import priority_sample
+
+    rows = [(f"k{i}", (i * 7) % 40 + 1) for i in range(120)]
+    df = spark.createDataFrame(rows + [(None, 99)], "key string, w bigint")
+
+    def u(key):
+        return (int(hashlib.md5(key.encode()).hexdigest()[:8], 16) + 1.0) / 2**32
+
+    model = sorted(((w / u(k), k) for k, w in rows), key=lambda t: (-t[0], t[1]))
+    expect = {k: r for r, (_q, k) in enumerate(model[:10], start=1)}
+    got = {r.key: r.sample_rank
+           for r in priority_sample(df, "key", "w", k=10).collect()}
+    assert got == expect
+
+
+def test_priority_sample_prefers_heavy_rows_and_is_grouped(spark):
+    """A row with 1000x the weight of its peers is (virtually) always
+    sampled; per-group mode keeps k per group."""
+    from impala_hashset_count_spark.operators.sampling import priority_sample
+
+    rows = [("g1", f"a{i}", 1) for i in range(50)] + [("g1", "heavy", 1000)]
+    rows += [("g2", f"b{i}", 1) for i in range(30)]
+    df = spark.createDataFrame(rows, "grp string, key string, w bigint")
+    out = priority_sample(df, "key", "w", k=5, by="grp").collect()
+    per_grp = {}
+    for r in out:
+        per_grp.setdefault(r.grp, []).append(r.key)
+    assert len(per_grp["g1"]) == 5 and len(per_grp["g2"]) == 5
+    # heavy row's priority >= 1000/1 = 1000; a weight-1 row needs
+    # u < 1/1000 to beat it -- none of 50 md5 uniforms plausibly does,
+    # and determinism makes this exact and repeatable, not flaky
+    assert "heavy" in per_grp["g1"]
+    # determinism: second run identical
+    out2 = priority_sample(df, "key", "w", k=5, by="grp").collect()
+    assert sorted((r.grp, r.key, r.sample_rank) for r in out) == sorted(
+        (r.grp, r.key, r.sample_rank) for r in out2
+    )

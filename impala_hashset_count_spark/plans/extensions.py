@@ -36,6 +36,7 @@ from ..functions.text import (
 from ..functions.udtfs import register_udtfs
 from ..operators.analytics import cohort_retention, gap_fill
 from ..operators.bloom import bloom_build, bloom_oracle_ctes, bloom_probe
+from ..operators.drift import distribution_drift, drift_oracle_ctes
 from ..operators.corpus_stats import (
     bm25_topn,
     term_doc_stats,
@@ -447,6 +448,11 @@ def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deduplication
 # ---------------------------------------------------------------------
 
+_DRIFT_CTES = drift_oracle_ctes(
+    "SELECT text FROM documents WHERE doc_id % 20 = 0",
+    "SELECT text FROM documents WHERE doc_id % 20 <> 0",
+)
+
 _BLOOM_CTES = bloom_oracle_ctes(
     "SELECT DISTINCT text AS key FROM documents "
     "WHERE doc_id % 20 = 0 AND text IS NOT NULL",
@@ -485,6 +491,7 @@ _HYGIENE_ORACLE = f"""
         FROM tk, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 7, 0))) AS g(i)
     ),
     ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    {_DRIFT_CTES},
     {_BLOOM_CTES},
     bmetrics AS (
         SELECT SUM(CASE WHEN NOT maybe_seen THEN 1 ELSE 0 END) AS kept,
@@ -520,6 +527,15 @@ _HYGIENE_ORACLE = f"""
     FROM (SELECT 'kept' AS s, kept AS n1 FROM bmetrics
           UNION ALL SELECT 'dropped', dropped FROM bmetrics
           UNION ALL SELECT 'false_drop', false_drop FROM bmetrics) m
+    UNION ALL
+    SELECT 'drift', NULL, m.s, m.n1, NULL, NULL
+    FROM (SELECT 'n_a' AS s, n_a AS n1 FROM dfinal
+          UNION ALL SELECT 'n_b', n_b FROM dfinal
+          UNION ALL SELECT 'v', v FROM dfinal
+          UNION ALL SELECT 'tv_num', tv_num FROM dfinal
+          UNION ALL SELECT 'kl_ab_q', kl_ab_q FROM dfinal
+          UNION ALL SELECT 'kl_ba_q', kl_ba_q FROM dfinal
+          UNION ALL SELECT 'js_q', js_q FROM dfinal) m
 """
 
 
@@ -550,6 +566,12 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       kept / dropped / false_drop — the oracle rebuilds the exact words
       and reproduces every verdict INCLUDING the false positives
       (n_bits=256 is deliberately tight so FPs occur and are checked).
+    - ``drift``: corpus DISTRIBUTION DRIFT (``operators/drift.py``)
+      between the same two slices — exact-integer total-variation
+      numerator plus add-0.5-smoothed JS divergence in quantized
+      nano-nats (integer addend sums, summation-order-independent);
+      rows are (s=metric, n1=value) for n_a/n_b/v/tv_num/kl_ab_q/
+      kl_ba_q/js_q, the full mirror generated by ``drift_oracle_ctes``.
 
     Scale shape: stats is one scan + partial aggs; boiler/strip are
     the line_dedup design (vocabulary-sized broadcast, one reassembly
@@ -611,11 +633,29 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kv.s").alias("s"),
         F.col("kv.n1").alias("n1"),
     )
+    drift_cols = ("n_a", "n_b", "v", "tv_num", "kl_ab_q", "kl_ba_q", "js_q")
+    drift_rows = distribution_drift(
+        eval_slice.select("text"), corpus.select("text")
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("s"), F.col(m).alias("n1"))
+                    for m in drift_cols
+                ]
+            )
+        ).alias("kv")
+    ).select(
+        F.lit("drift").alias("tag"),
+        F.col("kv.s").alias("s"),
+        F.col("kv.n1").alias("n1"),
+    )
     return (
         stats.unionByName(bp, allowMissingColumns=True)
         .unionByName(stripped, allowMissingColumns=True)
         .unionByName(dropped, allowMissingColumns=True)
         .unionByName(bloom_rows, allowMissingColumns=True)
+        .unionByName(drift_rows, allowMissingColumns=True)
         .select("tag", "doc_id", "s", "n1", "n2", "n3")
     )
 

@@ -90,3 +90,73 @@ def test_bmp_resize_tier_empty_dataframe(spark):
 
     df = spark.createDataFrame([], "doc_id bigint, payload binary")
     assert resize_images(df, target=8, decode="bmp").count() == 0
+
+
+def test_png_tier_and_roundtrip_empty_dataframe(spark):
+    from impala_hashset_count_spark.operators.multimodal import (
+        png_roundtrip_features,
+        resize_images,
+    )
+
+    df = spark.createDataFrame([], "doc_id bigint, payload binary")
+    assert resize_images(df, target=8, decode="png").count() == 0
+    assert png_roundtrip_features(df).count() == 0
+
+
+def test_edit_distance_pairs_empty_and_single_doc(spark):
+    from impala_hashset_count_spark.operators.dedup import edit_distance_pairs
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert edit_distance_pairs(empty, "doc_id", "text").count() == 0
+    one = spark.createDataFrame([(1, "just one document here")],
+                                "doc_id bigint, text string")
+    assert edit_distance_pairs(one, "doc_id", "text").count() == 0
+
+
+def test_pagerank_empty_pairs(spark):
+    from impala_hashset_count_spark.operators.graph import pagerank_fixed
+
+    empty = spark.createDataFrame([], "id_1 bigint, id_2 bigint")
+    assert pagerank_fixed(empty).count() == 0
+
+
+def test_bloom_empty_history_keeps_everything(spark):
+    """An empty history means an all-zero filter: nothing is
+    maybe_seen, every new key survives."""
+    from impala_hashset_count_spark.operators.bloom import (
+        bloom_build,
+        bloom_dedup_incremental,
+        bloom_probe,
+    )
+
+    empty = spark.createDataFrame([], "key string")
+    bloom = bloom_build(empty, "key", 256, hash_fn="md5")
+    assert bloom.count() == 0
+    batch = spark.createDataFrame([("a", 1), ("b", 2)], "key string, ord bigint")
+    probed = bloom_probe(batch, "key", bloom, 256, hash_fn="md5")
+    assert all(not r.maybe_seen for r in probed.collect())
+    assert bloom_dedup_incremental(batch, empty, "key", "ord",
+                                   n_bits=256, hash_fn="md5").count() == 2
+
+
+def test_drift_empty_slices(spark):
+    from impala_hashset_count_spark.operators.drift import distribution_drift
+
+    empty = spark.createDataFrame([], "text string")
+    docs = spark.createDataFrame([("some words here",)], "text string")
+    # one empty side: vocabulary comes entirely from the other side
+    row = distribution_drift(empty, docs).collect()[0]
+    assert row.n_a == 0 and row.n_b == 3 and row.v == 3
+    assert row.tv_num == 0  # c_a*n_b - c_b*n_a = 0 when n_a = 0
+    # both empty: a single all-NULL summary row, no crash
+    row2 = distribution_drift(empty, empty).collect()[0]
+    assert row2.v is None or row2.v == 0
+
+
+def test_priority_sample_empty_and_all_null_keys(spark):
+    from impala_hashset_count_spark.operators.sampling import priority_sample
+
+    empty = spark.createDataFrame([], "key string, w bigint")
+    assert priority_sample(empty, "key", "w", k=3).count() == 0
+    nulls = spark.createDataFrame([(None, 5), (None, 7)], "key string, w bigint")
+    assert priority_sample(nulls, "key", "w", k=3).count() == 0

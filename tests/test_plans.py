@@ -316,3 +316,52 @@ def test_zorder_stats_join_is_broadcast(spark):
     plan = explain_str(joined.select(z.alias("z")))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_word_table(spark):
+    """The Bloom word table must join BROADCAST — the probed batch is
+    never shuffled against history (the operator's whole point)."""
+    from impala_hashset_count_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    hist = spark.range(0, 1000).selectExpr("cast(id as string) as key")
+    batch = spark.range(0, 100).selectExpr("concat('n', id) as key")
+    bloom = bloom_build(hist, "key", 1024)
+    plan = explain_str(bloom_probe(batch, "key", bloom, 1024))
+    assert "BroadcastHashJoin" in plan
+    # the verdict joins back over the batch keys only; no sort-merge
+    # join of batch against history anywhere
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_broadcasts_node_count(spark):
+    """Every iteration's node-count join is a broadcast of a 1-row
+    aggregate; the only repeated shuffles are the O(edges) contribution
+    sums."""
+    from impala_hashset_count_spark.operators.graph import pagerank_fixed
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_1 bigint, id_2 bigint"
+    )
+    plan = explain_str(pagerank_fixed(pairs, iters=2))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_drift_totals_join_is_broadcast_and_single_scan_per_slice(spark, sf_small):
+    """The 1-row totals table joins broadcast; the corpus text is
+    scanned once per slice (token-count aggregates), never shuffled as
+    text."""
+    from impala_hashset_count_spark.operators.drift import distribution_drift
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = explain_str(
+        distribution_drift(d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1"))
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # text appears only under scan/generate stages, not in any Exchange
+    # partitioning expression
+    for line in plan.splitlines():
+        if "Exchange" in line and "text" in line:
+            raise AssertionError(f"text column shuffled: {line}")

@@ -63,8 +63,24 @@ def distribution_drift(
     add-``alpha``-smoothed KL divergences to the midpoint distribution
     in integer nano-nats, and js_q their integer mean (JS divergence =
     js_q / 1e9 nats; 0 = identical, ln(2) ~ 0.693 = disjoint)."""
-    ca = _token_counts(df_a, text_col, "c_a")
-    cb = _token_counts(df_b, text_col, "c_b")
+    return drift_from_counts(
+        _token_counts(df_a, text_col, "c_a"),
+        _token_counts(df_b, text_col, "c_b"),
+        alpha=alpha,
+        q_scale=q_scale,
+    )
+
+
+def drift_from_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    alpha: float = 0.5,
+    q_scale: float = 1e9,
+) -> DataFrame:
+    """``distribution_drift`` over PRE-COUNTED token tables
+    (tok, c_a) / (tok, c_b) — the face incremental maintenance uses
+    (token counts are exactly mergeable by SUM, so a maintained count
+    table feeds this directly; the raw corpus is never rescanned)."""
     j = ca.join(cb, "tok", "full").select(
         "tok",
         F.coalesce("c_a", F.lit(0)).alias("c_a"),

@@ -721,3 +721,91 @@ def stream_summary_maintenance(
         .outputMode("update")
         .start()
     )
+
+
+def stream_corpus_drift(
+    docs_stream: DataFrame,
+    reference: DataFrame,
+    snapshot_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+):
+    """Continuous DISTRIBUTION-DRIFT monitoring of an ingesting corpus
+    against a static reference (`operators/drift.py`'s streaming face):
+    each micro-batch's token counts fold into a running count table
+    (versioned snapshots, same replay-safe scheme as
+    ``stream_summary_maintenance`` — a replayed batch rebuilds its
+    version from the newest strictly-older one, so the additive counts
+    are never double-folded), and the drift summary of
+    (all streamed text so far) vs (reference) is recomputed from the
+    maintained COUNT TABLE — the raw stream is never rescanned.
+
+    Token counts are exactly mergeable by SUM, so the maintained table
+    equals the count table over all data seen regardless of
+    micro-batching; the emitted drift row therefore EQUALS the batch
+    ``distribution_drift`` over the union of the streamed documents
+    (tested live). Per batch: one batch-sized token aggregate + a merge
+    over (touched + stored) vocabulary rows; vocabulary-sized state,
+    not corpus-sized. Read the latest drift with ``read_snapshot(
+    snapshot_path)`` filtered to ``kind='drift'``; kind='tok' rows
+    carry the running counts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.drift import _token_counts, drift_from_counts
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(snapshot_path):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(snapshot_path)
+            if d.startswith("v=")
+        )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        delta = _token_counts(bdf, text_col, "c")
+        prior = [v for v in _versions() if v < batch_id]
+        if prior:
+            stored = (
+                spark.read.parquet(os.path.join(snapshot_path, f"v={prior[-1]}"))
+                .filter(F.col("kind") == "tok")
+                .select("tok", F.col("n1").alias("c"))
+            )
+            delta = stored.unionByName(delta)
+        counts = delta.groupBy("tok").agg(F.sum("c").alias("c"))
+        summary = drift_from_counts(
+            counts.select("tok", F.col("c").alias("c_a")),
+            _token_counts(reference, text_col, "c_b"),
+        )
+        metrics = ("n_a", "n_b", "v", "tv_num", "kl_ab_q", "kl_ba_q", "js_q")
+        out = counts.select(
+            F.lit("tok").alias("kind"), "tok", F.col("c").alias("n1"),
+        ).unionByName(
+            summary.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(m).alias("tok"), F.col(m).alias("n1"))
+                            for m in metrics
+                        ]
+                    )
+                ).alias("kv")
+            ).select(
+                F.lit("drift").alias("kind"),
+                F.col("kv.tok").alias("tok"),
+                F.col("kv.n1").alias("n1"),
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(snapshot_path, f"v={batch_id}")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

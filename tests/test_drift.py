@@ -104,3 +104,65 @@ def test_drift_partition_sweep_bit_identical(spark, sf_small):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert outs[0] == outs[1]
+
+
+def test_stream_corpus_drift_equals_batch_and_replays_safely(spark, tmp_path):
+    """LIVE drift maintenance: two real micro-batches of documents fold
+    into the running token-count table; the maintained drift metrics
+    equal the batch distribution_drift over the union of everything
+    streamed — and a replayed run (fresh checkpoint, same files)
+    produces identical metrics, not doubled counts."""
+    from pyspark.sql import functions as F
+
+    from impala_hashset_count_spark.streaming.windows import (
+        read_snapshot,
+        stream_corpus_drift,
+    )
+
+    batch1 = [(1, "the cat sat on the mat"), (2, "dogs chase the cat")]
+    batch2 = [(3, "a bird flew over"), (4, "the mat sat still")]
+    ref_rows = [(9, "the reference corpus talks about cats and mats")]
+    src = str(tmp_path / "dr_src")
+    snap = str(tmp_path / "dr_snap")
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    reference = spark.createDataFrame(ref_rows, schema)
+
+    def drain(ck):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_corpus_drift(stream, reference, snap, ck)
+        q.processAllAvailable()
+        q.stop()
+
+    drain(str(tmp_path / "dr_ck1"))
+    got = {
+        r.tok: r.n1
+        for r in read_snapshot(spark, snap).filter("kind = 'drift'").collect()
+    }
+    expect = distribution_drift(
+        spark.createDataFrame(batch1 + batch2, schema), reference
+    ).collect()[0].asDict()
+    assert got == expect
+
+    # running counts equal the batch token counts over the union
+    toks = {
+        r.tok: r.n1
+        for r in read_snapshot(spark, snap).filter("kind = 'tok'").collect()
+    }
+    allc = {}
+    for _i, t in batch1 + batch2:
+        for tok in t.split():
+            allc[tok] = allc.get(tok, 0) + 1
+    assert toks == allc
+
+    # replay into the same snapshot dir with a fresh checkpoint: same
+    # metrics, nothing double-folded
+    drain(str(tmp_path / "dr_ck2"))
+    replay = {
+        r.tok: r.n1
+        for r in read_snapshot(spark, snap).filter("kind = 'drift'").collect()
+    }
+    assert replay == expect

@@ -63,16 +63,16 @@ _SWEEP_FIRST = (
     # grew tagged branches this round
     "multimodal_image_pipeline",
     "dedup_ngram_jaccard",
+    "dedup_exact_stats",
+    "sample_hash_documents",
+    "dedup_transitive_components",
     "corpus_stats_documents",
     "scalar_array_embeddings",
     "dedup_simhash",
-    "dedup_exact_stats",
-    "sample_hash_documents",
     "analytics_cohort_retention",
     "streaming_interval_join_batch",
     # round-2 verified
     "similarity_ann_topk",
-    "dedup_transitive_components",
     "sample_stratified_mix",
     "text_udtf_sentences",
     "grouping_analytics",

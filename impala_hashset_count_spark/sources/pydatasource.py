@@ -98,6 +98,13 @@ class SyntheticEventsDataSource(DataSource):
         return _SCHEMA
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        # Pushdown is an OPT-IN reader class: the Spark worker REJECTS
+        # any reader that implements pushFilters() while
+        # spark.sql.python.filterPushdown.enabled is false (the 4.1
+        # default), so the capability must not leak into sessions that
+        # haven't enabled the conf.
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return _SyntheticPushdownReader(self.options)
         return _SyntheticBatchReader(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
@@ -109,23 +116,73 @@ class _SyntheticBatchReader(DataSourceReader):
         self.rows = int(options.get("rows", 1000))
         self.num_partitions = int(options.get("numpartitions", 8))
         self.seed = int(options.get("seed", 42))
+        self.lo_bound = 0
+        self.hi_bound = self.rows
 
     def partitions(self):
-        # contiguous row-range slices; the last partition takes the
+        # contiguous row-range slices over the (possibly filter-
+        # narrowed) index range; the last partition takes the
         # remainder. Each executor task generates ONLY its slice.
-        # rows=0 is a legal bound -> one empty partition, not a crash.
-        if self.rows <= 0:
+        # An empty range is a legal bound -> one empty partition.
+        lo0, hi0 = max(0, self.lo_bound), min(self.rows, self.hi_bound)
+        if hi0 <= lo0:
             return [InputPartition((0, 0))]
-        per = -(-self.rows // self.num_partitions)
+        per = -(-(hi0 - lo0) // self.num_partitions)
         return [
-            InputPartition((lo, min(lo + per, self.rows)))
-            for lo in range(0, self.rows, per)
+            InputPartition((lo, min(lo + per, hi0)))
+            for lo in range(lo0, hi0, per)
         ]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         lo, hi = partition.value
         for i in range(lo, hi):
             yield synth_event(self.seed, i)
+
+
+class _SyntheticPushdownReader(_SyntheticBatchReader):
+    """Batch reader with REAL filter pushdown (``pushFilters``,
+    Spark 4.1 Python DataSource ABI): ``event_id`` IS the row index,
+    so comparison/equality predicates on it translate into index-range
+    pruning — ``partitions()`` then fans out over the NARROWED range
+    and the untouched rows are never generated at all (the Python-
+    connector analogue of parquet row-group pruning). Accepted filters
+    are consumed (not returned); everything else is left for Spark to
+    evaluate post-scan, per the ABI contract. Opt-in via
+    ``option("pushdown", "true")`` + the session conf
+    ``spark.sql.python.filterPushdown.enabled=true``."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            val = getattr(f, "value", None)
+            on_id = tuple(attr or ()) == ("event_id",)
+            if on_id and isinstance(f, IsNotNull):
+                continue  # generated event_id is never NULL: accepted for free
+            if not (on_id and isinstance(val, int)):
+                yield f
+                continue
+            if isinstance(f, EqualTo):
+                self.lo_bound = max(self.lo_bound, val)
+                self.hi_bound = min(self.hi_bound, val + 1)
+            elif isinstance(f, GreaterThan):
+                self.lo_bound = max(self.lo_bound, val + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo_bound = max(self.lo_bound, val)
+            elif isinstance(f, LessThan):
+                self.hi_bound = min(self.hi_bound, val)
+            elif isinstance(f, LessThanOrEqual):
+                self.hi_bound = min(self.hi_bound, val + 1)
+            else:
+                yield f
 
 
 class _SyntheticStreamReader(SimpleDataSourceStreamReader):

@@ -32,6 +32,7 @@ def chunk_documents(
     id_col: str,
     text_col: str,
     chunk_tokens: int = 64,
+    overlap: int = 0,
 ) -> DataFrame:
     """Explode each document into fixed-size token windows.
 
@@ -39,10 +40,23 @@ def chunk_documents(
     yield zero chunks; the final chunk may be short (no padding — that
     is the collator's job, not the engine's). chunk_id is 0-based.
 
-    Oracle mirror (DuckDB): GENERATE_SERIES over ceil(len/W), then
-    LIST_SLICE + ARRAY_TO_STRING on the same whitespace tokens.
+    ``overlap`` > 0 gives SLIDING windows at stride
+    ``chunk_tokens - overlap`` (the RAG / long-context "stride"
+    convention: consecutive chunks share ``overlap`` tokens so no
+    span longer than the overlap is ever split across a boundary).
+    Window starts run while ``start < max(size - overlap, 1)``, so the
+    final window always contributes at least one new token — no window
+    is fully contained in its predecessor. Still a pure per-row array
+    expression: zero shuffle at any overlap.
+
+    Oracle mirror (DuckDB): GENERATE_SERIES over
+    ceil(max(len - overlap, 1)/stride), then LIST_SLICE +
+    ARRAY_TO_STRING on the same whitespace tokens.
     """
     w = int(chunk_tokens)
+    ov = int(overlap)
+    if not 0 <= ov < w:
+        raise ValueError(f"overlap must satisfy 0 <= overlap < chunk_tokens, got {ov}")
     toks = F.when(
         F.length(F.trim(F.col(text_col))) == 0,
         F.array().cast("array<string>"),
@@ -51,17 +65,18 @@ def chunk_documents(
     # Guard n=0: sequence(0, -1) is DESCENDING in Spark ([0, -1]), so an
     # empty doc must short-circuit to an empty chunk array, mirroring
     # the short-doc guard in dedup._shingle_expr.
+    stride = w - ov
     chunks = F.expr(
         f"""
-        CASE WHEN size(__toks) = 0 THEN
+        CASE WHEN __toks IS NULL OR size(__toks) = 0 THEN
             CAST(array() AS array<struct<chunk_id:int,chunk_text:string,n_chunk_tokens:int>>)
         ELSE
             transform(
-                sequence(0, CAST(ceil(size(__toks) / {w}.0) AS INT) - 1),
+                sequence(0, CAST(ceil(greatest(size(__toks) - {ov}, 1) / {stride}.0) AS INT) - 1),
                 i -> struct(
                     CAST(i AS INT) AS chunk_id,
-                    array_join(slice(__toks, i * {w} + 1, {w}), ' ') AS chunk_text,
-                    size(slice(__toks, i * {w} + 1, {w})) AS n_chunk_tokens
+                    array_join(slice(__toks, i * {stride} + 1, {w}), ' ') AS chunk_text,
+                    size(slice(__toks, i * {stride} + 1, {w})) AS n_chunk_tokens
                 )
             )
         END

@@ -295,22 +295,53 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                    UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(toks) / 64.0) AS INT) - 1))
                        AS chunk_id
             FROM t WHERE LEN(toks) > 0
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   UNNEST(GENERATE_SERIES(0,
+                       CAST(CEIL(GREATEST(LEN(toks) - 8, 1) / 24.0) AS INT) - 1))
+                       AS chunk_id
+            FROM t WHERE LEN(toks) > 0
         )
-        SELECT doc_id,
+        SELECT 'fixed' AS tag, doc_id,
                CAST(chunk_id AS INTEGER) AS chunk_id,
                ARRAY_TO_STRING(LIST_SLICE(toks, chunk_id * 64 + 1, chunk_id * 64 + 64), ' ')
                    AS chunk_text,
                CAST(LEN(LIST_SLICE(toks, chunk_id * 64 + 1, chunk_id * 64 + 64)) AS INTEGER)
                    AS n_chunk_tokens
         FROM c
+        UNION ALL
+        SELECT 'slide', doc_id,
+               CAST(chunk_id AS INTEGER),
+               ARRAY_TO_STRING(LIST_SLICE(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' '),
+               CAST(LEN(LIST_SLICE(toks, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS INTEGER)
+        FROM s
     """,
 )
 def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-length chunking: each document exploded into 64-token
-    windows (final window short, no padding). Pure per-row array
-    expressions — no shuffle, scales linearly with corpus bytes."""
+    """Context-length chunking, tagged:
+
+    - ``fixed``: each document exploded into 64-token windows (final
+      window short, no padding).
+    - ``slide``: SLIDING windows (32 tokens, overlap 8 => stride 24) —
+      the RAG/long-context stride convention; consecutive windows share
+      8 tokens so no 8-token span is ever split across a boundary; the
+      oracle recomputes the stride arithmetic and every window's text.
+
+    Pure per-row array expressions — no shuffle at any overlap, scales
+    linearly with corpus bytes."""
     d = _t(spark, sf_dir, "documents")
-    return chunk_documents(d, "doc_id", "text", chunk_tokens=64)
+    fixed = chunk_documents(d, "doc_id", "text", chunk_tokens=64).select(
+        F.lit("fixed").alias("tag"), "doc_id", "chunk_id", "chunk_text",
+        "n_chunk_tokens",
+    )
+    slide = chunk_documents(
+        d, "doc_id", "text", chunk_tokens=32, overlap=8
+    ).select(
+        F.lit("slide").alias("tag"), "doc_id", "chunk_id", "chunk_text",
+        "n_chunk_tokens",
+    )
+    return fixed.unionByName(slide)
 
 
 @register(

@@ -66,6 +66,7 @@ _SWEEP_FIRST = (
     "dedup_exact_stats",
     "sample_hash_documents",
     "dedup_transitive_components",
+    "train_chunk_documents",
     "corpus_stats_documents",
     "scalar_array_embeddings",
     "dedup_simhash",

@@ -181,3 +181,60 @@ def test_pack_by_real_bpe_counts(spark, sf_small):
                 cur = 0
             cur += r.n_bpe
             assert r.bin_id == bin_id, (r.doc_id, r.chunk_id)
+
+
+def test_chunk_overlap_matches_python_model(spark):
+    """Sliding windows (w=10, overlap=3 => stride=7) equal the Python
+    stride model: starts at 0,7,14,... while start < max(len-3, 1);
+    consecutive chunks share exactly `overlap` tokens except a short
+    final; every token is covered."""
+    import math
+
+    from impala_hashset_count_spark.operators.packing import chunk_documents
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(25))),
+        (2, " ".join(f"u{i}" for i in range(10))),   # exactly one window
+        (3, " ".join(f"v{i}" for i in range(11))),   # 1 extra token -> 2 windows
+        (4, "solo"),
+        (5, "   "),
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(df, "doc_id", "text",
+                                 chunk_tokens=10, overlap=3).collect()
+    }
+    expect = {}
+    for doc_id, text in docs:
+        toks = text.split() if text and text.strip() else []
+        if not toks:
+            continue
+        n_starts = math.ceil(max(len(toks) - 3, 1) / 7)
+        for cid in range(n_starts):
+            sl = toks[cid * 7 : cid * 7 + 10]
+            expect[(doc_id, cid)] = (" ".join(sl), len(sl))
+    assert got == expect
+    # coverage + overlap invariants on the long doc
+    toks = docs[0][1].split()
+    spans = [(cid * 7, min(cid * 7 + 10, 25)) for cid in range(4)
+             if (1, cid) in got]
+    assert spans[0][0] == 0 and max(e for _s, e in spans) == 25
+    for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+        assert e1 - s2 == 3  # consecutive windows share exactly `overlap`
+
+
+def test_chunk_overlap_validation_and_zero_overlap_equivalence(spark):
+    import pytest
+
+    from impala_hashset_count_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=-1)
+    a = chunk_documents(df, "doc_id", "text", chunk_tokens=2).collect()
+    b = chunk_documents(df, "doc_id", "text", chunk_tokens=2, overlap=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

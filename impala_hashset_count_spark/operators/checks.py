@@ -124,3 +124,27 @@ def check_foreign_key(
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def observe_constraints(df: DataFrame, checks: list[Check], name: str = "checks"):
+    """ZERO-EXTRA-PASS verification: attach the suite as a Spark
+    ``Observation`` so the violation counts are collected as metrics
+    DURING whatever action the caller runs on the returned DataFrame —
+    the production shape for "validate every batch you were going to
+    write anyway" (check_constraints is the standalone one-aggregate
+    face; this one costs nothing beyond the job the data already
+    pays for).
+
+    Returns (observed_df, observation). After ANY action on
+    observed_df (count/write/collect), ``observation.get`` is a dict
+    {"n_rows": ..., "<constraint>": violation_count, ...}. Works in
+    Structured Streaming too (df.observe is streaming-legal; metrics
+    surface per micro-batch via QueryProgress — the batch face here
+    uses the blocking Observation helper)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        expr.alias(cname) for cname, expr in checks
+    ]
+    return df.observe(obs, *metrics), obs

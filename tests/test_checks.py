@@ -102,3 +102,31 @@ def test_foreign_key_orphans(spark):
         check_foreign_key(child, parent, ["ref"], ["pk"])
     )
     assert "BroadcastHashJoin LeftAnti" in plan or "BroadcastHashJoin" in plan
+
+
+def test_observe_constraints_piggybacks_on_the_action(spark):
+    """The observed metrics equal the standalone one-aggregate suite,
+    collected during an unrelated action (no second scan job)."""
+    from impala_hashset_count_spark.operators.checks import (
+        check_constraints,
+        in_range,
+        not_null,
+        observe_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (None, 3.0)],
+        "id bigint, v double",
+    )
+    checks = [not_null("id"), in_range("v", 0.0, 100.0)]
+    observed, obs = observe_constraints(df, checks)
+    # the "action the caller was going to run anyway"
+    written = observed.filter("1 = 1").count()
+    assert written == 4
+    got = obs.get
+    standalone = {
+        r.constraint: r.n_violations
+        for r in check_constraints(df, checks).collect()
+    }
+    assert got["n_rows"] == 4
+    assert {k: v for k, v in got.items() if k != "n_rows"} == standalone

@@ -151,3 +151,39 @@ def decontaminate(
         .distinct()
     )
     return docs.join(F.broadcast(contaminated_ids), id_col, "left_anti")
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """The SEMANTIC tier of eval-set decontamination: drop every corpus
+    row whose embedding is cosine-close (>= ``threshold`` on the
+    6dp-rounded cosine, the engine-deterministic boundary the dedup
+    tiers use) to ANY eval embedding — catching paraphrased/reworded
+    eval leakage the n-gram tier (``decontaminate``) cannot see. The
+    two tiers compose: run the n-gram screen first (cheap, exact), the
+    semantic screen on survivors.
+
+    Scale shape: the EVAL side is small by nature (benchmarks, not
+    corpora) — it broadcasts, the corpus is scanned once and NEVER
+    shuffled (a broadcast nested-loop over eval rows per corpus
+    partition, then a broadcast anti join of the tiny contaminated-id
+    set). For very large eval sets, pre-restrict candidates with the
+    ANN machinery (`operators/similarity.py`) and exact-verify only
+    candidates, exactly as the dedup tiers do."""
+    from ..functions.vectors import cosine
+
+    ev = F.broadcast(eval_df.select(F.col(vec_col).alias("__ev")))
+    contaminated = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(ev)
+        .withColumn("__cos", F.round(cosine(vec_col, "__ev"), 6))
+        .filter(F.col("__cos") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")

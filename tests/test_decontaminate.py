@@ -153,3 +153,37 @@ def test_curate_corpus_decontaminates(spark, tmp_path):
     )
     assert stats["n_after_decontaminate"] == 2
     assert stats["n_after_quality"] == 2
+
+
+def test_semantic_decontaminate_drops_paraphrase_neighbors(spark, sf_small):
+    """Planted: corpus vectors that are tiny perturbations of eval
+    vectors are dropped; orthogonal-ish vectors survive; the corpus is
+    never shuffled (broadcast-only plan)."""
+    import math
+
+    from impala_hashset_count_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 31 + i * 7) for i in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    ev_vec = unit(1)
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(ev_vec)]
+    far = unit(99)
+    corpus = spark.createDataFrame(
+        [(10, ev_vec), (11, near), (12, far)],
+        "vec_id bigint, embedding array<double>",
+    )
+    eval_df = spark.createDataFrame(
+        [(1, ev_vec)], "vec_id bigint, embedding array<double>"
+    )
+    kept = semantic_decontaminate(corpus, eval_df, threshold=0.99)
+    assert sorted(r.vec_id for r in kept.collect()) == [12]
+    plan = kept._sc is not None and kept._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # empty eval set: corpus passes through untouched
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert semantic_decontaminate(corpus, empty).count() == 3

@@ -133,3 +133,41 @@ def histogram_fixed(
         .groupBy(*group_cols, bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_bucket"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Markov transition counts over per-user event sequences:
+    (from_type, to_type, n_trans) for every consecutive pair — the
+    path-analysis aggregate behind "what do users do after X" and
+    first-order behavior models (transition probabilities = n_trans
+    over its from_type row-sum, left to the caller so the hashed
+    surface stays integer).
+
+    Sequence order is (ts, tiebreak): pass a unique ``order_tiebreak``
+    column (e.g. event_id) so simultaneous events order
+    deterministically — without it, equal timestamps make the sequence
+    engine/partitioning-ambiguous. One window shuffle on the user key
+    + one count aggregate; no per-user buffering beyond the window
+    sort."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    return (
+        events.select(user_col, ts_col, type_col,
+                      *([order_tiebreak] if order_tiebreak else []))
+        .withColumn("__to", F.lead(type_col).over(w))
+        .filter(F.col("__to").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"), F.col("__to").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )

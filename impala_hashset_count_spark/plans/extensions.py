@@ -34,7 +34,7 @@ from ..functions.text import (
     top_token_ratio,
 )
 from ..functions.udtfs import register_udtfs
-from ..operators.analytics import cohort_retention, gap_fill
+from ..operators.analytics import cohort_retention, event_transitions, gap_fill
 from ..operators.bloom import bloom_build, bloom_oracle_ctes, bloom_probe
 from ..operators.drift import distribution_drift, drift_oracle_ctes
 from ..operators.corpus_stats import (
@@ -988,13 +988,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
             WHERE e.event_type = 'purchase' GROUP BY e.user_id
         )
-        SELECT v.user_id,
+        SELECT 'funnel' AS tag, v.user_id,
                STRFTIME(v.t_view, '%Y-%m-%d %H:%M:%S') AS first_view,
                STRFTIME(c.t_click, '%Y-%m-%d %H:%M:%S') AS first_click,
-               STRFTIME(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase
+               STRFTIME(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase,
+               CAST(NULL AS VARCHAR) AS from_type,
+               CAST(NULL AS VARCHAR) AS to_type,
+               CAST(NULL AS BIGINT) AS n_trans
         FROM v
         LEFT JOIN c ON v.user_id = c.user_id
         LEFT JOIN p ON c.user_id = p.user_id
+        UNION ALL
+        SELECT 'trans', NULL, NULL, NULL, NULL, from_type, to_type,
+               COUNT(*) AS n_trans
+        FROM (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ) WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
     """,
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1008,8 +1022,27 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     array HOFs (filter/transform/array_min) over it — versus the
     oracle's 3-scan 3-join CTE chain. Assumes bounded events-per-user
     (true for behavioral funnels); for unbounded keys use the
-    join-chain form the oracle spells out."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    join-chain form the oracle spells out.
+
+    The tagged ``trans`` arm adds the PATH-ANALYSIS aggregate
+    (``operators.analytics.event_transitions``): Markov transition
+    counts over per-user sequences ordered by (ts, event_id) — the
+    unique tie-break that makes the sequence engine-deterministic;
+    integer counts under the oracle hash."""
+    ev_full = _t(spark, sf_dir, "events")
+    trans = event_transitions(
+        ev_full, "user_id", "ts", "event_type", order_tiebreak="event_id"
+    ).select(
+        F.lit("trans").alias("tag"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("string").alias("first_view"),
+        F.lit(None).cast("string").alias("first_click"),
+        F.lit(None).cast("string").alias("first_purchase"),
+        "from_type",
+        "to_type",
+        "n_trans",
+    )
+    ev = ev_full.select("user_id", "ts", "event_type")
     grouped = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
     )
@@ -1033,12 +1066,17 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fmt = "yyyy-MM-dd HH:mm:ss"
-    return funnel.select(
+    fun = funnel.select(
+        F.lit("funnel").alias("tag"),
         "user_id",
         F.date_format("t_view", fmt).alias("first_view"),
         F.date_format("t_click", fmt).alias("first_click"),
         F.date_format("t_purchase", fmt).alias("first_purchase"),
+        F.lit(None).cast("string").alias("from_type"),
+        F.lit(None).cast("string").alias("to_type"),
+        F.lit(None).cast("long").alias("n_trans"),
     )
+    return fun.unionByName(trans)
 
 
 # ---------------------------------------------------------------------

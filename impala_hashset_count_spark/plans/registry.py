@@ -67,6 +67,7 @@ _SWEEP_FIRST = (
     "sample_hash_documents",
     "dedup_transitive_components",
     "train_chunk_documents",
+    "funnel_view_click_purchase",
     "corpus_stats_documents",
     "scalar_array_embeddings",
     "dedup_simhash",

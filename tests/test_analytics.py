@@ -103,3 +103,27 @@ def test_gap_fill_plan_broadcasts_counts_for_fill_join(spark, sf_small):
     ev = load_table(spark, sf_small, "events")
     plan = explain_str(gap_fill(ev, "ts", "event_type", unit="hour"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_event_transitions_matches_python_model(spark):
+    """Transition counts equal a Python model over tie-broken
+    sequences; users with one event contribute nothing."""
+    from impala_hashset_count_spark.operators.analytics import event_transitions
+
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        (2, 1, "view"), (2, 1, "view"),          # simultaneous: tie-break by id
+        (2, 2, "click"),
+        (3, 5, "refund"),                         # singleton: no transition
+    ]
+    data = [(u, i, float(t), f"2026-01-01 00:00:0{t}", et)
+            for i, (u, t, et) in enumerate(rows)]
+    df = spark.createDataFrame(
+        [(u, eid, ts, et) for u, eid, _v, ts, et in data],
+        "user_id bigint, event_id bigint, ts string, event_type string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp"))
+    got = {(r.from_type, r.to_type): r.n_trans
+           for r in event_transitions(df, order_tiebreak="event_id").collect()}
+    # user 1: view->click, click->purchase; user 2: view->view, view->click
+    assert got == {("view", "click"): 2, ("click", "purchase"): 1,
+                   ("view", "view"): 1}

@@ -33,6 +33,7 @@ from ..operators import checks as chk
 from ..operators.checks import check_constraints, check_foreign_key
 from ..operators.profile import profile_table
 from ..operators.analytics import histogram_fixed
+from ..operators.cms import cms_accumulate, cms_estimate, cms_oracle_ctes
 from ..operators.quantiles import bottomk_sample, mad_disc, quantiles_disc
 from ..operators.zorder import zorder_key, zorder_sql
 from ..operators.hashset_count import (
@@ -500,9 +501,23 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide_tag.unionByName(long_tag)
 
 
+_CMS_SUBQUERY = (
+    "WITH "
+    + cms_oracle_ctes(
+        "SELECT CAST(user_id AS VARCHAR) AS key FROM events "
+        "WHERE user_id IS NOT NULL",
+        "SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events "
+        "WHERE user_id < 10",
+        width=256,
+        depth=4,
+    )
+    + " SELECT key, est FROM cmsest"
+)
+
+
 @register(
     "percentile_stats_events",
-    oracle="""
+    oracle=f"""
         SELECT 'exact' AS tag, event_type,
                ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value), 4) AS median_value,
                ROUND(MIN(value), 4) AS min_value,
@@ -574,6 +589,20 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE value IS NOT NULL
         GROUP BY event_type, bucket
+        UNION ALL
+        SELECT 'cms' AS tag, CAST(NULL AS VARCHAR) AS event_type,
+               CAST(NULL AS DOUBLE) AS median_value,
+               CAST(NULL AS DOUBLE) AS min_value,
+               CAST(NULL AS DOUBLE) AS max_value,
+               CAST(NULL AS DOUBLE) AS avg_value,
+               CAST(NULL AS DOUBLE) AS sd_value,
+               CAST(NULL AS BIGINT) AS n_sample,
+               CAST(NULL AS DOUBLE) AS q25,
+               CAST(NULL AS DOUBLE) AS q75,
+               CAST(NULL AS DOUBLE) AS mad,
+               CAST(key AS BIGINT) AS bucket,
+               est AS n_bucket
+        FROM ({_CMS_SUBQUERY})
     """,
 )
 def percentile_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,7 +630,13 @@ def percentile_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'hist' rows: fixed-bound equi-width histogram
       (``analytics.histogram_fixed``, [0,500) in 10 buckets) — a pure
       per-row projection + one count aggregate; integer counts, bucket
-      ids comparable across datasets/days (drift monitoring)."""
+      ids comparable across datasets/days (drift monitoring).
+    - 'cms' rows: the COUNT-MIN SKETCH (`operators/cms.py`, md5 tier):
+      user_id frequencies estimated from a width-256 x depth-4 cell
+      table (deliberately tight so overestimates occur); bucket =
+      user_id, n_bucket = estimate — the oracle rebuilds the exact
+      cells and reproduces every estimate INCLUDING the collision
+      overestimates."""
     ev = _t(spark, sf_dir, "events")
 
     def _shape(df, tag, **cols):
@@ -653,7 +688,26 @@ def percentile_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hist",
         bucket=F.col("bucket"), n_bucket=F.col("n_bucket"),
     )
-    return exact.unionByName(bk).unionByName(mad).unionByName(hist)
+    sk = cms_accumulate(
+        ev.select(F.col("user_id").cast("string").alias("key")),
+        "key", width=256, depth=4, hash_fn="md5",
+    )
+    est = cms_estimate(
+        sk,
+        ev.filter("user_id < 10").select(
+            F.col("user_id").cast("string").alias("key")
+        ),
+        "key", width=256, depth=4, hash_fn="md5",
+    )
+    cms = _shape(
+        est.withColumn("event_type", F.lit(None).cast("string")),
+        "cms",
+        bucket=F.col("key").cast("long"), n_bucket=F.col("est"),
+    )
+    return (
+        exact.unionByName(bk).unionByName(mad).unionByName(hist)
+        .unionByName(cms)
+    )
 
 
 # =====================================================================

@@ -68,6 +68,7 @@ _SWEEP_FIRST = (
     "dedup_transitive_components",
     "train_chunk_documents",
     "funnel_view_click_purchase",
+    "percentile_stats_events",
     "corpus_stats_documents",
     "scalar_array_embeddings",
     "dedup_simhash",

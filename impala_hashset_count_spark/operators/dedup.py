@@ -786,3 +786,77 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_1", "id_2", "cos_sim")
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """PREFIX-FILTERED exact set-similarity join (the PPJoin/AllPairs
+    family): identical output to ``ngram_jaccard_pairs`` — every pair
+    with Jaccard >= ``threshold`` and its exact score — but the
+    inverted index holds only each document's PREFIX.
+
+    Why it's exact: order every document's shingles canonically
+    (rarest-first by global document frequency, shingle as tie-break)
+    and take the first ``|s| - ceil(t*|s|) + 1`` as its prefix. Two
+    sets with Jaccard >= t must overlap in >= ceil(t*max(|a|,|b|))
+    elements, so skipping that many of either set's rarest shingles
+    cannot skip ALL shared ones — any qualifying pair collides on at
+    least one prefix shingle (pigeonhole). Candidates are then verified
+    with the full exact intersection count.
+
+    Why it scales: at t=0.5 the index holds ~half of every document's
+    shingles, and they are each document's RAREST half — the frequent
+    (boilerplate) shingles that cause quadratic candidate blow-ups are
+    exactly the ones prefixes exclude. One extra global DF aggregate
+    (vocabulary-sized) buys a candidate set orders of magnitude
+    smaller on skewed corpora; pair counts are asserted <= the full
+    inverted-index candidate count in tests, with output equality."""
+    import math
+
+    sd = shingle_sets(df, id_col, text_col, n).cache()
+    sizes = sd.groupBy(id_col).agg(F.count("*").alias("sz"))
+    dfreq = sd.groupBy("sh").agg(F.count("*").alias("gdf"))
+    w = Window.partitionBy(id_col).orderBy(F.col("gdf"), F.col("sh"))
+    ranked = (
+        sd.join(dfreq, "sh")
+        .withColumn("__rk", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    # prefix length: sz - ceil(t*sz) + 1, computed in exact integer
+    # arithmetic (ceil(t*sz) == floor((t*sz*10^6 + 10^6 - 1)/10^6) for
+    # a 6dp threshold — avoids float boundary wobble on engine mirrors)
+    t6 = int(round(threshold * 10**6))
+    prefix = ranked.filter(
+        F.col("__rk")
+        <= F.col("sz") - F.expr(f"cast(ceil(sz * {t6} / 1000000.0) as int)") + 1
+    ).select(F.col(id_col), "sh")
+    cand = (
+        prefix.select(F.col(id_col).alias("id_1"), "sh")
+        .join(prefix.select(F.col(id_col).alias("id_2"), "sh"), "sh")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    a = sd.select(F.col(id_col).alias("id_1"), "sh")
+    b = sd.select(F.col(id_col).alias("id_2"), "sh")
+    common = (
+        cand.join(a, "id_1")
+        .join(b, ["id_2", "sh"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz_1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz_2"))
+    jac = F.col("common") / (F.col("sz_1") + F.col("sz_2") - F.col("common"))
+    return (
+        common.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))
+    )

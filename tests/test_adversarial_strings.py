@@ -103,3 +103,60 @@ def test_spark_and_duckdb_agree_on_adversarial_distincts(spark):
     con.register("docs", d.toPandas())
     duck_n = con.execute("SELECT COUNT(DISTINCT text) FROM docs").fetchone()[0]
     assert spark_n == duck_n == 8
+
+
+def test_new_ops_survive_nul_and_unicode(spark):
+    """Embedded NULs and multi-byte text through the sixth-session
+    operators: distinct identities stay distinct, nothing truncates at
+    the NUL (the pandas-klib trap), unicode never crashes the
+    production tiers."""
+    from impala_hashset_count_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    from impala_hashset_count_spark.operators.dedup import edit_distance_pairs
+    from impala_hashset_count_spark.operators.drift import distribution_drift
+    from impala_hashset_count_spark.operators.sampling import priority_sample
+
+    nul_a, nul_b = "ab\x00cd", "ab\x00ce"
+    uni = "café 日本語 emoji🙂 mix"
+
+    # bloom: NUL-distinct keys get distinct verdicts (a\0b != a\0c)
+    hist = spark.createDataFrame([(nul_a,), (uni,)], "key string")
+    bloom = bloom_build(hist, "key", 4096, hash_fn="xxhash64")
+    probe = spark.createDataFrame([(nul_a,), (nul_b,), (uni,)], "key string")
+    got = {r.key: r.maybe_seen
+           for r in bloom_probe(probe, "key", bloom, 4096,
+                                hash_fn="xxhash64").collect()}
+    assert got[nul_a] is True and got[uni] is True
+    assert got[nul_b] is False  # differs only after the NUL
+
+    # priority_sample: NUL-distinct keys rank independently, both kept
+    df = spark.createDataFrame(
+        [(nul_a, 5), (nul_b, 5), (uni, 5)], "key string, w bigint"
+    )
+    ranks = {r.key for r in priority_sample(df, "key", "w", k=3).collect()}
+    assert ranks == {nul_a, nul_b, uni}
+
+    # edit distance (production tier, no ASCII restriction): unicode
+    # codepoint-level distance, NUL counts as a character
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat today ok"),
+         (2, "the cat sat on the mat today yo"),
+         (3, uni + " the cat sat on the mat today")],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r.id_1, r.id_2): r.edit_sim
+             for r in edit_distance_pairs(
+                 docs, "doc_id", "text", candidate_threshold=0.2,
+                 min_sim=0.0).collect()}
+    assert (1, 2) in pairs and 0.9 < pairs[(1, 2)] < 1.0
+
+    # drift: NUL and unicode tokens are ordinary vocabulary entries
+    a = spark.createDataFrame([(f"{nul_a} {uni}",)], "text string")
+    b = spark.createDataFrame([(f"{nul_b} {uni}",)], "text string")
+    row = distribution_drift(a, b).collect()[0]
+    # vocabulary: nul_a, nul_b + the four whitespace-split unicode
+    # tokens (café / 日本語 / emoji🙂 / mix) shared by both sides
+    assert row.v == 6
+    assert row.tv_num > 0

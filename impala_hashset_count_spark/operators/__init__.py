@@ -33,52 +33,83 @@ from .hashset_count import (
     rollup_distinct_from_sketches,
 )
 from .packing import chunk_documents, pack_sequences_greedy
-from .sampling import hash_split, mix_corpus, shuffle_rows, stratified_hash_sample
-from .similarity import brute_force_topk, ivf_topk, lsh_topk
+from .sampling import (
+    hash_split,
+    mix_corpus,
+    priority_sample,
+    shuffle_rows,
+    stratified_hash_sample,
+    temperature_mix,
+)
+from .similarity import (
+    brute_force_topk,
+    ivf_topk,
+    ivfpq_topk,
+    lsh_topk,
+    pq_encode,
+    pq_topk,
+    train_pq,
+)
 from .skew import bucketed_table, salted_join
+from .aggstate import (
+    agg_state_accumulate,
+    agg_state_finalize,
+    agg_state_merge,
+)
+from .analytics import event_transitions, histogram_fixed
+from .bloom import bloom_build, bloom_dedup_incremental, bloom_probe
+from .checks import (
+    check_constraints,
+    check_foreign_key,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    observe_constraints,
+    satisfies,
+    unique,
+)
+from .cms import cms_accumulate, cms_estimate, cms_merge
+from .decontaminate import semantic_decontaminate
+from .dedup import edit_distance_pairs, ngram_jaccard_pairs_prefix
+from .drift import distribution_drift, drift_from_counts
+from .fileindex import (
+    build_file_index,
+    compact_small_files,
+    prune_files,
+    read_pruned,
+)
+from .graph import degrees, pagerank_fixed, triangle_counts, triangles
+from .ivm import maintain_join_view
+from .kmv import (
+    kmv_accumulate,
+    kmv_combine,
+    kmv_estimate,
+    kmv_set_estimates,
+)
+from .merge import apply_changes, latest_changes, merge_scd2
+from .multimodal import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    extract_audio_features,
+    extract_image_metadata,
+    frame_sample_hashes,
+    resize_images,
+    wav_features,
+)
+from .profile import profile_table
+from .quality_model import filter_by_quality_model, train_quality_model
+from .quantiles import bottomk_sample, mad_disc, quantiles_disc
+from .range_join import binned_range_join
+from .zorder import cluster_write, zorder_key
 
-__all__ = [
-    "approx_distinct_count",
-    "bm25_topn",
-    "boilerplate_lines",
-    "strip_boilerplate_lines",
-    "doc_frequency",
-    "hash_split",
-    "term_doc_stats",
-    "tfidf_top_terms",
-    "top_tokens",
-    "unigram_logprob_scores",
-    "asof_join",
-    "brute_force_topk",
-    "bucketed_table",
-    "chunk_documents",
-    "cohort_retention",
-    "contamination_stats",
-    "decontaminate",
-    "eval_shingle_index",
-    "embedding_near_dup_pairs",
-    "exact_dedup",
-    "exact_dedup_incremental",
-    "gap_fill",
-    "distinct_sketch_table",
-    "hashset_count_agg",
-    "hashset_count_df",
-    "hashset_count_rdd",
-    "ivf_topk",
-    "lsh_topk",
-    "make_hashset_count_udaf",
-    "minhash_lsh_pairs",
-    "mix_corpus",
-    "near_dup_components",
-    "near_dup_dedup",
-    "ngram_jaccard_pairs",
-    "pack_sequences_greedy",
-    "register_sql_udaf",
-    "rollup_distinct_from_sketches",
-    "salted_join",
-    "semantic_dedup",
-    "shuffle_rows",
-    "semantic_dedup_components",
-    "simhash_pairs",
-    "stratified_hash_sample",
-]
+# Every public operator imported above; submodules (non-callables) are
+# excluded so star-imports stay function-only.
+__all__ = sorted(
+    n for n, v in globals().items()
+    if not n.startswith("_") and callable(v)
+)

@@ -141,3 +141,66 @@ def merge_scd2(
         .unionByName(closed.select(*target.columns))
         .unionByName(opened.select(*target.columns))
     )
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """The INVERSE of ``apply_changes``: derive the minimal change log
+    that turns snapshot ``old`` into snapshot ``new`` — insert rows for
+    keys only in ``new``, delete rows for keys only in ``old``, update
+    rows for keys whose non-key values differ (value-identical rows
+    emit nothing). Output carries the full ``new`` schema plus
+    ``op_col`` in {'I','U','D'} (delete rows carry the OLD values), one
+    row per changed key — already collapsed, so it feeds
+    ``apply_changes`` directly, and by construction::
+
+        apply_changes(old, diff_snapshots(old, new, keys), keys) == new
+
+    (the round-trip law, property-tested). This is how a CDC log is
+    RECOVERED when the upstream provides only periodic full snapshots
+    — table-diff as an operator.
+
+    Scale shape: one full-outer join on the key (both snapshots shuffle
+    once — unavoidable for a diff; store snapshots bucketed by the key
+    to make it exchange-free) with change detection via a null-safe
+    struct comparison (NULL-valued columns compare as equal-to-NULL,
+    not as always-changed)."""
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in old.columns]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in new.columns]
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__o_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__n_{key_cols[0]}").isNotNull()
+    same_vals = None
+    for c in val_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same_vals = eq if same_vals is None else same_vals & eq
+    if same_vals is None:  # key-only table: matched keys are identical
+        same_vals = F.lit(True)
+    op = (
+        F.when(in_old & ~in_new, F.lit(delete_op))
+        .when(~in_old & in_new, F.lit("I"))
+        .when(in_old & in_new & ~same_vals, F.lit("U"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c)
+        if c in key_cols
+        else F.when(in_new, F.col(f"__n_{c}")).otherwise(F.col(f"__o_{c}")).alias(c)
+        for c in new.columns
+    ]
+    return j.withColumn(op_col, op).filter(F.col(op_col).isNotNull()).select(
+        *out_cols, op_col
+    )

@@ -203,3 +203,60 @@ def test_apply_changes_composite_key(spark):
     )
     out = sorted(map(tuple, apply_changes(t, c, ["k1", "k2"]).collect()))
     assert out == [(1, "x", "a2"), (1, "y", "b"), (3, "z", "d")]
+
+
+def test_diff_snapshots_roundtrip_law(spark):
+    """apply_changes(old, diff_snapshots(old, new)) == new, on random
+    snapshots including NULL values and key-only changes."""
+    import random
+
+    from impala_hashset_count_spark.operators.merge import (
+        apply_changes,
+        diff_snapshots,
+    )
+
+    rng = random.Random(11)
+    old_rows = [(k, rng.choice(["a", "b", None]), rng.randint(0, 5))
+                for k in range(40)]
+    new_rows = []
+    for k, s, v in old_rows:
+        r = rng.random()
+        if r < 0.25:
+            continue                       # deleted
+        if r < 0.5:
+            new_rows.append((k, rng.choice(["a", "z", None]), v + 1))  # updated
+        else:
+            new_rows.append((k, s, v))     # unchanged
+    new_rows += [(k, "new", 0) for k in range(100, 110)]  # inserts
+    schema = "k bigint, s string, v bigint"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    diff = diff_snapshots(old, new, ["k"])
+    rebuilt = apply_changes(old, diff, ["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(new_rows)
+    # minimality: value-identical keys emit no change row
+    unchanged = {k for (k, s, v) in old_rows
+                 if (k, s, v) in set(new_rows)}
+    assert not any(r.k in unchanged for r in diff.collect())
+    # ops are exactly I/U/D and deletes carry the old values
+    ops = {r.k: r.op for r in diff.collect()}
+    assert set(ops.values()) <= {"I", "U", "D"}
+    old_by_k = {k: (s, v) for k, s, v in old_rows}
+    for r in diff.collect():
+        if r.op == "D":
+            assert (r.s, r.v) == old_by_k[r.k]
+
+
+def test_diff_snapshots_null_value_transitions(spark):
+    """NULL -> value and value -> NULL are UPDATES (null-safe compare);
+    NULL == NULL is unchanged."""
+    from impala_hashset_count_spark.operators.merge import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "k bigint, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now"), (2, None), (3, None)], "k bigint, s string"
+    )
+    diff = {r.k: (r.op, r.s) for r in diff_snapshots(old, new, ["k"]).collect()}
+    assert diff == {1: ("U", "now"), 2: ("U", None)}

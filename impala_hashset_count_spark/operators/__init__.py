@@ -87,7 +87,7 @@ from .kmv import (
     kmv_estimate,
     kmv_set_estimates,
 )
-from .merge import apply_changes, latest_changes, merge_scd2
+from .merge import apply_changes, diff_snapshots, latest_changes, merge_scd2
 from .multimodal import (
     decode_bmp,
     decode_png,

@@ -809,3 +809,79 @@ def stream_corpus_drift(
         .outputMode("update")
         .start()
     )
+
+
+def stream_bloom_dedup(
+    docs_stream: DataFrame,
+    out_path: str,
+    snapshot_path: str,
+    checkpoint: str,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    k: int = 5,
+    hash_fn: str = "xxhash64",
+):
+    """Continuous BLOOM-gATED ingestion (`operators/bloom.py`'s
+    streaming face): each micro-batch is probed against the MAINTAINED
+    filter (built over everything previously admitted), survivors are
+    appended to ``out_path`` as one part-dir per batch, and the filter
+    word-table folds the survivors' bits in by BIT_OR — the classic
+    crawl-frontier "have I already ingested this URL/document" gate,
+    with O(n_bits) state forever and the new batch never shuffled
+    against history.
+
+    Versioning/idempotence follow ``stream_cdc_upsert``: filter version
+    ``v=<batch_id>`` is rebuilt from the newest STRICTLY-OLDER version
+    and batch output lands under ``b=<batch_id>`` (overwritten whole on
+    replay), so a replayed batch re-derives the same survivors instead
+    of double-filtering against its own bits. Within-batch duplicates
+    dedup exactly (keep-first by key). Error model is the operator's:
+    no false survivals of true duplicates; ~fpp of genuinely-new keys
+    wrongly dropped."""
+    import os
+
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(snapshot_path):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(snapshot_path)
+            if d.startswith("v=")
+        )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        fresh = bdf.dropDuplicates([key_col])
+        prior = [v for v in _versions() if v < batch_id]
+        if prior:
+            stored = spark.read.parquet(
+                os.path.join(snapshot_path, f"v={prior[-1]}")
+            )
+            survivors = (
+                bloom_probe(fresh, key_col, stored, n_bits, k=k, hash_fn=hash_fn)
+                .filter(~F.col("maybe_seen"))
+                .drop("maybe_seen")
+            )
+        else:
+            stored = None
+            survivors = fresh
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"b={batch_id}")
+        )
+        admitted = spark.read.parquet(os.path.join(out_path, f"b={batch_id}"))
+        delta = bloom_build(admitted, key_col, n_bits, k=k, hash_fn=hash_fn)
+        if stored is not None:
+            delta = stored.unionByName(delta)
+        merged = delta.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_path, f"v={batch_id}")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -940,3 +940,39 @@ def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
     with _pytest.raises(ValueError):
         vacuum_snapshots(snap, keep_last=0)
     assert not os.path.exists(os.path.join(snap, "v=0"))
+
+
+def test_stream_bloom_dedup_gates_ingestion_and_replays_safely(spark, tmp_path):
+    """LIVE bloom-gated ingestion: batch 2's duplicates of batch-1 keys
+    are dropped by the MAINTAINED filter; genuinely-new keys survive;
+    within-batch dups dedup; and a fresh-checkpoint replay re-derives
+    the same admitted set (versions rebuilt from strictly-older
+    predecessors, never from their own bits)."""
+    from impala_hashset_count_spark.streaming.windows import stream_bloom_dedup
+
+    schema = "key string, payload bigint"
+    b1 = [("a", 1), ("b", 2), ("b", 3)]            # in-batch dup 'b'
+    b2 = [("a", 9), ("c", 4), ("d", 5)]            # 'a' already admitted
+    src = str(tmp_path / "bl_src")
+    out = str(tmp_path / "bl_out")
+    snap = str(tmp_path / "bl_snap")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def drain(ck):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_bloom_dedup(stream, out, snap, ck, "key", n_bits=1024,
+                               hash_fn="md5")
+        q.processAllAvailable()
+        q.stop()
+
+    drain(str(tmp_path / "bl_ck1"))
+    admitted = sorted(r.key for r in spark.read.parquet(out + "/b=*").collect())
+    assert admitted == ["a", "b", "c", "d"]
+
+    # replay: same files, fresh checkpoint, same out/snapshot dirs
+    drain(str(tmp_path / "bl_ck2"))
+    replay = sorted(r.key for r in spark.read.parquet(out + "/b=*").collect())
+    assert replay == ["a", "b", "c", "d"]

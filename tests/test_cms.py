@@ -82,3 +82,43 @@ def test_cms_partition_sweep_bit_identical(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert outs[0] == outs[1]
+
+
+def test_cms_hypothesis_model_and_merge(spark):
+    """Property-based: for arbitrary key multisets and arbitrary 2-way
+    splits, (a) accumulate == Python cell model, (b) merge of split
+    sketches == direct sketch, (c) estimates never undercount."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys_strategy = st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+        min_size=1, max_size=30,
+    )
+
+    @given(keys=keys_strategy, split=st.integers(min_value=1, max_value=3))
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(keys, split):
+        width, depth = 16, 3
+        df = spark.createDataFrame([(k, i) for i, k in enumerate(keys)],
+                                   "key string, i bigint")
+        direct = cms_accumulate(df, "key", width=width, depth=depth,
+                                hash_fn="md5")
+        assert {(r.r, r.c): r.cnt for r in direct.collect()} == _model_cells(
+            keys, width, depth)
+        merged = cms_merge([
+            cms_accumulate(df.filter(F.col("i") % split == j), "key",
+                           width=width, depth=depth, hash_fn="md5")
+            for j in range(split)
+        ])
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect()))
+        truth = {k: keys.count(k) for k in set(keys)}
+        qdf = spark.createDataFrame([(k,) for k in truth], "key string")
+        est = {r.key: r.est for r in cms_estimate(
+            direct, qdf, "key", width=width, depth=depth,
+            hash_fn="md5").collect()}
+        assert all(est[k] >= v for k, v in truth.items())
+
+    check()

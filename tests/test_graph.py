@@ -143,3 +143,32 @@ def test_pagerank_fixed_partition_sweep_bit_identical(spark):
     assert results[0] == results[1]
     # conserved-ish mass: floor division only leaks, never creates
     assert sum(v for _, v in results[0]) <= 10**12
+
+
+def test_pagerank_hypothesis_matches_model(spark):
+    """Property-based: arbitrary small undirected graphs (no isolated
+    self-loops) — pagerank_fixed equals the integer-recurrence Python
+    model bit-for-bit."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge_strategy = st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @given(raw=edge_strategy)
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(raw):
+        edges = sorted({tuple(sorted(e)) for e in raw})
+        from impala_hashset_count_spark.operators.graph import pagerank_fixed
+
+        df = spark.createDataFrame(edges, "id_1 bigint, id_2 bigint")
+        got = {r.id: r.pr_fixed for r in pagerank_fixed(df, iters=2).collect()}
+        assert got == _pagerank_model(edges, iters=2)
+
+    check()

@@ -885,3 +885,26 @@ def stream_bloom_dedup(
         .outputMode("update")
         .start()
     )
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    snapshot_path: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """The CHANGE FEED between two snapshot versions: time-travel both
+    versions (`read_snapshot`) and diff them (`operators.merge.
+    diff_snapshots`) — the minimal I/U/D log that turns the older state
+    into the newer one. This is the read-side inverse of
+    ``stream_cdc_upsert``: the maintenance stream folds change logs
+    into versions; this recovers the NET change log between any two
+    versions for downstream incremental consumers (the Delta/Iceberg
+    "table changes" pattern), with intermediate churn collapsed
+    (insert-then-delete between the versions emits nothing)."""
+    from ..operators.merge import diff_snapshots
+
+    old = read_snapshot(spark, snapshot_path, from_version)
+    new = read_snapshot(spark, snapshot_path, to_version)
+    return diff_snapshots(old, new, key_cols)

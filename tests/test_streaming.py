@@ -976,3 +976,42 @@ def test_stream_bloom_dedup_gates_ingestion_and_replays_safely(spark, tmp_path):
     drain(str(tmp_path / "bl_ck2"))
     replay = sorted(r.key for r in spark.read.parquet(out + "/b=*").collect())
     assert replay == ["a", "b", "c", "d"]
+
+
+def test_snapshot_changes_recovers_net_log_between_versions(spark, tmp_path):
+    """Change feed between CDC snapshot versions: applying the
+    recovered diff to the older version rebuilds the newer one, and
+    churn WITHIN the interval collapses (insert-then-update shows as
+    one insert of the final value)."""
+    from impala_hashset_count_spark.operators.merge import apply_changes
+    from impala_hashset_count_spark.streaming.windows import (
+        read_snapshot,
+        snapshot_changes,
+        snapshot_versions,
+        stream_cdc_upsert,
+    )
+
+    schema = "seq bigint, k bigint, v string, op string"
+    b1 = [(1, 1, "a", "I"), (2, 2, "b", "I")]
+    b2 = [(3, 2, "b2", "U"), (4, 3, "c", "I"), (5, 3, "c2", "U"), (6, 1, None, "D")]
+    src = str(tmp_path / "sc_src")
+    snap = str(tmp_path / "sc_snap")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = stream_cdc_upsert(stream, snap, str(tmp_path / "sc_ck"), ["k"], "seq")
+    q.processAllAvailable()
+    q.stop()
+
+    v0, v1 = snapshot_versions(snap)[0], snapshot_versions(snap)[-1]
+    feed = snapshot_changes(spark, snap, v0, v1, ["k"])
+    rebuilt = apply_changes(read_snapshot(spark, snap, v0), feed, ["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, read_snapshot(spark, snap, v1).collect())
+    )
+    ops = {r.k: (r.op, r.v) for r in feed.collect()}
+    # k=3 was inserted AND updated within the interval: nets to one
+    # insert of the final value; k=1 deleted; k=2 updated
+    assert ops[3] == ("I", "c2") and ops[1][0] == "D" and ops[2] == ("U", "b2")

@@ -384,6 +384,51 @@ def _sig_expr(k: int, hash_fn: str = "xxhash64"):
     )
 
 
+def _lsh_band_rows(
+    docs: DataFrame,
+    id_col: str,
+    k: int,
+    bands: int,
+    hash_fn: str,
+    strategy: str,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows from per-doc shingle arrays — the
+    shared banding step of the batch and incremental LSH faces.
+    strategy applies to the xxhash64 production tier only: 'arrow'
+    runs the k permutation mins as numpy XXH64 sweeps, bit-identical
+    to the default 'hof' Catalyst fold (see minhash_signatures for
+    the measurement that picked the default); the md5 oracle tier
+    always uses the HOF form its SQL mirror replicates term-for-term."""
+    rows = k // bands
+    if hash_fn == "xxhash64" and strategy == "arrow":
+        sig = docs.select(F.col(id_col), _minhash_sig_arrow(k)(F.col("shs")).alias("sig"))
+    else:
+        sig = docs.select(F.col(id_col), _sig_expr(k, hash_fn=hash_fn).alias("sig"))
+
+    def band_val(b: int):
+        sl = F.slice("sig", b * rows + 1, rows)
+        if hash_fn == "xxhash64":
+            return F.xxhash64(F.lit(b), sl)
+        # md5 tier: join the slice's decimal strings — equality of the
+        # string IS equality of the tuple (no extra hash to mirror)
+        return F.concat_ws("_", F.transform(sl, lambda v: v.cast("string")))
+
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        band_val(b).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -430,40 +475,8 @@ def minhash_lsh_pairs(
     runs; always set it in production."""
     if strategy not in ("arrow", "hof"):
         raise ValueError(f"strategy must be 'arrow' or 'hof', got {strategy!r}")
-    rows = k // bands
     docs = doc_shingle_arrays(df, id_col, text_col, n, hash_fn=hash_fn).persist()
-    # strategy applies to the xxhash64 production tier only: 'arrow'
-    # runs the k permutation mins as numpy XXH64 sweeps, bit-identical
-    # to the default 'hof' Catalyst fold (see minhash_signatures for
-    # the measurement that picked the default); the md5 oracle tier
-    # always uses the HOF form its SQL mirror replicates term-for-term.
-    if hash_fn == "xxhash64" and strategy == "arrow":
-        sig = docs.select(F.col(id_col), _minhash_sig_arrow(k)(F.col("shs")).alias("sig"))
-    else:
-        sig = docs.select(F.col(id_col), _sig_expr(k, hash_fn=hash_fn).alias("sig"))
-
-    def band_val(b: int):
-        sl = F.slice("sig", b * rows + 1, rows)
-        if hash_fn == "xxhash64":
-            return F.xxhash64(F.lit(b), sl)
-        # md5 tier: join the slice's decimal strings — equality of the
-        # string IS equality of the tuple (no extra hash to mirror)
-        return F.concat_ws("_", F.transform(sl, lambda v: v.cast("string")))
-
-    band_rows = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        band_val(b).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    band_rows = _lsh_band_rows(docs, id_col, k, bands, hash_fn, strategy)
     if max_bucket_docs is not None:
         small = (
             band_rows.groupBy("band_id", "band_hash")
@@ -492,6 +505,105 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def minhash_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 32,
+    hash_fn: str = "xxhash64",
+    strategy: str = "hof",
+) -> tuple[DataFrame, DataFrame]:
+    """The STORED artifacts of a MinHash-LSH index over a corpus:
+    ``(docs, bands)`` where docs = (id, shs: array<long>) per-doc
+    hashed-shingle arrays and bands = (id, band_id, band_hash) rows.
+    Persist both (parquet, bucketed by band_hash for the join) and a
+    continuously-ingesting corpus never re-hashes history — see
+    ``minhash_lsh_pairs_incremental``."""
+    docs = doc_shingle_arrays(df, id_col, text_col, n, hash_fn=hash_fn)
+    return docs, _lsh_band_rows(docs, id_col, k, bands, hash_fn, strategy)
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    stored_docs: DataFrame,
+    stored_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+    max_bucket_docs: int | None = None,
+    hash_fn: str = "xxhash64",
+    strategy: str = "hof",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """INCREMENTAL near-dup detection: find every near-dup pair the new
+    batch introduces — new x stored AND new x new — WITHOUT re-hashing,
+    re-signing, or re-banding the stored corpus (the production shape:
+    a daily crawl lands against a 100 TB history; re-LSHing history per
+    batch would dwarf the batch itself). Exact-key incremental dedup is
+    ``exact_dedup_incremental``/``bloom_dedup_incremental``; this is
+    the NEAR-dup tier of the same story.
+
+    Returns ``(pairs, new_docs, new_bands)``: pairs as
+    (id_1, id_2, jaccard) with id_1 < id_2 (every pair touches >= 1 new
+    doc; stored x stored pairs were already found when those docs were
+    new), plus the new batch's index artifacts for the caller to APPEND
+    to the stored tables — the index is maintained by pure appends, no
+    rewrite.
+
+    Shuffle budget: signature/band work is O(new batch); the candidate
+    join probes new band rows against stored+new band rows (equi-join
+    on (band_id, band_hash) — with stored bands bucketed on band_hash,
+    history does not shuffle); exact verification joins candidates back
+    to both doc-array tables. ``max_bucket_docs`` caps combined-bucket
+    blow-ups as in the batch face. The pair set equals the batch face's
+    output restricted to pairs touching the new ids (tested — same
+    deterministic hashes, same verification)."""
+    new_docs = doc_shingle_arrays(
+        new_df, id_col, text_col, n, hash_fn=hash_fn
+    ).persist()
+    new_bands = _lsh_band_rows(new_docs, id_col, k, bands, hash_fn, strategy)
+    all_bands = stored_bands.unionByName(new_bands)
+    if max_bucket_docs is not None:
+        small = (
+            all_bands.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("__bucket_docs"))
+            .filter(F.col("__bucket_docs") <= max_bucket_docs)
+            .drop("__bucket_docs")
+        )
+        probe = new_bands.join(small, ["band_id", "band_hash"])
+        build = all_bands.join(small, ["band_id", "band_hash"])
+    else:
+        probe, build = new_bands, all_bands
+    a = probe.select(F.col(id_col).alias("id_1"), "band_id", "band_hash")
+    b = build.select(F.col(id_col).alias("id_2"), "band_id", "band_hash")
+    candidates = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_1") != F.col("id_2"))
+        .select(
+            F.least("id_1", "id_2").alias("id_1"),
+            F.greatest("id_1", "id_2").alias("id_2"),
+        )
+        .distinct()
+    )
+    all_docs = stored_docs.unionByName(new_docs)
+    d1 = all_docs.select(F.col(id_col).alias("id_1"), F.col("shs").alias("shs_1"))
+    d2 = all_docs.select(F.col(id_col).alias("id_2"), F.col("shs").alias("shs_2"))
+    common = F.size(F.array_intersect("shs_1", "shs_2"))
+    jac = common / (F.size("shs_1") + F.size("shs_2") - common)
+    pairs = (
+        candidates.join(d1, "id_1")
+        .join(d2, "id_2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return pairs, new_docs, new_bands
 
 
 def near_dup_components(

@@ -647,3 +647,60 @@ def test_prefix_filtered_jaccard_planted_threshold_boundary(spark):
         pref = sorted(map(tuple,
             ngram_jaccard_pairs_prefix(df, "doc_id", "text", threshold=t).collect()))
         assert pref == full, t
+
+
+def test_minhash_lsh_incremental_equals_batch_restricted(spark, sf_small):
+    """Incremental LSH over an 80/20 corpus split finds EXACTLY the
+    batch face's pairs that touch a new doc (same deterministic hashes,
+    same verification), and appending the returned artifacts equals
+    re-indexing everything."""
+    from impala_hashset_count_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    d = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    old = d.filter("doc_id % 5 != 0")
+    new = d.filter("doc_id % 5 = 0")
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+
+    stored_docs, stored_bands = minhash_lsh_index(old, "doc_id", "text")
+    pairs, new_docs, new_bands = minhash_lsh_pairs_incremental(
+        new, stored_docs, stored_bands, "doc_id", "text"
+    )
+    got = sorted(map(tuple, pairs.collect()))
+
+    full = minhash_lsh_pairs(d, "doc_id", "text")
+    expect = sorted(
+        tuple(r) for r in full.collect()
+        if r.id_1 in new_ids or r.id_2 in new_ids
+    )
+    assert got == expect and len(got) > 0
+
+    # index maintenance by append: stored + new artifacts == full index
+    full_docs, full_bands = minhash_lsh_index(d, "doc_id", "text")
+    assert sorted(
+        (r.doc_id, r.band_id, r.band_hash)
+        for r in stored_bands.unionByName(new_bands).collect()
+    ) == sorted(
+        (r.doc_id, r.band_id, r.band_hash) for r in full_bands.collect()
+    )
+
+
+def test_minhash_lsh_incremental_empty_batch_and_empty_history(spark, sf_small):
+    from impala_hashset_count_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    d = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    empty = d.filter("doc_id < 0")
+    docs, bands = minhash_lsh_index(d, "doc_id", "text")
+    # empty batch: nothing to pair
+    p, _nd, _nb = minhash_lsh_pairs_incremental(empty, docs, bands, "doc_id", "text")
+    assert p.count() == 0
+    # empty history: incremental == full batch face
+    edocs, ebands = minhash_lsh_index(empty, "doc_id", "text")
+    p2, _nd2, _nb2 = minhash_lsh_pairs_incremental(d, edocs, ebands, "doc_id", "text")
+    full = sorted(map(tuple, minhash_lsh_pairs(d, "doc_id", "text").collect()))
+    assert sorted(map(tuple, p2.collect())) == full

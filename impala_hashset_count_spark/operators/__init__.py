@@ -71,7 +71,12 @@ from .checks import (
 )
 from .cms import cms_accumulate, cms_estimate, cms_merge
 from .decontaminate import semantic_decontaminate
-from .dedup import edit_distance_pairs, ngram_jaccard_pairs_prefix
+from .dedup import (
+    edit_distance_pairs,
+    minhash_lsh_index,
+    minhash_lsh_pairs_incremental,
+    ngram_jaccard_pairs_prefix,
+)
 from .drift import distribution_drift, drift_from_counts
 from .fileindex import (
     build_file_index,

@@ -291,3 +291,45 @@ def distinct_state_count(
         *group_cols,
         F.when(n > 0, n.cast("string")).alias("hashset_count"),
     )
+
+
+def hashset_count_windowed(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    value_col: str,
+    order_col: str | None = None,
+    faithful: bool = True,
+) -> DataFrame:
+    """The WINDOW face of the reference aggregate: exact distinct count
+    of ``value_col`` per window partition, appended to EVERY row (the
+    group-by face collapses rows; analytics often need the count beside
+    the detail). SQL engines — Impala included — reject
+    ``COUNT(DISTINCT x) OVER (...)``; this engine provides it as
+    ``size(collect_set(x) OVER w)``: the set state is the window twin
+    of the reference's DistHashSet, built once per partition and
+    reused for every row in it.
+
+    ``order_col`` switches to the RUNNING variant (distinct values seen
+    so far, frame = unbounded preceding..current row) — the reference's
+    update loop replayed cumulatively; set state again, one window
+    shuffle either way. ``faithful=True`` keeps the reference's output
+    contract (decimal STRING, NULL for an all-NULL/empty set —
+    `/root/reference/hashset-count.cc:464-524`); False emits the
+    idiomatic BIGINT (0 on empty).
+
+    Scale note: per-partition set state — the same bounded-key
+    assumption as the reference's 300k-bucket table; for huge windows
+    use approx_count_distinct in an aggregate instead."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in part_cols])
+    if order_col is not None:
+        w = w.orderBy(F.col(order_col)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    n = F.size(F.collect_set(F.col(value_col)).over(w))
+    if faithful:
+        out = F.when(n > 0, n.cast("string"))
+    else:
+        out = n.cast("long")
+    return df.withColumn("hashset_count_w", out)

@@ -494,3 +494,46 @@ class TestDistinctStateTable:
                 sorted(map(tuple, count(st, ["event_type"]).collect()))
             )
         assert outs[0] == outs[1]
+
+
+def test_windowed_face_matches_groupby_face(spark, sf_small):
+    """COUNT(DISTINCT) OVER a window — which SQL engines (Impala
+    included) reject — equals the group-by face joined back, with the
+    reference's string/NULL contract; the running variant is
+    monotone and ends at the partition total."""
+    from impala_hashset_count_spark.operators.hashset_count import (
+        hashset_count_df,
+        hashset_count_windowed,
+    )
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").select(
+        "l_returnflag", "l_partkey", "l_orderkey"
+    )
+    win = hashset_count_windowed(li, ["l_returnflag"], "l_partkey")
+    grp = hashset_count_df(li, ["l_returnflag"], ["l_partkey"])
+    joined = win.join(grp, "l_returnflag")
+    assert joined.filter(
+        F.col("hashset_count_w") != F.col("hashset_count_l_partkey")
+    ).count() == 0
+
+    # NULL-not-0 contract on an all-NULL partition
+    df = spark.createDataFrame(
+        [("g", None), ("g", None), ("h", "x")], "k string, v string"
+    )
+    rows = {(r.k): r.hashset_count_w
+            for r in hashset_count_windowed(df, ["k"], "v").collect()}
+    assert rows["g"] is None and rows["h"] == "1"
+
+    # running variant: monotone per partition, final value == total
+    run = hashset_count_windowed(
+        li.limit(500), ["l_returnflag"], "l_partkey",
+        order_col="l_orderkey", faithful=False,
+    )
+    import itertools
+
+    per = {}
+    for r in run.sort("l_returnflag", "l_orderkey").collect():
+        per.setdefault(r.l_returnflag, []).append(r.hashset_count_w)
+    for flag, seq in per.items():
+        assert all(a <= b for a, b in itertools.pairwise(seq))
+        assert seq[-1] == max(seq)

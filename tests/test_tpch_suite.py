@@ -327,6 +327,27 @@ _Q22 = """
     ORDER BY cntrycode
 """
 
+
+# Not a TPC-H shape but the same one-SQL-text protocol: NULL-SAFE
+# equality join (IS NOT DISTINCT FROM) — NULL keys pair with NULL keys
+# (plain equi-join semantics silently drop them), plus grouping on a
+# nullable key. NULLIF manufactures deterministic NULLs from the
+# non-null testdata.
+_NULLSAFE = """
+    WITH a AS (
+        SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS p
+        FROM orders WHERE o_orderkey <= 400
+    ),
+    b AS (
+        SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS p
+        FROM orders WHERE o_orderkey <= 400
+    )
+    SELECT a.p AS p, COUNT(*) AS n_pairs
+    FROM a JOIN b
+      ON a.p IS NOT DISTINCT FROM b.p AND a.o_orderkey < b.o_orderkey
+    GROUP BY a.p
+"""
+
 SUITE = {
     "q2": _Q2,
     "q9": _Q9,
@@ -346,6 +367,7 @@ SUITE = {
     "q15": _Q15,
     "q18": _Q18,
     "q19": _Q19,
+    "nullsafe_join": _NULLSAFE,
 }
 
 

@@ -67,6 +67,8 @@ def curate_corpus(
     strip_boilerplate_min_docs: int | None = None,
     min_unigram_lp: float | None = None,
     quality_model_weights: dict | None = None,
+    history_keys: DataFrame | None = None,
+    history_filter: str = "exact",
 ) -> dict:
     """Run the full curation flow over ``{sf_dir}/documents.parquet``
     and write packed training sequences to ``out_dir``.
@@ -153,7 +155,36 @@ def curate_corpus(
 
     deduped = exact_dedup(
         docs.withColumn("__fp", fingerprint_md5("text")), ["__fp"], "doc_id"
-    ).drop("__fp")
+    )
+    n_after_history = None
+    if history_keys is not None:
+        # incremental-ingestion gate: drop documents whose normalized
+        # fingerprint the corpus has already admitted. 'exact' anti-joins
+        # the (distinct, broadcastable) history key set; 'bloom' probes a
+        # filter built over it (operators/bloom.py — the new batch never
+        # shuffles against a 100 TB history; ~fpp genuinely-new docs
+        # wrongly dropped, no false survivals).
+        hk = history_keys.selectExpr(
+            f"{history_keys.columns[0]} AS __fp"
+        ).where(F.col("__fp").isNotNull())
+        if history_filter == "exact":
+            deduped = deduped.join(hk.distinct(), ["__fp"], "left_anti")
+        elif history_filter == "bloom":
+            from .operators.bloom import bloom_build, bloom_probe, suggest_bits
+
+            bits = suggest_bits(1_000_000, 0.01)
+            filt = bloom_build(hk, "__fp", bits)
+            deduped = (
+                bloom_probe(deduped, "__fp", filt, bits)
+                .filter(~F.col("maybe_seen"))
+                .drop("maybe_seen")
+            )
+        else:
+            raise ValueError(
+                f"history_filter must be 'exact' or 'bloom', got {history_filter!r}"
+            )
+        n_after_history = deduped.count()
+    deduped = deduped.drop("__fp")
     n_after_dedup = deduped.count()
     n_after_near_dedup = None
     if near_dup_threshold is not None:
@@ -232,6 +263,7 @@ def curate_corpus(
     return {
         "n_docs": n_docs,
         "n_boilerplate_lines": n_boilerplate_lines,
+        "n_after_history": n_after_history,
         "n_after_dedup": n_after_dedup,
         "n_after_near_dedup": n_after_near_dedup,
         "n_after_decontaminate": n_after_decontaminate,

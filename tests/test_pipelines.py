@@ -228,3 +228,39 @@ def test_curate_corpus_model_gate(spark, sf_small, tmp_path):
     # the gate is exactly logit > 0 over the post-dedup corpus
     approved = docs.filter(quality_logit_expr(w) > 0).count()
     assert gated["n_after_quality"] <= approved
+
+
+def test_curate_corpus_history_gate_exact_and_bloom(spark, sf_small, tmp_path):
+    """Incremental ingestion: documents whose fingerprint history
+    already holds are dropped before curation; the bloom tier drops a
+    superset (no false survivals) of what the exact tier drops."""
+    from impala_hashset_count_spark.functions.text import fingerprint_md5
+    from impala_hashset_count_spark.pipelines import curate_corpus
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    history = docs.filter("doc_id % 4 = 0").select(
+        fingerprint_md5("text").alias("fp")
+    )
+    base = curate_corpus(spark, sf_small, str(tmp_path / "o0"))
+    exact = curate_corpus(
+        spark, sf_small, str(tmp_path / "o1"),
+        history_keys=history, history_filter="exact",
+    )
+    bloom = curate_corpus(
+        spark, sf_small, str(tmp_path / "o2"),
+        history_keys=history, history_filter="bloom",
+    )
+    assert base["n_after_history"] is None
+    assert exact["n_after_history"] < base["n_after_dedup"]
+    assert exact["n_after_dedup"] == exact["n_after_history"]
+    # bloom never passes a true duplicate: it keeps at most what exact keeps
+    assert bloom["n_after_history"] <= exact["n_after_history"]
+    # and with a 1% fpp filter over this tiny history it keeps almost all
+    assert bloom["n_after_history"] >= exact["n_after_history"] * 0.95
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        curate_corpus(spark, sf_small, str(tmp_path / "o3"),
+                      history_keys=history, history_filter="nope")

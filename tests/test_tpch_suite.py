@@ -348,6 +348,37 @@ _NULLSAFE = """
     GROUP BY a.p
 """
 
+
+# Window-function engine parity: ranked/lagged/running-frame window
+# expressions as one SQL text. Note CAST(double AS BIGINT) is NOT
+# portable (DuckDB rounds, Spark truncates) — FLOOR first.
+_WINFNS = """
+    SELECT c_nationkey,
+           c_custkey,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS rn,
+           LAG(c_custkey) OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS prev_cust,
+           SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+    FROM customer
+    WHERE c_custkey <= 300
+"""
+
+# Correlated LATERAL subquery parity: per-customer aggregates computed
+# in a lateral derived table (Catalyst decorrelates to a join).
+_LATERAL = """
+    SELECT c.c_custkey, t.n_orders, t.max_total_cents
+    FROM customer c,
+         LATERAL (
+            SELECT COUNT(*) AS n_orders,
+                   MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS max_total_cents
+            FROM orders o WHERE o.o_custkey = c.c_custkey
+         ) t
+    WHERE c.c_custkey <= 100
+"""
+
 SUITE = {
     "q2": _Q2,
     "q9": _Q9,
@@ -368,6 +399,8 @@ SUITE = {
     "q18": _Q18,
     "q19": _Q19,
     "nullsafe_join": _NULLSAFE,
+    "window_fns": _WINFNS,
+    "lateral_agg": _LATERAL,
 }
 
 

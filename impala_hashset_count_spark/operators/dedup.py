@@ -928,8 +928,6 @@ def ngram_jaccard_pairs_prefix(
     (vocabulary-sized) buys a candidate set orders of magnitude
     smaller on skewed corpora; pair counts are asserted <= the full
     inverted-index candidate count in tests, with output equality."""
-    import math
-
     sd = shingle_sets(df, id_col, text_col, n).cache()
     sizes = sd.groupBy(id_col).agg(F.count("*").alias("sz"))
     dfreq = sd.groupBy("sh").agg(F.count("*").alias("gdf"))

@@ -100,6 +100,7 @@ def tfidf_top_terms(
     k: int = 3,
     broadcast_vocab: bool = True,
     tf_table: DataFrame | None = None,
+    integer_scores: bool = False,
 ) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF.
 
@@ -118,7 +119,15 @@ def tfidf_top_terms(
     corpus-proportional with partial-agg / rank-limit pushdown, 2 is
     vocabulary-sized. Pass ``tf_table`` (a materialized
     ``term_doc_stats`` output) to share the corpus explode with other
-    statistics families — the production shape at 100 TB."""
+    statistics families — the production shape at 100 TB.
+
+    ``integer_scores=True`` emits ``tfidf`` as the BIGINT fixed-point
+    value itself (``floor(score*1e4 + 0.5)``) instead of dividing back
+    to a double — the hash-gate-safe surface: an all-integer column
+    survives every engine->pandas conversion with dtype intact
+    (DuckDB's HUGEINT and float64 conversions are exactly what made a
+    mixed union column hash-diverge on the external driver). Ranking is
+    identical either way (same quantized values)."""
     tf = tf_table if tf_table is not None else term_doc_stats(df, id_col, text_col)
     dfreq = doc_frequency(tf)
     if broadcast_vocab:
@@ -126,20 +135,14 @@ def tfidf_top_terms(
     n_docs = df.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     ).agg(F.count("*").alias("__n"))
+    score_expr = F.col("tf") * (
+        F.log((1 + F.col("__n")) / (1 + F.col("df"))) + F.lit(1.0)
+    )
+    quant = _qint(score_expr, 1e4) if integer_scores else _qfix(score_expr, 1e4)
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            _qfix(
-                F.col("tf")
-                * (
-                    F.log((1 + F.col("__n")) / (1 + F.col("df")))
-                    + F.lit(1.0)
-                ),
-                1e4,
-            ),
-        )
+        .withColumn("tfidf", quant)
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -157,6 +160,7 @@ def bm25_topn(
     k1: float = 1.2,
     b: float = 0.75,
     n: int = 20,
+    integer_scores: bool = False,
 ) -> DataFrame:
     """Okapi BM25 document ranking for a bag-of-words query.
 
@@ -170,7 +174,9 @@ def bm25_topn(
     micro-units (``_qint(., 1e6)``), divided back to a double: integer
     addition is order-independent, so the emitted score is bit-stable
     across partitionings AND engines (a float SUM rounded after the
-    fact is not — the summation order differs).
+    fact is not — the summation order differs). ``integer_scores=True``
+    emits the BIGINT micro-unit sum itself (no divide back to double) —
+    the hash-gate-safe all-integer surface.
 
     The corpus-wide pieces (N, avgdl) are one tiny aggregate; tf and df
     for the QUERY terms only come from a per-row ``array_intersect``
@@ -235,13 +241,16 @@ def bm25_topn(
             ),
         )
     )
+    micro_sum = F.sum(_qint(F.col("__contrib"), 1e6)).cast("long")
+    score = (
+        micro_sum
+        if integer_scores
+        else (micro_sum.cast("double") / F.lit(1e6))
+    )
     return (
         scored.groupBy(id_col)
         .agg(
-            (
-                F.sum(_qint(F.col("__contrib"), 1e6)).cast("double")
-                / F.lit(1e6)
-            ).alias("score"),
+            score.alias("score"),
             F.count("*").alias("n_matched"),
         )
         .orderBy(F.col("score").desc(), F.col(id_col))
@@ -317,6 +326,7 @@ def unigram_logprob_scores(
     text_col: str = "text",
     broadcast_vocab: bool = True,
     tf_table: DataFrame | None = None,
+    integer_scores: bool = False,
 ) -> DataFrame:
     """Corpus-trained unigram language-model score per document: the
     mean natural-log probability of the document's token instances
@@ -336,6 +346,12 @@ def unigram_logprob_scores(
     Returns (id, n_tokens, mean_lp) with the log-prob sum accumulated
     as an exact BIGINT of micro-unit addends (``_qint(., 1e6)``) so the
     emitted mean is bit-stable across partitionings and engines.
+    ``integer_scores=True`` emits the BIGINT micro-unit SUM itself in
+    place of the mean (same ``mean_lp`` slot, column renamed
+    ``lp_micro``): mean = lp_micro / 1e6 / n_tokens is recoverable, and
+    the all-integer surface is the one a dtype-sensitive hash gate can
+    compare across engines (a final float division is where
+    engine->pandas conversions diverge).
     Shuffle account: the one corpus
     explode feeds the partial-aggregated (doc, term) shuffle, the
     token-count table (vocabulary-sized) aggregates on top and
@@ -348,22 +364,19 @@ def unigram_logprob_scores(
     if broadcast_vocab:
         counts = F.broadcast(counts)
     total = tf.agg(F.sum("tf").alias("__T"))
+    micro = F.sum(
+        _qint(F.col("tf") * F.log(F.col("c") / F.col("__T")), 1e6)
+    ).cast("long")
+    score = (
+        micro.alias("lp_micro")
+        if integer_scores
+        else ((micro.cast("double") / F.lit(1e6)) / F.sum("tf")).alias("mean_lp")
+    )
     return (
         tf.join(counts, "term")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
-        .agg(
-            F.sum("tf").cast("long").alias("n_tokens"),
-            (
-                (
-                    F.sum(
-                        _qint(F.col("tf") * F.log(F.col("c") / F.col("__T")), 1e6)
-                    ).cast("double")
-                    / F.lit(1e6)
-                )
-                / F.sum("tf")
-            ).alias("mean_lp"),
-        )
+        .agg(F.sum("tf").cast("long").alias("n_tokens"), score)
     )
 
 

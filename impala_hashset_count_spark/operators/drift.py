@@ -137,7 +137,8 @@ def drift_oracle_ctes(slice_a_sql: str, slice_b_sql: str, alpha: float = 0.5,
                COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
         FROM {p}ta FULL OUTER JOIN {p}tb ON {p}ta.tok = {p}tb.tok
     ),
-    {p}tt AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b, COUNT(*) AS v
+    {p}tt AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                     CAST(SUM(c_b) AS BIGINT) AS n_b, COUNT(*) AS v
               FROM {p}jj),
     {p}xx AS (
         SELECT c_a, c_b, n_a, n_b, v,
@@ -147,7 +148,7 @@ def drift_oracle_ctes(slice_a_sql: str, slice_b_sql: str, alpha: float = 0.5,
     ),
     {p}ag AS (
         SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b, MAX(v) AS v,
-               SUM(ABS(c_a * n_b - c_b * n_a)) AS tv_num,
+               CAST(SUM(ABS(c_a * n_b - c_b * n_a)) AS BIGINT) AS tv_num,
                CAST(SUM(CAST(FLOOR(p * LN(p / ((p + q) / 2.0)) * {q_scale} + 0.5)
                         AS BIGINT)) AS BIGINT) AS kl_ab_q,
                CAST(SUM(CAST(FLOOR(q * LN(q / ((p + q) / 2.0)) * {q_scale} + 0.5)

@@ -525,11 +525,15 @@ _HYGIENE_ORACLE = f"""
     {_DRIFT_CTES},
     {_BLOOM_CTES},
     bmetrics AS (
-        SELECT SUM(CASE WHEN NOT maybe_seen THEN 1 ELSE 0 END) AS kept,
-               SUM(CASE WHEN maybe_seen THEN 1 ELSE 0 END) AS dropped,
-               SUM(CASE WHEN maybe_seen
-                        AND key NOT IN (SELECT key FROM bhist)
-                   THEN 1 ELSE 0 END) AS false_drop
+        -- CAST: DuckDB SUM(int) returns HUGEINT, which is pandas-lossy
+        -- (float64) and would retype the UNION's n1 column vs Spark
+        SELECT CAST(SUM(CASE WHEN NOT maybe_seen THEN 1 ELSE 0 END)
+                    AS BIGINT) AS kept,
+               CAST(SUM(CASE WHEN maybe_seen THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dropped,
+               CAST(SUM(CASE WHEN maybe_seen
+                             AND key NOT IN (SELECT key FROM bhist)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS false_drop
         FROM bprobe
     )
     SELECT 'stats' AS tag, CAST(NULL AS BIGINT) AS doc_id,
@@ -1323,7 +1327,7 @@ _TRANSITIVE_ORACLE = r"""
     UNION ALL
     SELECT 'pagerank' AS tag, id, CAST(NULL AS BIGINT) AS rep,
            CAST(NULL AS BIGINT) AS degree, CAST(NULL AS BIGINT) AS n_triangles,
-           pr AS pr_fixed
+           CAST(pr AS BIGINT) AS pr_fixed
     FROM pr3
 """
 
@@ -1651,9 +1655,14 @@ _CORPUS_STATS_ORACLE = r"""
     dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
     n AS (SELECT COUNT(*) AS n_docs FROM base),
     tfidf_scored AS (
+        -- all-integer hashed surface: the BIGINT fixed-point score
+        -- itself, never divided back to DOUBLE (and never HUGEINT:
+        -- DuckDB's pandas conversion turns HUGEINT into float64, which
+        -- a dtype-sensitive hash gate sees as a different column than
+        -- Spark's int64 even when every value is equal)
         SELECT tf.doc_id, tf.term, tf.tf,
                CAST(FLOOR(tf.tf * (LN((1 + n.n_docs) / (1 + dfreq.df)) + 1)
-                          * 1e4 + 0.5) AS DOUBLE) / 1e4 AS tfidf
+                          * 1e4 + 0.5) AS BIGINT) AS tfidf
         FROM tf JOIN dfreq USING (term) CROSS JOIN n
     ),
     tfidf_ranked AS (
@@ -1681,8 +1690,8 @@ _CORPUS_STATS_ORACLE = r"""
     ),
     bm25 AS (
         SELECT doc_id,
-               CAST(SUM(CAST(FLOOR(c * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-                   / 1e6 AS score,
+               CAST(SUM(CAST(FLOOR(c * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS score,
                COUNT(*) AS n_matched
         FROM contrib GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT 20
@@ -1697,10 +1706,13 @@ _CORPUS_STATS_ORACLE = r"""
     ),
     tot AS (SELECT SUM(tf) AS t FROM tf),
     ulp AS (
-        SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
-               (CAST(SUM(CAST(FLOOR(tf.tf * LN(per_term.nrun * 1.0 / tot.t)
-                                    * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-                / 1e6) / SUM(tf.tf) AS mean_lp
+        -- CAST(SUM(BIGINT)) back to BIGINT: DuckDB's SUM returns
+        -- HUGEINT, which would promote the whole UNION column and
+        -- reach pandas as float64 — the round-2/3 driver hash failure
+        SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(FLOOR(tf.tf * LN(per_term.nrun * 1.0 / tot.t)
+                                   * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS lp_micro
         FROM tf JOIN per_term USING (term) CROSS JOIN tot
         GROUP BY tf.doc_id
     )
@@ -1712,7 +1724,7 @@ _CORPUS_STATS_ORACLE = r"""
     UNION ALL
     SELECT 'toptok', NULL, term, nrun, NULL, n_docs FROM toptok
     UNION ALL
-    SELECT 'unigram_lp', doc_id, NULL, n_tokens, mean_lp, NULL FROM ulp
+    SELECT 'unigram_lp', doc_id, NULL, n_tokens, lp_micro, NULL FROM ulp
     UNION ALL
     SELECT 'toptok_sk', NULL, term, nrun, NULL, NULL FROM (
         SELECT term, nrun FROM per_term ORDER BY nrun DESC, term LIMIT 20
@@ -1726,14 +1738,24 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``tfidf``: top-3 characteristic terms per document (smoothed
       TF-IDF, sklearn formula) — (doc_id, term, tf->n1, tfidf->v,
-      rank->n2).
+      rank->n2); v is the BIGINT 1e-4 fixed-point score.
     - ``bm25``: Okapi BM25 top-20 documents for the bag-of-words query
-      ``hash merge scan`` — (doc_id, n_matched->n1, score->v).
+      ``hash merge scan`` — (doc_id, n_matched->n1, score->v); v is
+      the BIGINT micro-unit score sum.
     - ``toptok``: corpus-wide top-20 tokens with doc frequency — the
       boilerplate detector — (term, n->n1, n_docs->n2).
-    - ``unigram_lp``: corpus-trained unigram-LM mean log-probability
+    - ``unigram_lp``: corpus-trained unigram-LM log-probability mass
       per document — the model-free LM quality signal —
-      (doc_id, n_tokens->n1, mean_lp->v).
+      (doc_id, n_tokens->n1, lp_micro->v); mean log-prob =
+      v / 1e6 / n1.
+
+    The hashed ``v`` column is all-BIGINT by design (no floats reach
+    the driver's canonicalizer), and every oracle aggregate is CAST to
+    BIGINT: DuckDB's SUM(BIGINT) returns HUGEINT, whose pandas
+    conversion is float64 — which silently retypes the whole UNION
+    column and fails a dtype-sensitive value hash even when every value
+    compares equal as Python objects (the round-2/3 driver-only
+    failure; tests/test_registry_lint.py now bans HUGEINT oracles).
     - ``toptok_sk``: the same top-20 through the MERGEABLE
       frequent-items sketch path (per-lang ``approx_top_k_accumulate``
       -> ``approx_top_k_combine`` -> estimate): exact while the
@@ -1762,7 +1784,13 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tf_table=`` for exactly that)."""
     d = _t(spark, sf_dir, "documents")
     tf_shared = term_doc_stats(d)
-    tfidf = tfidf_top_terms(d, k=3, tf_table=tf_shared).select(
+    # every arm's v is a BIGINT fixed-point score (integer_scores=True):
+    # the hashed surface carries NO floats, so no engine->pandas dtype
+    # conversion (DuckDB HUGEINT->float64 was the round-2/3 driver hash
+    # failure) and no float-formatting detail can diverge
+    tfidf = tfidf_top_terms(
+        d, k=3, tf_table=tf_shared, integer_scores=True
+    ).select(
         F.lit("tfidf").alias("tag"),
         "doc_id",
         "term",
@@ -1770,7 +1798,7 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").alias("v"),
         F.col("rank").cast("long").alias("n2"),
     )
-    bm = bm25_topn(d, list(_BM25_TERMS), n=20).select(
+    bm = bm25_topn(d, list(_BM25_TERMS), n=20, integer_scores=True).select(
         F.lit("bm25").alias("tag"),
         "doc_id",
         F.lit(None).cast("string").alias("term"),
@@ -1783,15 +1811,17 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("doc_id"),
         "term",
         F.col("n").alias("n1"),
-        F.lit(None).cast("double").alias("v"),
+        F.lit(None).cast("long").alias("v"),
         F.col("n_docs").alias("n2"),
     )
-    ulp = unigram_logprob_scores(d, tf_table=tf_shared).select(
+    ulp = unigram_logprob_scores(
+        d, tf_table=tf_shared, integer_scores=True
+    ).select(
         F.lit("unigram_lp").alias("tag"),
         "doc_id",
         F.lit(None).cast("string").alias("term"),
         F.col("n_tokens").alias("n1"),
-        F.col("mean_lp").alias("v"),
+        F.col("lp_micro").alias("v"),
         F.lit(None).cast("long").alias("n2"),
     )
     # the mergeable frequent-items SKETCH tier under the hash signal:
@@ -1806,7 +1836,7 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("doc_id"),
             F.col("token").alias("term"),
             F.col("est_count").alias("n1"),
-            F.lit(None).cast("double").alias("v"),
+            F.lit(None).cast("long").alias("v"),
             F.lit(None).cast("long").alias("n2"),
         )
     )

@@ -57,10 +57,14 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 #: whose driver verification is newest, so any future truncation cuts
 #: only long-proven entries.
 _SWEEP_FIRST = (
-    # round-3 changes — newest hard-signal verification first: the
-    # real-PNG-decode and edit-distance arms, then the two r2 non-green
-    # rows (fixed), the newly oracle'd simhash, and the entries that
-    # grew tagged branches this round
+    # round-4 changes first. corpus_stats_documents failed the driver
+    # hash in BOTH r2 and r3 while every local comparison (including
+    # exact-float repr) passed: the oracle's SUM(BIGINT) returned a
+    # DuckDB HUGEINT, whose pandas conversion is float64 — retyping the
+    # whole UNION n1 column vs Spark's int64 under the driver's
+    # dtype-sensitive value hash. r4 fix: all-BIGINT hashed surface +
+    # CAST every integer SUM; tests/test_registry_lint.py now DESCRIBEs
+    # every oracle and bans pandas-lossy types outright.
     "multimodal_image_pipeline",
     "dedup_ngram_jaccard",
     "dedup_exact_stats",

@@ -417,7 +417,8 @@ def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame
                    (doc_id * 7 + UNNEST(RANGE(w * h * 3)) * 13) % 256 AS v
             FROM dims
         ),
-        psum AS (SELECT doc_id, SUM(v) AS pix_sum FROM pix GROUP BY doc_id),
+        psum AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS pix_sum
+                 FROM pix GROUP BY doc_id),
         od AS (
             SELECT doc_id, w, h,
                    CAST(GREATEST(1, FLOOR(w * LEAST(16.0 / w, 16.0 / h)))
@@ -440,7 +441,8 @@ def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame
                        + UNNEST(RANGE(3))) * 13) % 256 AS v
             FROM oxy
         ),
-        osum AS (SELECT doc_id, SUM(v) AS out_sum FROM opix GROUP BY doc_id)
+        osum AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS out_sum
+                 FROM opix GROUP BY doc_id)
         SELECT 'stub' AS tag, doc_id,
                CAST(n AS INTEGER) AS byte_len,
                CAST(w AS INTEGER) AS width,

@@ -50,6 +50,82 @@ def test_oracle_query_has_no_unaliased_columns(spark, sf_small, name):
     assert not bad, f"{name}: suspicious auto-generated column names {bad}"
 
 
+#: engine type -> pandas dtype "kind" the driver's canonicalizer sees.
+#: Both engines must land on the SAME kind per column, or the value
+#: hash diverges even when every value compares equal as a Python
+#: object (round-3 lesson: DuckDB SUM(BIGINT) returns HUGEINT, whose
+#: pandas conversion is float64, silently retyping the whole UNION
+#: column while Spark's side stayed int64 — corpus_stats_documents
+#: failed the driver hash two rounds running on exactly this).
+_DUCK_KIND = {
+    "TINYINT": "i", "SMALLINT": "i", "INTEGER": "i", "BIGINT": "i",
+    "UTINYINT": "i", "USMALLINT": "i", "UINTEGER": "i",
+    "FLOAT": "f", "DOUBLE": "f",
+    "VARCHAR": "s", "BOOLEAN": "b", "DATE": "d",
+}
+#: types whose pandas conversion is lossy or engine-specific — never
+#: allowed on an oracle's output surface (CAST them away in the SQL)
+_DUCK_BANNED = ("HUGEINT", "UHUGEINT", "UBIGINT", "DECIMAL")
+
+
+def _spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(dt, T.StringType):
+        return "s"
+    if isinstance(dt, T.BooleanType):
+        return "b"
+    if isinstance(dt, T.DateType):
+        return "d"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "t"
+    return f"?{dt.simpleString()}"
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_dtype_kinds_match_spark(spark, sf_small, name):
+    """DuckDB ``DESCRIBE`` of the oracle (binding only, no execution)
+    vs the Spark result schema: per column, both engines must convert
+    to the same pandas dtype kind, and no pandas-lossy DuckDB type
+    (HUGEINT & co) may appear at all. NULL-bearing integer columns
+    widen to float64 identically on both sides, so kind-level equality
+    here is exactly driver-level dtype equality."""
+    import duckdb
+
+    from impala_hashset_count_spark.sources.tables import TABLES, table_path
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{table_path(sf_small, t)}')"
+            )
+        desc = con.execute("DESCRIBE " + QUERIES[name].oracle).fetchall()
+    finally:
+        con.close()
+    duck = {r[0].lower(): r[1].upper() for r in desc}
+    banned = {c: t for c, t in duck.items() if t.startswith(_DUCK_BANNED)}
+    assert not banned, (
+        f"{name}: oracle emits pandas-lossy DuckDB types {banned} — "
+        f"CAST the aggregate (DuckDB SUM(int) returns HUGEINT)"
+    )
+    sdf = QUERIES[name].fn(spark, sf_small)
+    skinds = {f.name.lower(): _spark_kind(f.dataType) for f in sdf.schema.fields}
+    dkinds = {
+        c: _DUCK_KIND.get(t.split("(")[0], f"?{t}")
+        if not t.startswith("TIMESTAMP") else "t"
+        for c, t in duck.items()
+    }
+    assert skinds == dkinds, (
+        f"{name}: engine dtype-kind mismatch spark={skinds} duckdb={dkinds}"
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     [

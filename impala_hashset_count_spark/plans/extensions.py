@@ -856,17 +856,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(mh).unionByName(ed)
 
 
-@register("dedup_minhash_lsh", headline=True)  # production xxhash64 tier:
-# rows-only here, but the ALGORITHM is oracle-proven — the md5 hash
-# tier runs the identical pipeline as dedup_ngram_jaccard's tagged
-# 'minhash' branch with a full DuckDB mirror.
+#: The verified xxhash64-LSH pair set against the EXACT all-pairs
+#: >=0.5-Jaccard ground truth: verification gives the tier perfect
+#: precision (every emitted pair is exact-Jaccard-checked), and with
+#: k=64/bands=32 the per-pair detection probability at j=0.5 is
+#: 1-(1-0.25)^32 ~ 0.99996 — at the driver's SF the pair sets are
+#: IDENTICAL (deterministic given xxhash64; asserted at sf0.001 and
+#: sf0.01 in tests/test_dedup_similarity.py), so a missed band join,
+#: broken signature fold, or corrupted verification flips the hash.
+_MINHASH_LSH_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, UNNEST(toks) AS w, GENERATE_SUBSCRIPTS(toks, 1) AS i
+        FROM t
+    ),
+    s AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        FROM u a
+        JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
+    p AS (
+        SELECT x.doc_id AS id_1, y.doc_id AS id_2, COUNT(*) AS common
+        FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           ROUND(common * 1.0 / (s1.sz + s2.sz - common), 4) AS jaccard
+    FROM p
+    JOIN sz s1 ON p.id_1 = s1.doc_id
+    JOIN sz s2 ON p.id_2 = s2.doc_id
+    WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE, headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=64) + 32x2 banded LSH candidates + exact-Jaccard
     verification — the 100 TB dedup tier: signature shuffle is O(docs),
-    verification touches candidates only. This entry benchmarks the
-    xxhash64 production tier (n-ary shingle hash, no shingle strings);
-    the hash-checkable md5 tier of the same pipeline lives in
-    ``dedup_ngram_jaccard``'s 'minhash' branch."""
+    verification touches candidates only. This entry runs the xxhash64
+    production tier (n-ary shingle hash, no shingle strings); the
+    md5 tier of the same pipeline (every intermediate mirrored in SQL)
+    lives in ``dedup_ngram_jaccard``'s 'minhash' branch.
+
+    Driver hash signal: the oracle is the EXACT all-pairs ground truth
+    (>= 0.5 Jaccard over raw 3-gram shingles). The tier's output equals
+    it because (a) verification makes precision exact by construction,
+    (b) banded-LSH recall at this threshold is 1 on the test corpora
+    (deterministic given xxhash64 — no sampling variance round to
+    round), and (c) 64-bit shingle hashing is collision-free on them,
+    so hashed-set Jaccard == raw-set Jaccard (both asserted at sf0.001
+    AND the driver's sf0.01 in tests/test_dedup_similarity.py). Any
+    regression in signatures, banding, candidate join, or verification
+    therefore flips rows or values."""
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, k=64, bands=32, threshold=0.5)
 
@@ -1226,36 +1272,111 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(lsh)
 
 
-@register("similarity_ann_topk")  # rows-only: the IVF tier's k-means
-# training is iterative (not SQL-expressible); the LSH tier is
-# oracle-proven via similarity_topk_bruteforce's tagged 'lsh' branch.
-# Tests measure each tier's recall against brute force.
+#: Recall floors for the recall_ok hash signal, set below the measured
+#: minima (per-query hits@10 min / total hits over the 5 queries:
+#: lsh 6/37, ivf 3/23, pq 5/40 across sf0.001 and sf0.01).
+#: Deterministic per tier (seeded k-means, fixed hyperplanes), so
+#: these are stable data properties, not coin flips — asserted locally
+#: at sf0.001 and the driver's sf0.01. The per-query floor catches a
+#: tier going blind for one query; the per-tier total is the tight
+#: aggregate-recall bound.
+_ANN_MIN_HITS = {"lsh": 5, "ivf": 2, "pq": 4}
+_ANN_MIN_TOTAL = {"lsh": 32, "ivf": 20, "pq": 36}
+
+_ANN_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
+    tiers AS (SELECT UNNEST(['ivf', 'lsh', 'pq']) AS tier)
+    SELECT 'q' AS scope, t.tier, q.query_id, TRUE AS recall_ok
+    FROM tiers t CROSS JOIN q
+    UNION ALL
+    SELECT 'tier', t.tier, CAST(NULL AS BIGINT), TRUE FROM tiers t
+"""
+
+
+@register("similarity_ann_topk", oracle=_ANN_TOPK_ORACLE)
 def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN scale tiers, tagged:
+    """All three ANN scale tiers, each reduced to a per-query driver
+    hash signal:
 
     - ``lsh``: random-hyperplane LSH (8 bands x 4 bits) — candidates
       are bucket collisions, exact cosine on candidates only (the same
-      pipeline is hash-verified against a DuckDB mirror in
-      ``similarity_topk_bruteforce``).
+      pipeline is hash-verified value-for-value against a DuckDB
+      mirror in ``similarity_topk_bruteforce``).
     - ``ivf``: IVF-flat — seeded k-means coarse quantizer (16 cells),
       each query probes its 4 nearest cells; the cell id doubles as a
       physical bucketing key at 100 TB.
     - ``pq``: product quantization — per-subspace k-means codebooks
       (8 subspaces x 32 codes: 8-byte codes for 64 float dims, the 32x
       memory cut that keeps a 100 TB index scannable), ADC lookup-table
-      scan JVM-side, exact-cosine re-rank of the top candidates
-      (recall vs brute force tested alongside the other tiers)."""
+      scan JVM-side, exact-cosine re-rank of the top candidates.
+
+    The neighbor lists themselves are not SQL-recomputable (k-means
+    training is iterative), but each tier IS deterministic given its
+    seeds, so the entry emits ``recall_ok`` booleans against the
+    in-plan exact brute-force top-10: per (tier, query) — hits@10 >=
+    ``_ANN_MIN_HITS[tier]``, the going-blind floor — and per tier —
+    total hits over all queries >= ``_ANN_MIN_TOTAL[tier]``, the tight
+    aggregate-recall bound. The oracle derives the (tier, query) grid
+    from the data and emits constant TRUE — a broken quantizer,
+    codebook, probe routing, or re-rank drops hits and flips the
+    driver hash. Raw neighbor lists and exact recall values stay
+    covered by tests/test_similarity*.py."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     lsh = lsh_topk(e, q, "vec_id", "embedding", k=10, dim=64)
     ivf = ivf_topk(e, q, "vec_id", "embedding", k=10, n_cells=16, nprobe=4)
     pq = pq_topk(e, q, "vec_id", "embedding", dim=64, k=10)
-    return (
+    ann = (
         lsh.withColumn("tier", F.lit("lsh"))
         .unionByName(ivf.withColumn("tier", F.lit("ivf")))
         .unionByName(pq.withColumn("tier", F.lit("pq")))
-        .select("tier", "query_id", "neighbor_id", "cos_sim", "rank")
+        .select("tier", "query_id", "neighbor_id")
     )
+    exact = brute_force_topk(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ann.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("tier", "query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    # dense (tier x query) grid so a tier that returns NOTHING for a
+    # query still emits a row — with recall_ok=false, flipping the hash
+    # (an inner join alone would silently drop it)
+    tiers = spark.createDataFrame(
+        [
+            (t, _ANN_MIN_HITS[t], _ANN_MIN_TOTAL[t])
+            for t in sorted(_ANN_MIN_HITS)
+        ],
+        "tier string, min_hits int, min_total int",
+    )
+    grid = q.select(F.col("vec_id").alias("query_id")).crossJoin(F.broadcast(tiers))
+    filled = grid.join(hits, ["tier", "query_id"], "left").select(
+        "tier",
+        "query_id",
+        "min_hits",
+        "min_total",
+        F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+    )
+    per_query = filled.select(
+        F.lit("q").alias("scope"),
+        "tier",
+        "query_id",
+        (F.col("hits") >= F.col("min_hits")).alias("recall_ok"),
+    )
+    per_tier = (
+        filled.groupBy("tier")
+        .agg(
+            (F.sum("hits") >= F.first("min_total")).alias("recall_ok"),
+        )
+        .select(
+            F.lit("tier").alias("scope"),
+            "tier",
+            F.lit(None).cast("long").alias("query_id"),
+            "recall_ok",
+        )
+    )
+    return per_query.unionByName(per_tier)
 
 
 # ---------------------------------------------------------------------

@@ -65,6 +65,8 @@ def gap_fill(
     ts_col: str = "ts",
     key_col: str = "event_type",
     unit: str = "hour",
+    broadcast_counts: bool | None = None,
+    max_broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """Complete time series per key: bucket counts resampled onto a
     dense (key x period) spine between the GLOBAL min and max period,
@@ -77,9 +79,20 @@ def gap_fill(
     one scan -> grouped counts (one shuffle); the 1-row min/max agg
     cross-joins the distinct keys to EXPLODE the spine (spine size =
     periods x keys, trivially small next to the events). The final fill
-    joins spine LEFT counts with the COUNTS broadcast — post-agg they
-    are at most spine-sized, and the preserved side of an outer join
-    cannot be the broadcast build side."""
+    joins spine LEFT counts — and the preserved side of an outer join
+    cannot be the broadcast build side, so the counts are the build
+    side when broadcast.
+
+    Broadcasting the counts is only right while (keys x periods) fits
+    an executor: for a low-cardinality key (event_type) it always
+    does; for a high-cardinality key (user_id over a year of hours) a
+    broadcast would OOM every executor. ``broadcast_counts=None``
+    (default) AUTO-DECIDES with one tiny extra aggregate (distinct
+    keys + global bounds — counts-sized input, 1-row output): the
+    spine cardinality keys*periods is compared against
+    ``max_broadcast_rows`` and the fill join degrades to a shuffle
+    join above it. Pass True/False to skip the probe job when the
+    cardinality is known."""
     bucket = F.date_trunc(unit, F.col(ts_col))
     counts = (
         events.select(F.col(key_col).alias("key"), bucket.alias("bucket"))
@@ -87,6 +100,20 @@ def gap_fill(
         .agg(F.count("*").alias("n_events"))
     )
     step = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY"}[unit]
+    if broadcast_counts is None:
+        import datetime
+
+        lo, hi, nk = counts.agg(
+            F.min("bucket"), F.max("bucket"), F.count_distinct("key")
+        ).first()
+        if lo is None:
+            broadcast_counts = True
+        else:
+            delta = datetime.timedelta(
+                hours=1 if unit == "hour" else 24
+            )
+            n_periods = int((hi - lo) / delta) + 1
+            broadcast_counts = nk * n_periods <= max_broadcast_rows
     bounds = counts.agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
@@ -96,8 +123,15 @@ def gap_fill(
         )
         .crossJoin(counts.select("key").distinct())
     )
+    # above the threshold, PIN the sort-merge strategy: Catalyst's own
+    # size estimate for an aggregate can undershoot badly enough to
+    # re-pick a broadcast on its own, and this is exactly the case
+    # where that OOMs — the hint makes the degraded path deterministic
+    fill_side = (
+        F.broadcast(counts) if broadcast_counts else counts.hint("merge")
+    )
     return (
-        spine.join(F.broadcast(counts), ["key", "bucket"], "left")
+        spine.join(fill_side, ["key", "bucket"], "left")
         .fillna(0, ["n_events"])
         .select("key", "bucket", "n_events")
     )

@@ -51,23 +51,39 @@ def _list_parquet_files(path: str) -> list[str]:
 
 
 def build_file_index(
-    spark: SparkSession, path: str, cols: list[str]
+    spark: SparkSession, path: str, cols: list[str],
+    footer_batch_files: int = 1024,
 ) -> DataFrame:
     """Per-(file, column) min/max/row-count from parquet FOOTERS,
     read in parallel on executors (no data scan). Numeric statistics
     land in ``min_num``/``max_num``; byte/string statistics in
-    ``min_str``/``max_str``."""
+    ``min_str``/``max_str``.
+
+    ``footer_batch_files`` chunks the emitted index frames: one Arrow
+    task batch can carry an arbitrary slice of the file list, and
+    accumulating (files x columns) rows for the whole slice before the
+    first yield is the only unbounded buffer in the build — chunking
+    caps it at (footer_batch_files x columns) rows regardless of how
+    many files land in one task."""
     files = _list_parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
     want = list(cols)
+    chunk = max(1, int(footer_batch_files))
 
     def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
 
+        cols_out = [
+            "file", "n_rows", "column",
+            "min_num", "max_num", "min_str", "max_str",
+        ]
         for pdf in batches:
             rows = []
             for fname in pdf["file"]:
+                if len(rows) >= chunk * len(want):
+                    yield pd.DataFrame(rows, columns=cols_out)
+                    rows = []
                 md = pq.ParquetFile(fname).metadata
                 stats: dict[str, list] = {c: [None, None] for c in want}
                 for rg in range(md.num_row_groups):
@@ -97,18 +113,7 @@ def build_file_index(
                             "max_str": None if numeric else (None if hi is None else str(hi)),
                         }
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "file",
-                    "n_rows",
-                    "column",
-                    "min_num",
-                    "max_num",
-                    "min_str",
-                    "max_str",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=cols_out)
 
     file_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
         min(len(files), 64)
@@ -117,12 +122,22 @@ def build_file_index(
 
 
 def prune_files(
-    index: DataFrame, ranges: dict[str, tuple[float, float]]
+    index: DataFrame, ranges: dict[str, tuple[float, float]],
+    max_files: int | None = 1_000_000,
 ) -> list[str]:
     """Files whose per-column [min,max] intersects EVERY predicate
     range (conjunction). A file lacking statistics for a column is
     conservatively kept. Runs on the (tiny) index DataFrame; the
-    returned list is the read plan."""
+    returned list is the read plan.
+
+    The plan list necessarily comes back to the DRIVER (it is what a
+    table format's driver computes too), which bounds this operator at
+    millions of surviving files, not beyond. ``max_files`` makes the
+    bound explicit: the survivor COUNT is checked first (a 1-row agg
+    over the metadata index — no list materialized) and a plan larger
+    than the cap raises with the staged-pruning remedy instead of
+    silently building a multi-GB driver list. None disables the
+    guard."""
     per_col = []
     for c, (lo, hi) in ranges.items():
         hit = index.filter(
@@ -136,6 +151,14 @@ def prune_files(
     plan = per_col[0]
     for other in per_col[1:]:
         plan = plan.intersect(other)
+    if max_files is not None:
+        n = plan.count()
+        if n > max_files:
+            raise ValueError(
+                f"pruned read plan has {n} files > max_files={max_files}; "
+                f"prune in stages (partition directories first), tighten "
+                f"the predicate ranges, or raise max_files explicitly"
+            )
     return sorted(r.file for r in plan.collect())
 
 

@@ -36,7 +36,9 @@ b. ``make_hashset_count_udaf`` — **faithful UDAF**: a pandas GROUPED_AGG
    ``hashset_count`` — the Spark analogue of the reference's
    ``CREATE AGGREGATE FUNCTION`` DDL (`README.md:28-33`). Note: Spark
    ships whole groups to the Python worker for pandas UDAFs (no
-   partial/merge split) — fidelity tier, not the scale tier.
+   partial/merge split) — fidelity tier, not the scale tier;
+   ``hashset_count_df_guarded`` is its production form, routing
+   oversized groups through tier a's identical output contract.
 c. ``hashset_count_rdd`` — **structural twin**: the literal
    init/update/merge/finalize decomposition as
    ``aggregateByKey(set(), seqFunc, combFunc).mapValues(finalize)``;
@@ -127,6 +129,48 @@ def make_hashset_count_udaf():
         return str(len(set(values)))
 
     return hashset_count
+
+
+def hashset_count_df_guarded(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    max_group_rows: int = 5_000_000,
+) -> DataFrame:
+    """Tier b with the GROUP-SIZE GUARD — the production form of the
+    faithful UDAF.
+
+    Spark ships a pandas GROUPED_AGG group to ONE Python worker with
+    no partial/merge split, so a single hot group (a skewed tenant, a
+    null-ish default key) stalls tier b at scale — the same degradation
+    zone the reference documents for its own single-node hash table
+    (`/root/reference/README.md:10-11`: beyond the sweet spot,
+    "performance degrades"). The guard routes any group whose non-NULL
+    row count exceeds ``max_group_rows`` through tier a
+    (``count_distinct`` + NULL-on-empty + string cast — the IDENTICAL
+    output contract, `hashset-count.cc:464-524` semantics), which
+    Catalyst executes as partial/final hash aggregation with no
+    whole-group colocation anywhere.
+
+    Cost account: one partial-aggregated counting pass over the input,
+    then the hot-key list (tiny by construction — only groups above
+    the threshold) broadcasts into semi/anti joins that split the
+    input; neither split re-shuffles more than the groupBy it feeds.
+    At 100 TB the counting pass is the price of skew safety; pipelines
+    that already know their key histogram can pass the big-key list
+    directly instead (filter + two groupBys, same shape)."""
+    counts = df.groupBy(*group_cols).agg(F.count(value_col).alias("__nn"))
+    big_keys = counts.filter(F.col("__nn") > max_group_rows).select(*group_cols)
+    small = df.join(F.broadcast(big_keys), list(group_cols), "left_anti")
+    big = df.join(F.broadcast(big_keys), list(group_cols), "left_semi")
+    udaf = make_hashset_count_udaf()
+    small_out = small.groupBy(*group_cols).agg(
+        udaf(F.col(value_col)).alias("hashset_count")
+    )
+    big_out = big.groupBy(*group_cols).agg(
+        hashset_count_agg(value_col, faithful=True).alias("hashset_count")
+    )
+    return small_out.unionByName(big_out)
 
 
 def register_sql_udaf(spark: SparkSession, name: str = "hashset_count"):

@@ -79,11 +79,23 @@ def apply_changes(
     would overwhelm executors, so pass ``False`` for backfill-sized
     batches — the anti join then shuffles both sides on the key (AQE
     may still downgrade to broadcast at runtime if the key set turns
-    out small)."""
-    changed_keys = changes.select(*key_cols).distinct()
+    out small).
+
+    NULL keys are matched null-safely (``eqNullSafe`` anti join), so a
+    change row keyed NULL replaces/deletes the NULL-keyed target row
+    exactly like any other key — keeping the documented round-trip law
+    ``apply_changes(old, diff_snapshots(old, new)) == new`` true for
+    NULL keys too."""
+    changed_keys = changes.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols]
+    ).distinct()
     if broadcast_changes:
         changed_keys = F.broadcast(changed_keys)
-    survivors = target.join(changed_keys, on=key_cols, how="left_anti")
+    cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else cond & c
+    survivors = target.join(changed_keys, cond, "left_anti")
     upserts = changes.filter(F.col(op_col) != F.lit(delete_op)).select(
         *target.columns
     )
@@ -110,7 +122,13 @@ def merge_scd2(
     change's sequence, ``is_current`` = false); a non-delete change
     appends a new open version. Historical (already-closed) rows pass
     through untouched — the anti join tests only current rows, so the
-    history is never shuffled when the batch key set broadcasts."""
+    history is never shuffled when the batch key set broadcasts.
+
+    Dimension keys must be non-NULL (a NULL business key has no
+    versioned identity): NULL-keyed rows never match the standard key
+    joins here, so a NULL-keyed change appends without closing
+    anything. Use ``apply_changes``/``diff_snapshots`` (null-safe) if
+    NULL keys are real in your data."""
     attr_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
     batch = latest_changes(changes, key_cols, seq_col, op_col)
     batch_keyed = F.broadcast(
@@ -169,21 +187,26 @@ def diff_snapshots(
     once — unavoidable for a diff; store snapshots bucketed by the key
     to make it exchange-free) with change detection via a null-safe
     struct comparison (NULL-valued columns compare as equal-to-NULL,
-    not as always-changed)."""
+    not as always-changed). The join itself matches on ``eqNullSafe``,
+    so NULL keys diff like any other key value — side presence is
+    detected by explicit marker columns, NOT by a key column's
+    NULL-ness (which would misclassify every NULL-keyed row)."""
     val_cols = [c for c in new.columns if c not in key_cols]
     o = old.select(
-        *[F.col(c).alias(f"__o_{c}") for c in old.columns]
+        *[F.col(c).alias(f"__o_{c}") for c in old.columns],
+        F.lit(True).alias("__o_present"),
     )
     n = new.select(
-        *[F.col(c).alias(f"__n_{c}") for c in new.columns]
+        *[F.col(c).alias(f"__n_{c}") for c in new.columns],
+        F.lit(True).alias("__n_present"),
     )
     cond = None
     for k in key_cols:
         c = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
         cond = c if cond is None else cond & c
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"__o_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"__n_{key_cols[0]}").isNotNull()
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     same_vals = None
     for c in val_cols:
         eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))

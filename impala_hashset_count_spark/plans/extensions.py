@@ -1695,7 +1695,11 @@ def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cohort",
         "retention",
     )
-    gap = gap_fill(ev, "ts", "event_type", unit="hour").select(
+    # event_type is known low-cardinality: pin the broadcast fill and
+    # skip the auto-guard's probe job (see gap_fill's scale contract)
+    gap = gap_fill(
+        ev, "ts", "event_type", unit="hour", broadcast_counts=True
+    ).select(
         F.lit("gap_fill").alias("tag"), "key", "bucket", "n_events"
     )
     return ret.unionByName(gap, allowMissingColumns=True)

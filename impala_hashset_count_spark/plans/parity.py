@@ -42,6 +42,7 @@ from ..operators.hashset_count import (
     distinct_state_count,
     distinct_state_merge,
     hashset_count_agg,
+    hashset_count_df_guarded,
     hashset_count_rdd,
     register_sql_udaf,
 )
@@ -186,6 +187,13 @@ def hashset_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY event_type
         UNION ALL
+        SELECT 'guard_lineitem' AS tier, l_returnflag AS group_key,
+               CASE WHEN COUNT(l_partkey) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT l_partkey) AS VARCHAR)
+               END AS hashset_count
+        FROM lineitem
+        GROUP BY l_returnflag
+        UNION ALL
         SELECT 'kmv_lineitem' AS tier, g.l_returnflag AS group_key,
                CAST(CASE WHEN s.n IS NULL THEN NULL
                          WHEN s.n < 128 THEN s.n
@@ -228,7 +236,15 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-merge-union-dedup) and finalized (NULL-not-0 string count) —
     history is never rescanned. The oracle computes the direct
     distinct count over the full table: a hash match proves the
-    two-batch state path is exactly lossless."""
+    two-batch state path is exactly lossless.
+
+    'guard_lineitem' is the GROUP-SIZE-GUARDED tier b
+    (``hashset_count_df_guarded``): threshold = 40% of the table, so
+    at every SF the skewed 'N' returnflag group (~half the rows)
+    routes through tier a's codegen'd distinct agg while 'A'/'R'
+    (~quarter each) run the pandas UDAF — the driver hash proves both
+    routes and their identical output contract in one arm (routing
+    split plan-asserted in tests/test_hashset_count.py)."""
     li = _t(spark, sf_dir, "lineitem")
     idiomatic = (
         li.groupBy("l_linestatus")
@@ -262,6 +278,19 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("group_key"),
         "hashset_count",
     )
+    # threshold at 40% of the table: the 'N' flag (~50% of rows) takes
+    # the tier-a route, 'A'/'R' (~25% each) take the pandas UDAF — the
+    # ratio holds at every SF, so the split is SF-stable. The single
+    # count() action is the documented guard prerequisite (production
+    # passes a known histogram instead).
+    guard_tier = hashset_count_df_guarded(
+        li, ["l_returnflag"], "l_partkey",
+        max_group_rows=int(0.4 * li.count()),
+    ).select(
+        F.lit("guard_lineitem").alias("tier"),
+        F.col("l_returnflag").alias("group_key"),
+        "hashset_count",
+    )
     # 'kmv_lineitem' — the deterministic KMV sketch (operators/kmv.py),
     # deliberately routed through the STORED-SKETCH lifecycle: accumulate
     # at the fine (l_returnflag, l_linestatus) grain, MERGE the stored
@@ -280,7 +309,12 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("group_key"),
         F.col("kmv_distinct").cast("string").alias("hashset_count"),
     )
-    return idiomatic.union(rdd_twin).union(state_tier).union(kmv_tier)
+    return (
+        idiomatic.union(rdd_twin)
+        .union(state_tier)
+        .union(guard_tier)
+        .union(kmv_tier)
+    )
 
 
 #: 3x the relative standard deviation of each sketch tier: HLL++ at

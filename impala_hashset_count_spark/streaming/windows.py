@@ -820,6 +820,7 @@ def stream_bloom_dedup(
     n_bits: int = 1 << 16,
     k: int = 5,
     hash_fn: str = "xxhash64",
+    order_col: str | None = None,
 ):
     """Continuous BLOOM-gATED ingestion (`operators/bloom.py`'s
     streaming face): each micro-batch is probed against the MAINTAINED
@@ -834,13 +835,22 @@ def stream_bloom_dedup(
     ``v=<batch_id>`` is rebuilt from the newest STRICTLY-OLDER version
     and batch output lands under ``b=<batch_id>`` (overwritten whole on
     replay), so a replayed batch re-derives the same survivors instead
-    of double-filtering against its own bits. Within-batch duplicates
-    dedup exactly (keep-first by key). Error model is the operator's:
-    no false survivals of true duplicates; ~fpp of genuinely-new keys
-    wrongly dropped."""
+    of double-filtering against its own bits. Error model is the
+    operator's: no false survivals of true duplicates; ~fpp of
+    genuinely-new keys wrongly dropped.
+
+    Within-batch duplicates: pass ``order_col`` for FULLY deterministic
+    dedup (keep the lowest ``order_col`` per key — ``exact_dedup``, the
+    same contract as ``bloom_dedup_incremental``); a replayed or
+    task-retried batch then re-admits byte-identical rows. With
+    ``order_col=None`` the keep is ``dropDuplicates`` — deterministic
+    at the KEY level only (the key set, filter state, and downstream
+    dedup decisions are stable, but which payload row represents a
+    duplicated key may vary across replays)."""
     import os
 
     from ..operators.bloom import bloom_build, bloom_probe
+    from ..operators.dedup import exact_dedup
 
     def _versions() -> list[int]:
         if not os.path.isdir(snapshot_path):
@@ -853,7 +863,10 @@ def stream_bloom_dedup(
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
-        fresh = bdf.dropDuplicates([key_col])
+        if order_col is not None:
+            fresh = exact_dedup(bdf, [key_col], order_col)
+        else:
+            fresh = bdf.dropDuplicates([key_col])
         prior = [v for v in _versions() if v < batch_id]
         if prior:
             stored = spark.read.parquet(

@@ -105,6 +105,51 @@ def test_gap_fill_plan_broadcasts_counts_for_fill_join(spark, sf_small):
     assert "BroadcastHashJoin" in plan
 
 
+def test_gap_fill_guard_degrades_to_shuffle_join_above_threshold(spark, sf_small):
+    """The broadcast-fill guard: when the auto probe finds
+    keys*periods above ``max_broadcast_rows``, the fill join must NOT
+    broadcast the counts (a high-cardinality key would OOM the
+    executors) — and the degraded plan returns identical rows."""
+    from impala_hashset_count_spark.operators.analytics import gap_fill
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    from .test_plans import explain_str
+
+    ev = load_table(spark, sf_small, "events")
+    fast = gap_fill(ev, "ts", "event_type", unit="day", broadcast_counts=True)
+    # threshold 0 forces the guard: every spine is "too big"
+    safe = gap_fill(
+        ev, "ts", "event_type", unit="day", max_broadcast_rows=0
+    )
+    plan_fast = explain_str(fast)
+    plan_safe = explain_str(safe)
+    # the fill join itself degrades (the tiny bounds/keys spine joins
+    # may still broadcast — count the joins instead of greping absence)
+    assert plan_fast.count("BroadcastHashJoin") > plan_safe.count(
+        "BroadcastHashJoin"
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, safe.collect())
+    )
+
+
+def test_gap_fill_auto_probe_picks_broadcast_for_small_spine(spark):
+    """Low-cardinality key + short span: the auto probe must keep the
+    broadcast fill."""
+    import datetime as dt
+
+    from impala_hashset_count_spark.operators.analytics import gap_fill
+
+    from .test_plans import explain_str
+
+    rows = [(i, "k", dt.datetime(2024, 3, 1, i % 4)) for i in range(16)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts timestamp"
+    )
+    plan = explain_str(gap_fill(ev, "ts", "event_type", unit="hour"))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_event_transitions_matches_python_model(spark):
     """Transition counts equal a Python model over tie-broken
     sequences; users with one event contribute nothing."""

@@ -107,3 +107,35 @@ def test_compact_small_files_roundtrip(spark, sf_small, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(dst).collect())) == sorted(
         map(tuple, orders.collect())
     )
+
+
+def test_footer_batch_chunking_yields_identical_index(spark, sf_small, tmp_path):
+    """footer_batch_files=1 (maximal chunking — one yield per file)
+    must produce exactly the same index rows as the default: the chunk
+    size is a memory bound, never a semantic knob."""
+    ship_package(spark)
+    _, path = _zcluster(spark, sf_small, tmp_path)
+    cols = ["l_partkey", "l_suppkey"]
+    base = sorted(map(tuple, build_file_index(spark, path, cols).collect()))
+    chunked = sorted(
+        map(tuple, build_file_index(
+            spark, path, cols, footer_batch_files=1
+        ).collect())
+    )
+    assert base == chunked
+
+
+def test_prune_max_files_guard_raises_with_remedy(spark, sf_small, tmp_path):
+    """The driver-side read-plan bound: a surviving plan larger than
+    max_files must raise (with the staged-pruning remedy) instead of
+    materializing an unbounded driver list; None disables the guard."""
+    import pytest
+
+    ship_package(spark)
+    _, path = _zcluster(spark, sf_small, tmp_path)
+    idx = build_file_index(spark, path, ["l_partkey"])
+    wide = {"l_partkey": (float("-inf"), float("inf"))}
+    with pytest.raises(ValueError, match="prune in stages"):
+        prune_files(idx, wide, max_files=1)
+    kept = prune_files(idx, wide, max_files=None)
+    assert len(kept) > 1

@@ -537,3 +537,56 @@ def test_windowed_face_matches_groupby_face(spark, sf_small):
     for flag, seq in per.items():
         assert all(a <= b for a, b in itertools.pairwise(seq))
         assert seq[-1] == max(seq)
+
+
+# --- the group-size guard on tier b (production faithful form) ----------
+
+class TestGuardedFaithful:
+    def test_mixed_routing_matches_tier_a_contract(self, spark):
+        from impala_hashset_count_spark.operators.hashset_count import (
+            hashset_count_df_guarded,
+        )
+
+        # one giant group (exceeds the guard), the F-fixture small
+        # groups (including the all-NULL group) below it
+        giant = [("giant", f"v{i % 137}") for i in range(500)]
+        df = _df(spark, ALL_ROWS + giant)
+        out = hashset_count_df_guarded(
+            df, ["group_key"], "s", max_group_rows=100
+        )
+        expected = dict(EXPECTED)
+        expected["giant"] = "137"
+        assert _result_map(out) == expected
+        # reference semantics on both routes: equal to tier a wholesale
+        tier_a = hashset_count_df(df, ["group_key"], ["s"]).withColumnRenamed(
+            "hashset_count_s", "hashset_count"
+        )
+        assert _result_map(out) == _result_map(tier_a)
+
+    def test_giant_group_bypasses_pandas_udaf_in_plan(self, spark):
+        from impala_hashset_count_spark.operators.hashset_count import (
+            hashset_count_df_guarded,
+        )
+
+        df = _df(spark, ALL_ROWS)
+        out = hashset_count_df_guarded(df, ["group_key"], "s", max_group_rows=0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the union compiles BOTH branches, so the proof is structural:
+        # exactly one Python aggregation operator (the guarded small
+        # branch — ArrowAggregatePython in Spark 4, AggregateInPandas
+        # in 3.x — sitting above the broadcast ANTI join) and a
+        # codegen'd count(distinct) HashAggregate for the big branch
+        # behind the SEMI join — oversized groups never reach a Python
+        # worker.
+        n_py = plan.count("ArrowAggregatePython") + plan.count(
+            "AggregateInPandas"
+        )
+        assert n_py == 1
+        assert "count(distinct" in plan and "LeftSemi" in plan and (
+            "LeftAnti" in plan
+        )
+        # and the Python aggregate consumes the ANTI-join (small) side
+        py_pos = plan.find("ArrowAggregatePython")
+        if py_pos < 0:
+            py_pos = plan.index("AggregateInPandas")
+        assert "LeftAnti" in plan[py_pos:py_pos + 800]

@@ -260,3 +260,37 @@ def test_diff_snapshots_null_value_transitions(spark):
     )
     diff = {r.k: (r.op, r.s) for r in diff_snapshots(old, new, ["k"]).collect()}
     assert diff == {1: ("U", "now"), 2: ("U", None)}
+
+
+def test_diff_snapshots_null_keys_roundtrip(spark):
+    """NULL KEYS (not just NULL values): the full-outer join matches
+    null-safely and presence is detected via marker columns, so a
+    NULL-keyed row diffs and round-trips like any other key — old-only
+    NULL key emits 'D', new-only emits 'I', changed emits 'U', and
+    apply_changes (null-safe anti join) replays all three."""
+    from impala_hashset_count_spark.operators.merge import (
+        apply_changes,
+        diff_snapshots,
+    )
+
+    schema = "k bigint, s string"
+    cases = [
+        # (old rows, new rows, expected op for the NULL key)
+        ([(None, "gone"), (1, "a")], [(1, "a")], "D"),
+        ([(1, "a")], [(None, "born"), (1, "a")], "I"),
+        ([(None, "v1"), (1, "a")], [(None, "v2"), (1, "a")], "U"),
+        ([(None, "same"), (1, "a")], [(None, "same"), (1, "a")], None),
+    ]
+    for old_rows, new_rows, want_op in cases:
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        diff = diff_snapshots(old, new, ["k"])
+        null_ops = [r.op for r in diff.collect() if r.k is None]
+        if want_op is None:
+            assert null_ops == [], (old_rows, new_rows, null_ops)
+        else:
+            assert null_ops == [want_op], (old_rows, new_rows, null_ops)
+        rebuilt = apply_changes(old, diff, ["k"])
+        assert sorted(map(tuple, rebuilt.collect()), key=str) == sorted(
+            new_rows, key=str
+        ), (old_rows, new_rows)

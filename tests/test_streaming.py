@@ -978,6 +978,39 @@ def test_stream_bloom_dedup_gates_ingestion_and_replays_safely(spark, tmp_path):
     assert replay == ["a", "b", "c", "d"]
 
 
+def test_stream_bloom_dedup_order_col_keeps_deterministic_payload(
+    spark, tmp_path
+):
+    """With ``order_col``, a duplicated key admits the LOWEST-ordered
+    payload row (exact_dedup contract), byte-identically across a
+    fresh-checkpoint replay — not whichever row dropDuplicates happened
+    to keep."""
+    from impala_hashset_count_spark.streaming.windows import stream_bloom_dedup
+
+    schema = "key string, payload bigint"
+    b1 = [("b", 3), ("a", 1), ("b", 2), ("b", 7)]
+    src = str(tmp_path / "blo_src")
+    out = str(tmp_path / "blo_out")
+    snap = str(tmp_path / "blo_snap")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def drain(ck):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_bloom_dedup(stream, out, snap, ck, "key", n_bits=1024,
+                               hash_fn="md5", order_col="payload")
+        q.processAllAvailable()
+        q.stop()
+
+    drain(str(tmp_path / "blo_ck1"))
+    first = sorted(map(tuple, spark.read.parquet(out + "/b=*")
+                       .select("key", "payload").collect()))
+    assert first == [("a", 1), ("b", 2)]
+    drain(str(tmp_path / "blo_ck2"))
+    replay = sorted(map(tuple, spark.read.parquet(out + "/b=*")
+                        .select("key", "payload").collect()))
+    assert replay == first
+
+
 def test_snapshot_changes_recovers_net_log_between_versions(spark, tmp_path):
     """Change feed between CDC snapshot versions: applying the
     recovered diff to the older version rebuilds the newer one, and

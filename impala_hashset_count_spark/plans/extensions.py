@@ -166,7 +166,37 @@ def _text_analysis_oracle() -> str:
     """
 
 
-@register("text_analysis_documents", oracle=_text_analysis_oracle(), headline=True)
+def _ta_prune(cols: list[str]):
+    """Arm builder for text_analysis: the SAME fused entry plan with
+    the output pruned to one metric family — Catalyst's column pruning
+    then drops the stages the family doesn't use (e.g. the
+    ArrowEvalPython winnow tier vanishes from the bpe/base arms), so
+    each arm's wall time attributes that family's incremental cost."""
+
+    def arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = text_analysis_documents(spark, sf_dir)
+        return df.select("doc_id", *cols)
+
+    return arm
+
+
+_TA_ARM_SPECIAL = ["n_winnow_blocks", "winnow_sum", "n_bpe", "bpe_head", "n_bpe_ish"]
+
+_TA_ARMS = {
+    "winnow": _ta_prune(["n_winnow_blocks", "winnow_sum"]),
+    "bpe": _ta_prune(["n_bpe", "bpe_head", "n_bpe_ish"]),
+    "base": lambda spark, sf_dir: text_analysis_documents(spark, sf_dir).drop(
+        *_TA_ARM_SPECIAL
+    ),
+}
+
+
+@register(
+    "text_analysis_documents",
+    oracle=_text_analysis_oracle(),
+    headline=True,
+    arms=_TA_ARMS,
+)
 def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole per-document text-analysis family in ONE scan pass:
     token counting (whitespace + BPE-ish estimate), quality heuristics
@@ -346,6 +376,7 @@ def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "train_pack_greedy",
+    headline=True,
     oracle=r"""
         WITH RECURSIVE t AS (
             SELECT lang, doc_id,
@@ -1236,7 +1267,27 @@ _TOPK_ORACLE = f"""
 """
 
 
-@register("similarity_topk_bruteforce", oracle=_TOPK_ORACLE, headline=True)
+def _sim_queries(spark: SparkSession, sf_dir: str):
+    e = _t(spark, sf_dir, "embeddings")
+    return e, e.filter(F.col("vec_id") < 5)
+
+
+_SIM_ARMS = {
+    "exact": lambda spark, sf_dir: brute_force_topk(
+        *_sim_queries(spark, sf_dir), "vec_id", "embedding", k=10
+    ),
+    "lsh": lambda spark, sf_dir: lsh_topk(
+        *_sim_queries(spark, sf_dir), "vec_id", "embedding", k=10, dim=64
+    ),
+}
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=_TOPK_ORACLE,
+    headline=True,
+    arms=_SIM_ARMS,
+)
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search with a hard signal on BOTH determinism tiers,
     tagged:
@@ -1857,7 +1908,37 @@ _CORPUS_STATS_ORACLE = r"""
 """
 
 
-@register("corpus_stats_documents", oracle=_CORPUS_STATS_ORACLE, headline=True)
+def _cs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents")
+
+
+#: Standalone per-statistic-family builders (each rebuilds its own tf
+#: plan — arm times attribute families, they don't sum to the entry).
+_CS_ARMS = {
+    "tfidf": lambda spark, sf_dir: tfidf_top_terms(
+        _cs_docs(spark, sf_dir), k=3, integer_scores=True
+    ),
+    "bm25": lambda spark, sf_dir: bm25_topn(
+        _cs_docs(spark, sf_dir), list(_BM25_TERMS), n=20, integer_scores=True
+    ),
+    "toptok": lambda spark, sf_dir: top_tokens_from_tf(
+        term_doc_stats(_cs_docs(spark, sf_dir)), k=20
+    ),
+    "unigram_lp": lambda spark, sf_dir: unigram_logprob_scores(
+        _cs_docs(spark, sf_dir), integer_scores=True
+    ),
+    "toptok_sk": lambda spark, sf_dir: top_tokens_sketch(
+        _cs_docs(spark, sf_dir), k=100, group_col="lang"
+    ).limit(20),
+}
+
+
+@register(
+    "corpus_stats_documents",
+    oracle=_CORPUS_STATS_ORACLE,
+    headline=True,
+    arms=_CS_ARMS,
+)
 def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level lexical statistics, tagged into one result:
 

@@ -372,51 +372,56 @@ def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(bound)
         )
 
-    hllpp = li.groupBy("l_returnflag").agg(
-        approx_distinct_count("l_partkey").alias("approx_parts"),
-        approx_distinct_count("l_orderkey").alias("approx_orders"),
+    def _tier(df, tier):
+        return df.select(
+            F.lit(tier).alias("tier"),
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            _ok(F.col("approx_parts"), F.col("exact_parts"),
+                _HLL_BOUNDS[tier]).alias("parts_ok"),
+            _ok(F.col("approx_orders"), F.col("exact_orders"),
+                _HLL_BOUNDS[tier]).alias("orders_ok"),
+        )
+
+    # The exact distincts (the entry's oracle anchor) are computed
+    # ONCE in their own Expand multi-distinct pass and broadcast (3
+    # rows) into both tiers. Keeping them OUT of the HLL++ aggregate
+    # matters: mixing count_distinct with other aggregates makes the
+    # Expand rewrite stream every slice through the sketch partials
+    # too (measured ~2x the split cost at sf0.1), and the sketch tier
+    # would otherwise pay the Expand a second time.
+    exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
-    ).select(
-        F.lit("hllpp").alias("tier"),
-        "l_returnflag",
-        "exact_parts",
-        "exact_orders",
-        _ok(F.col("approx_parts"), F.col("exact_parts"),
-            _HLL_BOUNDS["hllpp"]).alias("parts_ok"),
-        _ok(F.col("approx_orders"), F.col("exact_orders"),
-            _HLL_BOUNDS["hllpp"]).alias("orders_ok"),
+    )
+    exact_b = F.broadcast(exact)
+    hllpp = _tier(
+        li.groupBy("l_returnflag")
+        .agg(
+            approx_distinct_count("l_partkey").alias("approx_parts"),
+            approx_distinct_count("l_orderkey").alias("approx_orders"),
+        )
+        .join(exact_b, "l_returnflag"),
+        "hllpp",
     )
     # both value columns sketched in ONE fine-grain pass (one scan,
     # one shuffle agg — a sketch table is one groupBy however many
     # measures it carries), then one union-rollup; the generic
     # single-column helpers exist for the API, the N-measure case is
-    # just more agg columns. The exact counts ride a 3-row broadcast.
+    # just more agg columns.
     fine = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sk_p"),
         F.hll_sketch_agg("l_orderkey", F.lit(12)).alias("sk_o"),
     )
-    exact = li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_partkey").alias("exact_parts"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
-    )
-    sk = (
+    sk = _tier(
         fine.groupBy("l_returnflag")
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk_p")).alias("approx_parts"),
             F.hll_sketch_estimate(F.hll_union_agg("sk_o")).alias("approx_orders"),
         )
-        .join(F.broadcast(exact), "l_returnflag")
-        .select(
-            F.lit("sketch").alias("tier"),
-            "l_returnflag",
-            "exact_parts",
-            "exact_orders",
-            _ok(F.col("approx_parts"), F.col("exact_parts"),
-                _HLL_BOUNDS["sketch"]).alias("parts_ok"),
-            _ok(F.col("approx_orders"), F.col("exact_orders"),
-                _HLL_BOUNDS["sketch"]).alias("orders_ok"),
-        )
+        .join(exact_b, "l_returnflag"),
+        "sketch",
     )
     return hllpp.unionByName(sk)
 
@@ -1336,6 +1341,7 @@ def join_theta_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_range_late_shipments",
+    headline=True,
     oracle="""
         SELECT 'resid' AS tier, o.o_orderpriority, COUNT(*) AS n_pairs
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

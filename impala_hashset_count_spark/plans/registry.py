@@ -23,12 +23,24 @@ class Query:
     oracle: str | None
     #: Included in bench.py's measured set.
     headline: bool
+    #: Optional per-arm builders for multi-arm entries: arm name ->
+    #: (spark, sf_dir) -> DataFrame. bench.py times each arm
+    #: separately so a growth in the entry's total can be ATTRIBUTED
+    #: (scope growth in one arm vs a regression in another). Arm plans
+    #: are standalone — they rebuild any plan the entry shares across
+    #: arms — so arm times need not sum to the entry time.
+    arms: dict[str, Callable[[SparkSession, str], DataFrame]] | None = None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, headline: bool = False):
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    arms: dict[str, Callable[[SparkSession, str], DataFrame]] | None = None,
+):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
@@ -44,7 +56,9 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 
         tuned.__name__ = fn.__name__
         tuned.__doc__ = fn.__doc__
-        REGISTRY[name] = Query(name=name, fn=tuned, oracle=oracle, headline=headline)
+        REGISTRY[name] = Query(
+            name=name, fn=tuned, oracle=oracle, headline=headline, arms=arms
+        )
         return fn
 
     return deco

@@ -27,6 +27,7 @@ from .hashset_count import (
     distinct_sketch_table,
     hashset_count_agg,
     hashset_count_df,
+    hashset_count_df_guarded,
     hashset_count_rdd,
     make_hashset_count_udaf,
     register_sql_udaf,

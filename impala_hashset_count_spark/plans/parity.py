@@ -395,7 +395,13 @@ def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
     )
-    exact_b = F.broadcast(exact)
+    # 3 rows — materialize ONCE and rebuild as a local relation: static
+    # planning cannot share a subplan across two join references, so
+    # both tiers would otherwise re-run the Expand pass (plan-asserted
+    # to exactly one in tests/test_plans.py)
+    exact_b = F.broadcast(
+        spark.createDataFrame(exact.collect(), exact.schema)
+    )
     hllpp = _tier(
         li.groupBy("l_returnflag")
         .agg(
@@ -1106,7 +1112,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_custkey,
                    CASE WHEN c_custkey % 10 = 4 THEN 'MOVED'
                         ELSE c_mktsegment END AS c_mktsegment
-            FROM customer
+            FROM customer WHERE c_custkey % 10 <> 7
         ),
         b2 AS (
             SELECT o_orderkey, o_custkey,
@@ -1138,14 +1144,16 @@ def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAINTAINED join view (`operators/ivm.py`).
 
     'ivm' applies a deterministic CDC batch to BOTH bases (customers
-    c_custkey%10==4 re-segmented; orders %7==1 repriced, %7==2
-    deleted, %7==3 cloned as inserts), folds the deltas into the
-    materialized customer⋈orders view with ``maintain_join_view``
-    (broadcast delta terms — the view and bases never shuffle), and
-    aggregates the MAINTAINED view. The oracle recomputes the join of
-    the final base states directly, so the hash match proves the
-    delta-join maintenance exact (removal/upsert/insert disjointness
-    included)."""
+    c_custkey%10==4 re-segmented, %10==7 DELETED; orders %7==1
+    repriced, %7==2 deleted, %7==3 cloned as inserts), folds the
+    deltas into the materialized customer⋈orders view with
+    ``maintain_join_view`` (broadcast delta terms — the view and bases
+    never shuffle), and aggregates the MAINTAINED view. The oracle
+    recomputes the join of the final base states directly, so the hash
+    match proves the delta-join maintenance exact — including DELETES
+    ON BOTH BASES (an A-side delete must kill every pair of that
+    customer; a B-side delete only its order's pair) and
+    removal/upsert/insert disjointness."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     left = (
@@ -1162,6 +1170,12 @@ def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = orders.select("o_orderkey", "o_custkey", "o_totalprice")
     da = a.filter(F.col("c_custkey") % 10 == 4).select(
         "c_custkey", F.lit("MOVED").alias("c_mktsegment"), F.lit("U").alias("op")
+    ).unionByName(
+        a.filter(F.col("c_custkey") % 10 == 7).select(
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_mktsegment"),
+            F.lit("D").alias("op"),
+        )
     )
     db = (
         b.filter(F.col("o_orderkey") % 7 == 1)
@@ -1454,7 +1468,13 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_salted_skew",
     oracle="""
-        SELECT o.o_orderpriority,
+        SELECT 'salted' AS tier, o.o_orderpriority,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        UNION ALL
+        SELECT 'bucketed', o.o_orderpriority,
                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
                COUNT(*) AS n_rows
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1462,31 +1482,59 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted skew join (operators.skew.salted_join): the fact side
-    gets a deterministic salt, the dimension side is replicated per
-    salt value, and the hot key spreads over ``salt`` reduce tasks.
-    Results are IDENTICAL to the plain join — which is exactly what the
-    plain-join oracle asserts — so the salting is purely a physical
-    re-distribution. AQE skew splitting covers moderate skew; this is
-    the explicit hammer for a single pathological key."""
-    from ..operators.skew import salted_join
+    """The two PHYSICAL join-distribution strategies, tagged — both
+    must produce results identical to the plain join, which is exactly
+    what the plain-join oracle asserts per tier:
+
+    - 'salted' (operators.skew.salted_join): the fact side gets a
+      deterministic salt, the dimension side is replicated per salt
+      value, the hot key spreads over ``salt`` reduce tasks. AQE skew
+      splitting covers moderate skew; this is the explicit hammer for
+      a single pathological key.
+    - 'bucketed' (operators.skew.bucketed_table): both sides persisted
+      bucketed+sorted by the join key, then joined co-located — the
+      write pays the shuffle once and every subsequent join plans with
+      ZERO exchange (plan-asserted in tests/test_bucketing.py); the
+      physical design answer for the join that runs daily over 100 TB.
+      The entry rewrites the bucketed tables under the system temp dir
+      each run (mode=overwrite, fixed names — no accumulation)."""
+    import os
+    import tempfile
+
+    from ..operators.skew import bucketed_table, salted_join
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = salted_join(
-        li.withColumnRenamed("l_orderkey", "jk"),
-        orders.withColumnRenamed("o_orderkey", "jk"),
-        on="jk",
-        salt=8,
-    )
-    return joined.groupBy("o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
+
+    def agg(joined, tier):
+        return joined.groupBy("o_orderpriority").agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        ).select(F.lit(tier).alias("tier"), "o_orderpriority", "revenue", "n_rows")
+
+    salted = agg(
+        salted_join(
+            li.withColumnRenamed("l_orderkey", "jk"),
+            orders.withColumnRenamed("o_orderkey", "jk"),
+            on="jk",
+            salt=8,
         ),
-        F.count("*").alias("n_rows"),
+        "salted",
     )
+    base = os.path.join(tempfile.gettempdir(), "ihc_bucketed")
+    bl = bucketed_table(
+        li.withColumnRenamed("l_orderkey", "jk"), spark,
+        "ihc_bkt_lineitem", os.path.join(base, "l"), "jk",
+    )
+    bo = bucketed_table(
+        orders.withColumnRenamed("o_orderkey", "jk"), spark,
+        "ihc_bkt_orders", os.path.join(base, "o"), "jk",
+    )
+    return salted.unionByName(agg(bl.join(bo, "jk"), "bucketed"))
 
 
 _Q17_SQL = """

@@ -79,21 +79,32 @@ _SWEEP_FIRST = (
     # dtype-sensitive value hash. r4 fix: all-BIGINT hashed surface +
     # CAST every integer SUM; tests/test_registry_lint.py now DESCRIBEs
     # every oracle and bans pandas-lossy types outright.
-    "multimodal_image_pipeline",
-    "dedup_ngram_jaccard",
+    "corpus_stats_documents",
+    # newly hash-bearing this round (were rows-only): exact/boolean
+    # derived surfaces for the HLL, production-LSH and ANN tiers
+    "approx_distinct_lineitem",
+    "dedup_minhash_lsh",
+    "similarity_ann_topk",
+    # new tagged arms this round: group-size-guarded faithful UDAF,
+    # ivm deletes on both bases, bucketed co-located join; plus the
+    # entries whose oracles gained BIGINT casts of latent HUGEINTs
+    "hashset_count_tiers",
+    "join_left_customer_orders",
+    "join_salted_skew",
     "dedup_exact_stats",
-    "sample_hash_documents",
     "dedup_transitive_components",
+    "multimodal_image_pipeline",
+    "analytics_cohort_retention",
+    # round-3 verified
+    "dedup_ngram_jaccard",
+    "sample_hash_documents",
     "train_chunk_documents",
     "funnel_view_click_purchase",
     "percentile_stats_events",
-    "corpus_stats_documents",
     "scalar_array_embeddings",
     "dedup_simhash",
-    "analytics_cohort_retention",
     "streaming_interval_join_batch",
     # round-2 verified
-    "similarity_ann_topk",
     "sample_stratified_mix",
     "text_udtf_sentences",
     "grouping_analytics",

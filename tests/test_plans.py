@@ -171,16 +171,22 @@ def test_simhash_md5_tier_same_shuffle_free_shape(spark):
     assert "Generate" not in plan
 
 
-def test_sketch_tier_single_pass_no_join(spark):
-    """The Datasketches rollup tier must be two grouped aggregations
-    (fine-grain sketch, union rollup) over ONE lineitem scan per tier
-    — no join anywhere (both measures sketch in the same groupBy), and
-    exactly the 2 scans the tagged union of two tiers implies."""
+def test_sketch_tier_passes_and_broadcast_only_joins(spark):
+    """approx_distinct_lineitem: the exact oracle anchor (one Expand
+    multi-distinct pass) is materialized ONCE at build time and joins
+    both tiers as a 3-row broadcast local relation; the final plan is
+    exactly the 2 fact scans the two sketch tiers need, broadcast-only
+    joins (a shuffled join would drag the fact table into an exchange
+    it doesn't need)."""
     import re
 
     plan = _plan(spark, "approx_distinct_lineitem")
-    assert "Join" not in plan
+    # 2 scans in the FINAL plan (HLL++ agg + fine sketch pass); the
+    # exact anchor's Expand pass ran once at build time and rides both
+    # tiers as a 3-row local relation — no Expand left in this plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 2
+    assert "Expand" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_runtime_bloom_filter_injected_on_non_broadcast_dim_join(spark):

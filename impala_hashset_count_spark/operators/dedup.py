@@ -970,3 +970,86 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------
+# 8. Cross-document shared-passage detection (winnowing fingerprints)
+# ---------------------------------------------------------------------
+
+def winnow_shared_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    stride: int = 4,
+    min_shared: int = 3,
+    max_fp_docs: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` DISTINCT winnowing
+    fingerprint values — the MOSS-style LOCAL-match dedup tier.
+
+    Whole-document measures (n-gram Jaccard, MinHash, SimHash) only
+    fire when a large fraction of the two documents agrees; a shared
+    PASSAGE — a license header, templated paragraph, quoted chunk —
+    inside two otherwise-different documents stays invisible to them.
+    Winnowing (Schleimer et al., SIGMOD'03) guarantees any shared
+    substring of length >= window + stride - 1 contributes at least
+    one common fingerprint, so counting common fingerprints per pair
+    detects passage-level duplication with per-doc signature size
+    O(chars / stride).
+
+    Returns (id_1, id_2, n_shared, sz_1, sz_2) with id_1 < id_2 —
+    n_shared = |fp(d1) ∩ fp(d2)| and sz_i = |fp(d_i)| (all exact
+    integers: containment/overlap scores are derivable without any
+    float reaching a hash gate).
+
+    Scale shape: the fingerprint projection rides the one corpus scan
+    (Arrow-batched numpy, zero shuffle); the DISTINCT (id, fp)
+    inverted index shuffles once on fp; pairs come from the index
+    self-join with map-side partial counting — exactly the LSH band
+    join's shape, so the same quadratic hazard applies: a fingerprint
+    present in B docs emits B^2/2 pairs. ``max_fp_docs`` is that
+    guard (drop ubiquitous fingerprints BEFORE pairing — they are, by
+    construction, corpus-wide boilerplate hashes carrying no pair
+    signal; the docs still pair through their rarer fingerprints).
+    None keeps exact semantics for parity runs; set it in production.
+
+    The polynomial (Karp-Rabin mod 2^31-1) hash tier is used, so every
+    fingerprint value is exact int64 arithmetic reproducible in SQL —
+    the registry arm's DuckDB oracle recomputes the whole pipeline
+    value-for-value (`functions/text.py::poly_winnow_oracle_exprs`)."""
+    from ..functions.text import winnowing_fingerprint_poly
+
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    fps = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                winnowing_fingerprint_poly(text_col, window, stride)
+            )
+        ).alias("fp"),
+    ).distinct()
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if max_fp_docs is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("__n_docs"))
+            .filter(F.col("__n_docs") <= max_fp_docs)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp")
+    a = fps.select(F.col(id_col).alias("id_1"), "fp")
+    b = fps.select(F.col(id_col).alias("id_2"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz_1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz_2"))
+    return pairs.join(s1, "id_1").join(s2, "id_2").select(
+        "id_1", "id_2", "n_shared", "sz_1", "sz_2"
+    )

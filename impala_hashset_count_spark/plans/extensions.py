@@ -984,11 +984,32 @@ _SIMHASH_ORACLE = r"""
         FROM chunks a JOIN chunks b
           ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
          AND a.doc_id < b.doc_id
+    ),
+    w0 AS (
+        SELECT doc_id, text, {wcodes} AS codes
+        FROM documents WHERE text IS NOT NULL
+    ),
+    w1 AS (SELECT doc_id, text, codes, {whashes} AS wh FROM w0),
+    w2 AS (SELECT doc_id, {wmins} AS wmins FROM w1),
+    wfp AS (
+        SELECT DISTINCT doc_id, UNNEST(LIST_DISTINCT(wmins)) AS fp FROM w2
+    ),
+    wsz AS (SELECT doc_id, COUNT(*) AS sz FROM wfp GROUP BY doc_id),
+    wp AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_shared
+        FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
     )
-    SELECT id_1, id_2,
-           CAST(bit_count(xor(sig_1, sig_2)) AS INTEGER) AS hamming
+    SELECT 'simhash' AS tag, id_1, id_2,
+           CAST(bit_count(xor(sig_1, sig_2)) AS BIGINT) AS n1,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3
     FROM cand
     WHERE bit_count(xor(sig_1, sig_2)) <= 3
+    UNION ALL
+    SELECT 'winnow', wp.id_1, wp.id_2, wp.n_shared, s1.sz, s2.sz
+    FROM wp
+    JOIN wsz s1 ON wp.id_1 = s1.doc_id
+    JOIN wsz s2 ON wp.id_2 = s2.doc_id
 """.format(
     bit_sums=",\n               ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
@@ -999,6 +1020,16 @@ _SIMHASH_ORACLE = r"""
         f" << {i})"
         for i in range(60)
     ),
+    wcodes="{wcodes}",
+    wmins="{wmins}",
+    whashes="{whashes}",
+)
+
+_w_codes, _w_hashes, _w_mins = poly_winnow_oracle_exprs("text", 8, 4)
+_SIMHASH_ORACLE = _SIMHASH_ORACLE.format(
+    wcodes=_w_codes,
+    whashes=_w_hashes,
+    wmins=_w_mins.replace("LEN(wh)", "LEN(wh)"),
 )
 
 
@@ -1014,9 +1045,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator still lacking a hard signal). Production uses
     ``hash_fn='xxhash64'`` with the identical plan shape; the two tiers'
     signatures are asserted structurally equivalent in
-    tests/test_dedup_similarity.py."""
+    tests/test_dedup_similarity.py.
+
+    Round-4 'winnow' arm: cross-document SHARED-PASSAGE pairs
+    (``winnow_shared_passages`` — docs sharing >= 3 distinct polynomial
+    winnowing fingerprints, the MOSS-style LOCAL-match tier that fires
+    on a common license header / templated paragraph even when the
+    whole-document similarity is negligible). The fingerprint values
+    are exact mod-2^31-1 int64 arithmetic, so the oracle recomputes
+    signature -> inverted index -> pair counts value-for-value.
+    Output: (tag, id_1, id_2, n1, n2, n3) — simhash rows carry
+    hamming in n1; winnow rows carry n_shared / sz_1 / sz_2."""
+    from ..operators.dedup import winnow_shared_passages
+
     d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=3, hash_fn="md5")
+    sim = simhash_pairs(d, "doc_id", "text", max_hamming=3, hash_fn="md5").select(
+        F.lit("simhash").alias("tag"),
+        "id_1",
+        "id_2",
+        F.col("hamming").cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+    )
+    win = winnow_shared_passages(
+        d, "doc_id", "text", window=8, stride=4, min_shared=3
+    ).select(
+        F.lit("winnow").alias("tag"),
+        "id_1",
+        "id_2",
+        F.col("n_shared").alias("n1"),
+        F.col("sz_1").alias("n2"),
+        F.col("sz_2").alias("n3"),
+    )
+    return sim.unionByName(win)
 
 
 _COS_PAIR_ORACLE = """

@@ -704,3 +704,92 @@ def test_minhash_lsh_incremental_empty_batch_and_empty_history(spark, sf_small):
     p2, _nd2, _nb2 = minhash_lsh_pairs_incremental(d, edocs, ebands, "doc_id", "text")
     full = sorted(map(tuple, minhash_lsh_pairs(d, "doc_id", "text").collect()))
     assert sorted(map(tuple, p2.collect())) == full
+
+
+# --- cross-document shared-passage detection (winnowing) ----------------
+
+def _winnow_pairs_model(rows, window=8, stride=4, min_shared=3, max_fp_docs=None):
+    """Python model of winnow_shared_passages over (id, text) rows."""
+    from impala_hashset_count_spark.functions.text import poly_winnow_py
+
+    fps = {}
+    for i, t in rows:
+        f = poly_winnow_py(t, window, stride)
+        if f is not None:
+            fps[i] = set(f)
+    if max_fp_docs is not None:
+        from collections import Counter
+
+        cnt = Counter(v for s in fps.values() for v in s)
+        fps = {i: {v for v in s if cnt[v] <= max_fp_docs} for i, s in fps.items()}
+    out = {}
+    ids = sorted(fps)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            n = len(fps[a] & fps[b])
+            if n >= min_shared:
+                out[(a, b)] = n
+    return out, {i: len(s) for i, s in fps.items()}
+
+
+def test_winnow_shared_passages_matches_python_model(spark, sf_small):
+    from impala_hashset_count_spark.operators.dedup import winnow_shared_passages
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    got = {
+        (r.id_1, r.id_2): (r.n_shared, r.sz_1, r.sz_2)
+        for r in winnow_shared_passages(d, min_shared=2).collect()
+    }
+    rows = [(r.doc_id, r.text) for r in d.collect()]
+    want_pairs, want_sz = _winnow_pairs_model(rows, min_shared=2)
+    assert {k: v[0] for k, v in got.items()} == want_pairs
+    for (a, b), (_, s1, s2) in got.items():
+        assert (s1, s2) == (want_sz[a], want_sz[b])
+
+
+def test_winnow_detects_planted_shared_passage(spark):
+    """Two documents that differ everywhere EXCEPT one shared passage
+    must pair (winnowing guarantees >= 1 common fingerprint per shared
+    substring of length >= window + stride - 1; a long passage yields
+    many), while unrelated docs must not."""
+    from impala_hashset_count_spark.operators.dedup import winnow_shared_passages
+
+    passage = "All rights reserved under the Example Corp public license."
+    rows = [
+        (1, "totally unrelated opening text here. " + passage),
+        (2, passage + " followed by a completely different body of words"),
+        (3, "nothing in common with the others at all, none whatsoever"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.id_1, r.id_2) for r in winnow_shared_passages(d, min_shared=3).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_max_fp_docs_guard_drops_ubiquitous_fingerprints(spark):
+    """A fingerprint present in every document is boilerplate with no
+    pair signal AND a quadratic pair bomb — the guard must drop it
+    BEFORE pairing (model equality with the guard applied), while docs
+    still pair through their rarer shared fingerprints."""
+    from impala_hashset_count_spark.operators.dedup import winnow_shared_passages
+
+    everywhere = "ubiquitous boilerplate line present in every document. "
+    rows = [(i, everywhere + f"unique filler text number {i} " * 3) for i in range(6)]
+    # docs 0 and 1 additionally share a rare passage
+    rare = "a rare shared passage that only these two contain"
+    rows[0] = (0, rows[0][1] + rare)
+    rows[1] = (1, rows[1][1] + rare)
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    guarded = {
+        (r.id_1, r.id_2): r.n_shared
+        for r in winnow_shared_passages(
+            d, min_shared=2, max_fp_docs=3
+        ).collect()
+    }
+    want, _ = _winnow_pairs_model(
+        [(i, t) for i, t in rows], min_shared=2, max_fp_docs=3
+    )
+    assert guarded == want
+    assert (0, 1) in guarded

@@ -380,6 +380,111 @@ def unigram_logprob_scores(
     )
 
 
+def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per adjacent token pair instance: (id, w1, w2). Blank /
+    one-token documents contribute nothing; adjacency is over the raw
+    whitespace-token array (identical on both engines: split of the
+    trimmed text on \\s+ yields no interior empties).
+
+    The token array is STAGED as an attribute before the pair lambda —
+    an inline split expression referenced inside ``transform`` is
+    re-evaluated per element (O(chars x pairs) per row; measured 20x
+    on this pass — the same hazard `functions/text.py` documents for
+    every tokenized metric)."""
+    t = F.col("__t")
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast(pair_t))
+    return (
+        df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    train_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Bigram language-model score per document with Stupid Backoff
+    (Brants et al., 2007) — the next quality rung above the unigram
+    self-score: word-ORDER-aware, so shuffled/garbled prose scores low
+    even when its word bag looks fine.
+
+    The model is trained on ``train_df`` (a reference slice — at 100 TB
+    a curated held-out sample), then every document in ``df`` is
+    scored; because the trained bigram table does NOT contain every
+    scored document's bigrams, the backoff path genuinely fires (a
+    self-trained bigram score never backs off — every observed bigram
+    is in its own corpus):
+
+        lp(w2 | w1) = ln(c12 / c1)            if bigram seen in train
+                    = ln(alpha * c2 / T)      elif w2 seen in train
+                    = ln(alpha * 1  / T)      else (OOV floor)
+
+    Returns (id, n_bigrams, lp_micro): the per-pair-type contribution
+    k * lp is quantized to BIGINT micro-units and summed exactly, so
+    the emitted sum is engine-bit-stable (same contract as
+    ``unigram_logprob_scores(integer_scores=True)``); mean log-prob =
+    lp_micro / 1e6 / n_bigrams. Documents with < 2 tokens emit no row.
+
+    Shuffle account: one bigram explode + (id, w1, w2) partial-agg
+    shuffle over the SCORED corpus; the train-side bigram and unigram
+    count tables are vocabulary-sized aggregates that broadcast back
+    (`broadcast_vocab=False` falls back to shuffle joins for web-scale
+    vocabularies) — the scored corpus never shuffles for a join."""
+    train_bg = (
+        _bigram_rows(train_df, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    train_tf = (
+        _tok_rows(train_df, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    if broadcast_vocab:
+        train_bg, train_tf = F.broadcast(train_bg), F.broadcast(train_tf)
+    total = train_tf.agg(F.sum("c").cast("long").alias("__T"))
+    doc_bg = (
+        _bigram_rows(df, id_col, text_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("k"))
+    )
+    c1 = train_tf.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    c2 = train_tf.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    lp = F.when(
+        F.col("c12").isNotNull(), F.log(F.col("c12") / F.col("c1"))
+    ).otherwise(
+        F.log((F.lit(alpha) * F.coalesce(F.col("c2"), F.lit(1))) / F.col("__T"))
+    )
+    return (
+        doc_bg.join(train_bg, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(c2, "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(_qint(F.col("k") * lp, 1e6)).cast("long").alias("lp_micro"),
+        )
+    )
+
+
 def top_tokens_sketch(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -38,6 +38,7 @@ from ..operators.analytics import cohort_retention, event_transitions, gap_fill
 from ..operators.bloom import bloom_build, bloom_oracle_ctes, bloom_probe
 from ..operators.drift import distribution_drift, drift_oracle_ctes
 from ..operators.corpus_stats import (
+    bigram_logprob_scores,
     bm25_topn,
     term_doc_stats,
     tfidf_top_terms,
@@ -1952,6 +1953,43 @@ _CORPUS_STATS_ORACLE = r"""
                    AS lp_micro
         FROM tf JOIN per_term USING (term) CROSS JOIN tot
         GROUP BY tf.doc_id
+    ),
+    tr AS (SELECT doc_id, toks FROM base WHERE doc_id % 20 = 0),
+    trbg AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS c12
+        FROM tr, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS g(i)
+        WHERE toks[i] <> '' AND toks[i + 1] <> ''
+        GROUP BY 1, 2
+    ),
+    trtf AS (
+        SELECT term, COUNT(*) AS c
+        FROM (SELECT UNNEST(toks) AS term FROM tr)
+        WHERE term <> '' GROUP BY 1
+    ),
+    trT AS (SELECT CAST(SUM(c) AS BIGINT) AS T FROM trtf),
+    dbg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS k
+        FROM base, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS g(i)
+        WHERE toks[i] <> '' AND toks[i + 1] <> ''
+        GROUP BY 1, 2, 3
+    ),
+    blp AS (
+        -- Stupid Backoff vs the doc_id%20==0 train slice; the 0.4 is
+        -- CAST to DOUBLE so DuckDB does IEEE (not DECIMAL) arithmetic
+        SELECT dbg.doc_id,
+               CAST(SUM(dbg.k) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(FLOOR(dbg.k * (
+                   CASE WHEN trbg.c12 IS NOT NULL
+                        THEN LN(trbg.c12 / c1t.c)
+                        ELSE LN((CAST(0.4 AS DOUBLE) * COALESCE(c2t.c, 1))
+                                / trT.T)
+                   END) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS lp_micro
+        FROM dbg
+        LEFT JOIN trbg ON dbg.w1 = trbg.w1 AND dbg.w2 = trbg.w2
+        LEFT JOIN trtf c1t ON dbg.w1 = c1t.term
+        LEFT JOIN trtf c2t ON dbg.w2 = c2t.term
+        CROSS JOIN trT
+        GROUP BY dbg.doc_id
     )
     SELECT 'tfidf' AS tag, doc_id, term,
            tf AS n1, tfidf AS v, rank AS n2
@@ -1966,6 +2004,8 @@ _CORPUS_STATS_ORACLE = r"""
     SELECT 'toptok_sk', NULL, term, nrun, NULL, NULL FROM (
         SELECT term, nrun FROM per_term ORDER BY nrun DESC, term LIMIT 20
     )
+    UNION ALL
+    SELECT 'bigram_lp', doc_id, NULL, n_bigrams, lp_micro, NULL FROM blp
 """
 
 
@@ -1991,6 +2031,10 @@ _CS_ARMS = {
     "toptok_sk": lambda spark, sf_dir: top_tokens_sketch(
         _cs_docs(spark, sf_dir), k=100, group_col="lang"
     ).limit(20),
+    "bigram_lp": lambda spark, sf_dir: bigram_logprob_scores(
+        _cs_docs(spark, sf_dir),
+        _cs_docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0),
+    ),
 }
 
 
@@ -2015,6 +2059,12 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       per document — the model-free LM quality signal —
       (doc_id, n_tokens->n1, lp_micro->v); mean log-prob =
       v / 1e6 / n1.
+    - ``bigram_lp``: bigram LM with Stupid Backoff trained on the
+      doc_id%20==0 reference slice, scoring ALL documents — the
+      word-ORDER-aware quality rung (garbled prose scores low even
+      with a clean word bag), and the backoff path genuinely fires
+      because scored bigrams need not exist in the train slice —
+      (doc_id, n_bigrams->n1, lp_micro->v).
 
     The hashed ``v`` column is all-BIGINT by design (no floats reach
     the driver's canonicalizer), and every oracle aggregate is CAST to
@@ -2091,6 +2141,15 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lp_micro").alias("v"),
         F.lit(None).cast("long").alias("n2"),
     )
+    train = d.filter(F.col("doc_id") % 20 == 0)
+    blp = bigram_logprob_scores(d, train).select(
+        F.lit("bigram_lp").alias("tag"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("n_bigrams").alias("n1"),
+        F.col("lp_micro").alias("v"),
+        F.lit(None).cast("long").alias("n2"),
+    )
     # the mergeable frequent-items SKETCH tier under the hash signal:
     # exact while the per-sketch vocabulary fits max_items, so the
     # mirror is the exact top-20; over-fetch (k=100) then re-rank
@@ -2108,5 +2167,9 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tfidf.unionByName(bm).unionByName(tt).unionByName(ulp).unionByName(tsk)
+        tfidf.unionByName(bm)
+        .unionByName(tt)
+        .unionByName(ulp)
+        .unionByName(tsk)
+        .unionByName(blp)
     )

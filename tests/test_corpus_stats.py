@@ -315,3 +315,64 @@ def test_top_tokens_sketch_finds_heavy_hitter_at_low_capacity(spark):
     tight = top_tokens_sketch(d, k=3, max_items=10).collect()
     assert tight and tight[0].token == "hot"
     assert tight[0].est_count >= 800  # true count 800; no undercount of the head
+
+
+# --- bigram LM with Stupid Backoff --------------------------------------
+
+def test_bigram_logprob_matches_python_model_all_backoff_paths(spark):
+    """Spark output equals a Python model on data constructed so every
+    lp path fires: seen bigram (ln(c12/c1)), unseen-bigram/seen-word
+    backoff (ln(0.4*c2/T)), and the OOV floor (ln(0.4/T))."""
+    import math
+
+    from impala_hashset_count_spark.operators.corpus_stats import (
+        bigram_logprob_scores,
+    )
+
+    train_rows = [(0, "the cat sat on the mat"), (20, "the dog sat")]
+    score_rows = train_rows + [
+        (1, "the cat sat"),            # all bigrams seen
+        (2, "cat the"),                # unseen bigram, both words seen
+        (3, "the zebra runs"),         # zebra/runs are OOV
+        (4, "single"),                 # one token: no row
+        (5, None),                     # NULL text: no row
+    ]
+    schema = "doc_id bigint, text string"
+    train = spark.createDataFrame(train_rows, schema)
+    docs = spark.createDataFrame(score_rows, schema)
+    got = {
+        r.doc_id: (r.n_bigrams, r.lp_micro)
+        for r in bigram_logprob_scores(docs, train).collect()
+    }
+
+    # python model
+    toks = lambda t: t.split()  # noqa: E731
+    c12, c = {}, {}
+    for _, t in train_rows:
+        ws = toks(t)
+        for w in ws:
+            c[w] = c.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    T = sum(c.values())
+
+    def lp(a, b):
+        if (a, b) in c12:
+            return math.log(c12[(a, b)] / c[a])
+        return math.log(0.4 * c.get(b, 1) / T)
+
+    want = {}
+    for i, t in score_rows:
+        if t is None or len(toks(t)) < 2:
+            continue
+        ws = toks(t)
+        micro = sum(
+            math.floor(1 * lp(a, b) * 1e6 + 0.5) for a, b in zip(ws, ws[1:])
+        )
+        want[i] = (len(ws) - 1, micro)
+    assert got == want
+    assert 4 not in got and 5 not in got
+    # sanity on the constructed paths: doc 1 scores higher per-bigram
+    # than doc 2 (backoff), which scores higher than doc 3 (OOV floor)
+    per = {i: got[i][1] / got[i][0] for i in (1, 2, 3)}
+    assert per[1] > per[2] > per[3]

@@ -446,7 +446,13 @@ def bigram_logprob_scores(
     shuffle over the SCORED corpus; the train-side bigram and unigram
     count tables are vocabulary-sized aggregates that broadcast back
     (`broadcast_vocab=False` falls back to shuffle joins for web-scale
-    vocabularies) — the scored corpus never shuffles for a join."""
+    vocabularies) — the scored corpus never shuffles for a join.
+
+    ``train_df`` must contain at least one tokenizable document: with
+    an empty train slice T is NULL and every score degenerates to NULL
+    (there is no model to score against) — both engines agree on that
+    propagation, but callers should treat it as a configuration
+    error."""
     train_bg = (
         _bigram_rows(train_df, id_col, text_col)
         .groupBy("w1", "w2")

@@ -131,6 +131,33 @@ def make_hashset_count_udaf():
     return hashset_count
 
 
+def _route_by_group_size(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    max_group_rows: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (small-group rows, oversized-group rows) by
+    per-group non-NULL ``value_col`` count. NULL-SAFE on the group
+    keys: a NULL group key is the canonical hot key (the placeholder
+    id that is 30% of a log table) — a standard equi-join would never
+    match it and silently send the one group the guard exists for
+    straight to the pandas worker (tested)."""
+    counts = df.groupBy(*group_cols).agg(F.count(value_col).alias("__nn"))
+    big_keys = F.broadcast(
+        counts.filter(F.col("__nn") > max_group_rows).select(
+            *[F.col(c).alias(f"__k_{c}") for c in group_cols]
+        )
+    )
+    cond = None
+    for c in group_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+        cond = eq if cond is None else cond & eq
+    small = df.join(big_keys, cond, "left_anti")
+    big = df.join(big_keys, cond, "left_semi")
+    return small, big
+
+
 def hashset_count_df_guarded(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -159,10 +186,7 @@ def hashset_count_df_guarded(
     At 100 TB the counting pass is the price of skew safety; pipelines
     that already know their key histogram can pass the big-key list
     directly instead (filter + two groupBys, same shape)."""
-    counts = df.groupBy(*group_cols).agg(F.count(value_col).alias("__nn"))
-    big_keys = counts.filter(F.col("__nn") > max_group_rows).select(*group_cols)
-    small = df.join(F.broadcast(big_keys), list(group_cols), "left_anti")
-    big = df.join(F.broadcast(big_keys), list(group_cols), "left_semi")
+    small, big = _route_by_group_size(df, group_cols, value_col, max_group_rows)
     udaf = make_hashset_count_udaf()
     small_out = small.groupBy(*group_cols).agg(
         udaf(F.col(value_col)).alias("hashset_count")

@@ -590,3 +590,26 @@ class TestGuardedFaithful:
         if py_pos < 0:
             py_pos = plan.index("AggregateInPandas")
         assert "LeftAnti" in plan[py_pos:py_pos + 800]
+
+    def test_null_group_key_routes_through_guard(self, spark):
+        """A giant NULL-keyed group is the canonical skew case (the
+        placeholder id); the routing joins must match it NULL-SAFELY —
+        a standard equi-join would never match NULL and send the one
+        group the guard exists for to the pandas worker."""
+        from impala_hashset_count_spark.operators.hashset_count import (
+            _route_by_group_size,
+            hashset_count_df_guarded,
+        )
+
+        rows = [(None, f"v{i % 61}") for i in range(300)] + [
+            ("tiny", "a"), ("tiny", "b"),
+        ]
+        df = _df(spark, rows)
+        small, big = _route_by_group_size(df, ["group_key"], "s", 100)
+        assert big.filter(F.col("group_key").isNull()).count() == 300
+        assert small.filter(F.col("group_key").isNull()).count() == 0
+        assert small.count() == 2
+        out = _result_map(
+            hashset_count_df_guarded(df, ["group_key"], "s", max_group_rows=100)
+        )
+        assert out == {None: "61", "tiny": "2"}

@@ -1001,7 +1001,11 @@ def winnow_shared_passages(
     Returns (id_1, id_2, n_shared, sz_1, sz_2) with id_1 < id_2 —
     n_shared = |fp(d1) ∩ fp(d2)| and sz_i = |fp(d_i)| (all exact
     integers: containment/overlap scores are derivable without any
-    float reaching a hash gate).
+    float reaching a hash gate). Under ``max_fp_docs`` the sizes stay
+    FULL signature sizes while n_shared counts only surviving
+    fingerprints — the guard prunes the pairing universe, not the
+    per-document signature (so containment ratios keep their true
+    denominator; tested against the python model).
 
     Scale shape: the fingerprint projection rides the one corpus scan
     (Arrow-batched numpy, zero shuffle); the DISTINCT (id, fp)

@@ -133,11 +133,11 @@ def prune_files(
     The plan list necessarily comes back to the DRIVER (it is what a
     table format's driver computes too), which bounds this operator at
     millions of surviving files, not beyond. ``max_files`` makes the
-    bound explicit: the survivor COUNT is checked first (a 1-row agg
-    over the metadata index — no list materialized) and a plan larger
-    than the cap raises with the staged-pruning remedy instead of
-    silently building a multi-GB driver list. None disables the
-    guard."""
+    bound explicit: the collect is LIMITed to max_files+1 rows (one
+    bounded execution — the driver never materializes an oversized
+    list) and an over-cap plan raises with the staged-pruning remedy
+    instead of silently building a multi-GB driver list. None disables
+    the guard."""
     per_col = []
     for c, (lo, hi) in ranges.items():
         hit = index.filter(
@@ -151,15 +151,19 @@ def prune_files(
     plan = per_col[0]
     for other in per_col[1:]:
         plan = plan.intersect(other)
-    if max_files is not None:
-        n = plan.count()
-        if n > max_files:
-            raise ValueError(
-                f"pruned read plan has {n} files > max_files={max_files}; "
-                f"prune in stages (partition directories first), tighten "
-                f"the predicate ranges, or raise max_files explicitly"
-            )
-    return sorted(r.file for r in plan.collect())
+    if max_files is None:
+        return sorted(r.file for r in plan.collect())
+    # ONE bounded execution: collect at most max_files+1 rows — the
+    # driver never materializes an oversized plan list, and the guard
+    # costs no second job
+    rows = plan.limit(max_files + 1).collect()
+    if len(rows) > max_files:
+        raise ValueError(
+            f"pruned read plan exceeds max_files={max_files}; "
+            f"prune in stages (partition directories first), tighten "
+            f"the predicate ranges, or raise max_files explicitly"
+        )
+    return sorted(r.file for r in rows)
 
 
 def read_pruned(

@@ -138,12 +138,16 @@ def _route_by_group_size(
     max_group_rows: int,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``df`` into (small-group rows, oversized-group rows) by
-    per-group non-NULL ``value_col`` count. NULL-SAFE on the group
-    keys: a NULL group key is the canonical hot key (the placeholder
-    id that is 30% of a log table) — a standard equi-join would never
-    match it and silently send the one group the guard exists for
-    straight to the pandas worker (tested)."""
-    counts = df.groupBy(*group_cols).agg(F.count(value_col).alias("__nn"))
+    per-group TOTAL row count — ``count(*)``, not the non-NULL value
+    count: Spark ships the whole group (NULL values included — the
+    UDAF drops them Python-side) to the worker, so a hot group that is
+    mostly NULL values would evade a non-NULL-count guard while still
+    serializing every row to one process. NULL-SAFE on the group keys:
+    a NULL group key is the canonical hot key (the placeholder id that
+    is 30% of a log table) — a standard equi-join would never match it
+    and silently send the one group the guard exists for straight to
+    the pandas worker (both tested)."""
+    counts = df.groupBy(*group_cols).agg(F.count("*").alias("__nn"))
     big_keys = F.broadcast(
         counts.filter(F.col("__nn") > max_group_rows).select(
             *[F.col(c).alias(f"__k_{c}") for c in group_cols]
@@ -172,7 +176,7 @@ def hashset_count_df_guarded(
     null-ish default key) stalls tier b at scale — the same degradation
     zone the reference documents for its own single-node hash table
     (`/root/reference/README.md:10-11`: beyond the sweet spot,
-    "performance degrades"). The guard routes any group whose non-NULL
+    "performance degrades"). The guard routes any group whose TOTAL
     row count exceeds ``max_group_rows`` through tier a
     (``count_distinct`` + NULL-on-empty + string cast — the IDENTICAL
     output contract, `hashset-count.cc:464-524` semantics), which

@@ -1028,9 +1028,7 @@ _SIMHASH_ORACLE = r"""
 
 _w_codes, _w_hashes, _w_mins = poly_winnow_oracle_exprs("text", 8, 4)
 _SIMHASH_ORACLE = _SIMHASH_ORACLE.format(
-    wcodes=_w_codes,
-    whashes=_w_hashes,
-    wmins=_w_mins.replace("LEN(wh)", "LEN(wh)"),
+    wcodes=_w_codes, whashes=_w_hashes, wmins=_w_mins
 )
 
 

@@ -1497,8 +1497,13 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
       ZERO exchange (plan-asserted in tests/test_bucketing.py); the
       physical design answer for the join that runs daily over 100 TB.
       The entry rewrites the bucketed tables under the system temp dir
-      each run (mode=overwrite, fixed names — no accumulation)."""
+      each run. Path and table names are suffixed with the Spark
+      APPLICATION id: re-runs within one session overwrite in place
+      (no accumulation), while concurrent sessions (parallel test
+      workers, bench beside a sweep) cannot clobber each other's
+      files mid-read."""
     import os
+    import re
     import tempfile
 
     from ..operators.skew import bucketed_table, salted_join
@@ -1525,14 +1530,15 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "salted",
     )
-    base = os.path.join(tempfile.gettempdir(), "ihc_bucketed")
+    app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    base = os.path.join(tempfile.gettempdir(), f"ihc_bucketed_{app}")
     bl = bucketed_table(
         li.withColumnRenamed("l_orderkey", "jk"), spark,
-        "ihc_bkt_lineitem", os.path.join(base, "l"), "jk",
+        f"ihc_bkt_lineitem_{app}", os.path.join(base, "l"), "jk",
     )
     bo = bucketed_table(
         orders.withColumnRenamed("o_orderkey", "jk"), spark,
-        "ihc_bkt_orders", os.path.join(base, "o"), "jk",
+        f"ihc_bkt_orders_{app}", os.path.join(base, "o"), "jk",
     )
     return salted.unionByName(agg(bl.join(bo, "jk"), "bucketed"))
 

@@ -336,6 +336,7 @@ def test_bigram_logprob_matches_python_model_all_backoff_paths(spark):
         (3, "the zebra runs"),         # zebra/runs are OOV
         (4, "single"),                 # one token: no row
         (5, None),                     # NULL text: no row
+        (6, "the cat the cat sat"),    # REPEATED bigram (the,cat): k=2
     ]
     schema = "doc_id bigint, text string"
     train = spark.createDataFrame(train_rows, schema)
@@ -366,8 +367,15 @@ def test_bigram_logprob_matches_python_model_all_backoff_paths(spark):
         if t is None or len(toks(t)) < 2:
             continue
         ws = toks(t)
+        # quantize per pair TYPE with the multiplicity applied BEFORE
+        # the floor — floor(k*lp*1e6+0.5), the operator/oracle
+        # contract; per-instance flooring (k*floor(lp*1e6+0.5)) can
+        # differ by up to k-1 micro-units on repeated bigrams (doc 6)
+        from collections import Counter
+
+        ks = Counter(zip(ws, ws[1:]))
         micro = sum(
-            math.floor(1 * lp(a, b) * 1e6 + 0.5) for a, b in zip(ws, ws[1:])
+            math.floor(k * lp(a, b) * 1e6 + 0.5) for (a, b), k in ks.items()
         )
         want[i] = (len(ws) - 1, micro)
     assert got == want

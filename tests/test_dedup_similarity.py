@@ -709,19 +709,24 @@ def test_minhash_lsh_incremental_empty_batch_and_empty_history(spark, sf_small):
 # --- cross-document shared-passage detection (winnowing) ----------------
 
 def _winnow_pairs_model(rows, window=8, stride=4, min_shared=3, max_fp_docs=None):
-    """Python model of winnow_shared_passages over (id, text) rows."""
+    """Python model of winnow_shared_passages over (id, text) rows.
+    Sizes are FULL signature sizes (pre-guard, matching the operator's
+    documented sz_i = |fp(d_i)| contract); only the PAIRING universe is
+    filtered by the ubiquity guard."""
     from impala_hashset_count_spark.functions.text import poly_winnow_py
 
-    fps = {}
+    full = {}
     for i, t in rows:
         f = poly_winnow_py(t, window, stride)
         if f is not None:
-            fps[i] = set(f)
+            full[i] = set(f)
+    sizes = {i: len(s) for i, s in full.items()}
+    fps = full
     if max_fp_docs is not None:
         from collections import Counter
 
-        cnt = Counter(v for s in fps.values() for v in s)
-        fps = {i: {v for v in s if cnt[v] <= max_fp_docs} for i, s in fps.items()}
+        cnt = Counter(v for s in full.values() for v in s)
+        fps = {i: {v for v in s if cnt[v] <= max_fp_docs} for i, s in full.items()}
     out = {}
     ids = sorted(fps)
     for ai in range(len(ids)):
@@ -730,7 +735,7 @@ def _winnow_pairs_model(rows, window=8, stride=4, min_shared=3, max_fp_docs=None
             n = len(fps[a] & fps[b])
             if n >= min_shared:
                 out[(a, b)] = n
-    return out, {i: len(s) for i, s in fps.items()}
+    return out, sizes
 
 
 def test_winnow_shared_passages_matches_python_model(spark, sf_small):
@@ -782,14 +787,18 @@ def test_winnow_max_fp_docs_guard_drops_ubiquitous_fingerprints(spark):
     rows[0] = (0, rows[0][1] + rare)
     rows[1] = (1, rows[1][1] + rare)
     d = spark.createDataFrame(rows, "doc_id bigint, text string")
-    guarded = {
-        (r.id_1, r.id_2): r.n_shared
+    got = {
+        (r.id_1, r.id_2): (r.n_shared, r.sz_1, r.sz_2)
         for r in winnow_shared_passages(
             d, min_shared=2, max_fp_docs=3
         ).collect()
     }
-    want, _ = _winnow_pairs_model(
+    want, want_sz = _winnow_pairs_model(
         [(i, t) for i, t in rows], min_shared=2, max_fp_docs=3
     )
-    assert guarded == want
-    assert (0, 1) in guarded
+    assert {k: v[0] for k, v in got.items()} == want
+    # sizes stay FULL signature sizes under the guard (the documented
+    # sz_i = |fp(d_i)| contract — only the pairing universe is pruned)
+    for (a, b), (_, s1, s2) in got.items():
+        assert (s1, s2) == (want_sz[a], want_sz[b])
+    assert (0, 1) in got

@@ -613,3 +613,26 @@ class TestGuardedFaithful:
             hashset_count_df_guarded(df, ["group_key"], "s", max_group_rows=100)
         )
         assert out == {None: "61", "tiny": "2"}
+
+    def test_null_value_heavy_group_still_routes_big(self, spark):
+        """Routing thresholds on count(*), NOT the non-NULL value
+        count: Spark ships the WHOLE group (NULLs included) to the
+        pandas worker, so a hot group that is mostly NULL values must
+        still take the tier-a route."""
+        from impala_hashset_count_spark.operators.hashset_count import (
+            _route_by_group_size,
+            hashset_count_df_guarded,
+        )
+
+        rows = [("hot", None)] * 190 + [("hot", f"v{i}") for i in range(10)] + [
+            ("cold", "x")
+        ]
+        df = _df(spark, rows)
+        small, big = _route_by_group_size(df, ["group_key"], "s", 100)
+        # non-NULL count is 10 <= 100, but 200 total rows would ship
+        assert big.filter(F.col("group_key") == "hot").count() == 200
+        assert small.count() == 1
+        out = _result_map(
+            hashset_count_df_guarded(df, ["group_key"], "s", max_group_rows=100)
+        )
+        assert out == {"hot": "10", "cold": "1"}

@@ -15,6 +15,7 @@ from .dedup import (
     exact_dedup_incremental,
     minhash_lsh_pairs,
     near_dup_components,
+    near_dup_components_star,
     near_dup_dedup,
     ngram_jaccard_pairs,
     semantic_dedup,

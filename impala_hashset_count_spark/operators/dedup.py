@@ -671,6 +671,95 @@ def near_dup_components(
     return labels
 
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    nbrs = _symmetrize(edges)
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect u and its smaller neighbors to the minimum among them."""
+    nbrs = _symmetrize(edges).filter(F.col("v") < F.col("u"))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+    own = mins.select(F.col("u"), F.col("m").alias("v"))
+    smaller = (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return own.union(smaller).distinct()
+
+
+def near_dup_components_star(
+    pairs: DataFrame, id_1: str = "id_1", id_2: str = "id_2", max_iter: int = 25
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14) — same (id, rep) contract as ``near_dup_components``
+    (rep = MINIMUM id of the component), different convergence regime:
+    O(log^2 n) rounds REGARDLESS of component diameter, vs min-label
+    propagation's O(diameter) rounds.
+
+    This is the 100 TB scale path when components are NOT near-cliques:
+    a chain of gradually-drifting template revisions (A~B, B~C, ... with
+    A !~ C) forms a path-shaped component whose diameter grows with the
+    corpus, and each propagation round is a full O(edges) shuffle — a
+    10^4-long chain means 10^4 shuffles for min-label but ~10 for the
+    star algorithm. Per round: large-star hangs every larger neighbor of
+    u below min(Γ(u) ∪ {u}) (cuts long chains in half and flattens hubs
+    without ever growing the edge count); small-star re-points u and its
+    smaller neighbors at their common minimum. The fixed point is stars
+    rooted at each component's minimum.
+
+    Each half-round is one groupBy-min plus one equi-join, both keyed on
+    node id (AQE handles degree skew); edge tables shrink monotonically
+    toward n-1 star edges. Convergence is detected by exact edge-set
+    equality (count + exceptAll — tiny at the fixed point since the
+    table is already star-shaped; a checksum aggregate would do at
+    extreme scale). ``localCheckpoint`` truncates the per-round lineage
+    exactly as in ``near_dup_components``."""
+    edges = (
+        pairs.select(F.col(id_1).alias("u"), F.col(id_2).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = _symmetrize(edges).select(F.col("u").alias("id")).distinct()
+    cur = edges
+    for _ in range(max_iter):
+        after_large = _large_star(cur).localCheckpoint()
+        after_small = _small_star(after_large).localCheckpoint()
+        unchanged = (
+            after_small.count() == cur.count()
+            and after_small.exceptAll(cur).isEmpty()
+        )
+        cur = after_small
+        if unchanged:
+            break
+    # At the fixed point every edge is (child, component-min); roots
+    # appear only on the right-hand side.
+    parents = cur.groupBy("u").agg(F.min("v").alias("rep"))
+    return nodes.join(
+        parents.select(F.col("u").alias("id"), "rep"), "id", "left"
+    ).select("id", F.coalesce("rep", F.col("id")).alias("rep"))
+
+
 def near_dup_dedup(
     df: DataFrame,
     id_col: str,

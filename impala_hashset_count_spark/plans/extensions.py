@@ -50,6 +50,7 @@ from ..operators.dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
     near_dup_components,
+    near_dup_components_star,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -1552,6 +1553,11 @@ _TRANSITIVE_ORACLE = r"""
            CAST(NULL AS BIGINT) AS pr_fixed
     FROM reach GROUP BY id
     UNION ALL
+    SELECT 'ccstar' AS tag, id, MIN(r) AS rep,
+           CAST(NULL AS BIGINT) AS degree, CAST(NULL AS BIGINT) AS n_triangles,
+           CAST(NULL AS BIGINT) AS pr_fixed
+    FROM reach GROUP BY id
+    UNION ALL
     SELECT 'graph' AS tag, d.id, CAST(NULL AS BIGINT) AS rep,
            d.degree, COALESCE(t.ntri, 0) AS n_triangles,
            CAST(NULL AS BIGINT) AS pr_fixed
@@ -1582,6 +1588,13 @@ def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash-LSH pair tier (``near_dup_dedup``, recall-tested). Each
     propagation iteration shuffles O(edges); near-dup clusters are
     near-cliques, so 1-3 iterations converge.
+
+    'ccstar' rows recompute the SAME component assignment through the
+    alternating large-star/small-star algorithm
+    (``near_dup_components_star`` — O(log^2 n) rounds independent of
+    component diameter, the 100 TB path for chain-shaped components),
+    so the driver hash certifies both strategies agree label-for-label
+    against the recursive-CTE ground truth.
 
     'graph' rows add the pair-graph MEASUREMENTS (`operators/graph.py`):
     per-node degree and exact triangle participation via degree-ordered
@@ -1621,6 +1634,14 @@ def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls["n_triangles"],
         nulls["pr_fixed"],
     )
+    ccstar = near_dup_components_star(pairs).select(
+        F.lit("ccstar").alias("tag"),
+        "id",
+        "rep",
+        nulls["degree"],
+        nulls["n_triangles"],
+        nulls["pr_fixed"],
+    )
     graph = (
         degrees(pairs)
         .join(triangle_counts(pairs), "id", "left")
@@ -1641,7 +1662,7 @@ def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls["n_triangles"],
         "pr_fixed",
     )
-    return comp.unionByName(graph).unionByName(pr)
+    return comp.unionByName(ccstar).unionByName(graph).unionByName(pr)
 
 
 # ---------------------------------------------------------------------

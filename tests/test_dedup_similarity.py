@@ -319,6 +319,83 @@ def test_near_dup_components_chain_converges(spark):
     assert comp == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
 
 
+def test_star_components_match_union_find_model(spark):
+    """large-star/small-star components == a pure-python union-find
+    model on a seeded random graph with several components, plus the
+    chain/isolated-pair shape used for the propagation tier."""
+    import random
+
+    from impala_hashset_count_spark.operators.dedup import (
+        near_dup_components_star,
+    )
+
+    rng = random.Random(20260814)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+    edges += [(1, 2), (2, 3), (3, 4), (4, 5), (100, 101)]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            parent[find(a)] = find(b)
+    nodes = {n for a, b in edges if a != b for n in (a, b)}
+    want = {}
+    for n in nodes:
+        want.setdefault(find(n), []).append(n)
+    model = {(n, min(grp)) for grp in want.values() for n in grp}
+
+    pairs = spark.createDataFrame(edges, "id_1 int, id_2 int")
+    got = {
+        (r["id"], r["rep"])
+        for r in near_dup_components_star(pairs).collect()
+    }
+    assert got == model
+
+
+def test_star_components_long_chain_few_rounds(spark):
+    """A 200-node path — the diameter-bound worst case where min-label
+    propagation needs 200 rounds — resolves correctly well inside the
+    star algorithm's O(log^2 n) round budget."""
+    from impala_hashset_count_spark.operators.dedup import (
+        near_dup_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_1 int, id_2 int"
+    )
+    comp = near_dup_components_star(pairs, max_iter=12)
+    assert {(r["id"], r["rep"]) for r in comp.collect()} == {
+        (i, 0) for i in range(201)
+    }
+
+
+def test_star_components_equal_propagation_tier(spark, sf_small):
+    """Both component strategies assign identical (id, rep) labels over
+    the real exact-Jaccard pair list — the strategy swap is free."""
+    from impala_hashset_count_spark.operators.dedup import (
+        near_dup_components,
+        near_dup_components_star,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_small, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = pairs.localCheckpoint()
+    a = {(r["id"], r["rep"]) for r in near_dup_components(pairs).collect()}
+    b = {
+        (r["id"], r["rep"])
+        for r in near_dup_components_star(pairs).collect()
+    }
+    assert a == b
+
+
 def test_minhash_bucket_cap_drops_boilerplate_cluster(spark):
     """A cluster of identical docs (boilerplate) puts all its members
     in every band bucket; with the cap below the cluster size those

@@ -152,3 +152,20 @@ def test_float_query_partition_sweep_stability(spark, sf_small, monkeypatch, nam
         monkeypatch.setenv("SPARK_GRAFT_CPUS", n)
         outs.append(sorted(map(tuple, q.fn(spark, sf_small).collect())))
     assert outs[0] == outs[1] == outs[2]
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_product_in_any_entry_plan(spark, sf_small, name):
+    """No registry entry may plan a CartesianProduct — the O(n*m)
+    shuffle-everything join that silently works at sf0.001 and never
+    finishes at 100 TB. Every intentional all-pairs composition in the
+    repo routes through a broadcast of a provably tiny side
+    (BroadcastNestedLoopJoin), which stays legal. Physical-plan string
+    only — planning, not execution (entries with eager internal stages
+    still run those, as in any construction)."""
+    df = QUERIES[name].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in physical plan — broadcast the "
+        f"small side or rewrite the join condition to an equi-join"
+    )

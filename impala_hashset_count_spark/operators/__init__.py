@@ -82,9 +82,12 @@ from .dedup import (
 from .drift import distribution_drift, drift_from_counts
 from .fileindex import (
     build_file_index,
+    build_rowgroup_index,
     compact_small_files,
     prune_files,
+    prune_rowgroups,
     read_pruned,
+    read_pruned_rowgroups,
 )
 from .graph import degrees, pagerank_fixed, triangle_counts, triangles
 from .ivm import maintain_join_view

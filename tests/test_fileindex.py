@@ -139,3 +139,117 @@ def test_prune_max_files_guard_raises_with_remedy(spark, sf_small, tmp_path):
         prune_files(idx, wide, max_files=1)
     kept = prune_files(idx, wide, max_files=None)
     assert len(kept) > 1
+
+
+def _multi_rg_layout(spark, sf_small, tmp_path):
+    """Two files sorted by l_orderkey with ~64 KB row groups — several
+    narrow-range row groups per file."""
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    path = os.path.join(str(tmp_path), "rgli")
+    (
+        li.orderBy("l_orderkey")
+        .coalesce(2)
+        .write.option("parquet.block.size", 65536)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return li, path
+
+
+def test_rowgroup_index_matches_direct_footer_read(spark, sf_small, tmp_path):
+    from impala_hashset_count_spark.operators.fileindex import (
+        build_rowgroup_index,
+    )
+
+    ship_package(spark)
+    _, path = _multi_rg_layout(spark, sf_small, tmp_path)
+    idx = build_rowgroup_index(spark, path, ["l_orderkey"]).collect()
+    got = {(r.file, r.rg): (r.min_num, r.max_num, r.rg_rows) for r in idx}
+    total_rgs = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        total_rgs += md.num_row_groups
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema == "l_orderkey":
+                    st = col.statistics
+                    assert got[(f, rg)] == (
+                        float(st.min),
+                        float(st.max),
+                        row_group.num_rows,
+                    )
+    assert total_rgs > 2  # the layout really has sub-file granularity
+    assert len(got) == total_rgs
+
+
+def test_read_pruned_rowgroups_equals_full_scan_and_skips_within_files(
+    spark, sf_small, tmp_path
+):
+    from impala_hashset_count_spark.operators.fileindex import (
+        build_rowgroup_index,
+        prune_rowgroups,
+        read_pruned_rowgroups,
+    )
+
+    ship_package(spark)
+    li, path = _multi_rg_layout(spark, sf_small, tmp_path)
+    idx = build_rowgroup_index(spark, path, ["l_orderkey"]).localCheckpoint()
+    total_rgs = idx.select("file", "rg").distinct().count()
+
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    ranges = {"l_orderkey": (lo + 0.3 * (hi - lo), lo + 0.45 * (hi - lo))}
+    plan = prune_rowgroups(idx, ranges)
+    # genuine SUB-FILE skipping: fewer groups than exist, and at least
+    # one kept file contributes only a strict subset of its groups
+    assert 0 < len(plan) < total_rgs
+    per_file_total = {
+        r.file: r.n for r in idx.groupBy("file").agg(
+            F.countDistinct("rg").alias("n")
+        ).collect()
+    }
+    kept_per_file: dict[str, int] = {}
+    for f, _rg in plan:
+        kept_per_file[f] = kept_per_file.get(f, 0) + 1
+    assert any(kept_per_file[f] < per_file_total[f] for f in kept_per_file)
+
+    got = sorted(
+        map(tuple, read_pruned_rowgroups(spark, path, idx, ranges).collect())
+    )
+    cond = F.col("l_orderkey").between(*ranges["l_orderkey"])
+    expect = sorted(
+        map(tuple, spark.read.parquet(path).filter(cond).collect())
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_read_pruned_rowgroups_projection_and_empty_plan(
+    spark, sf_small, tmp_path
+):
+    from impala_hashset_count_spark.operators.fileindex import (
+        build_rowgroup_index,
+        read_pruned_rowgroups,
+    )
+
+    ship_package(spark)
+    li, path = _multi_rg_layout(spark, sf_small, tmp_path)
+    idx = build_rowgroup_index(spark, path, ["l_orderkey"]).localCheckpoint()
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+
+    # projection: predicate column joins the requested columns
+    ranges = {"l_orderkey": (lo, lo + 0.1 * (hi - lo))}
+    out = read_pruned_rowgroups(
+        spark, path, idx, ranges, columns=["l_quantity"]
+    )
+    assert set(out.columns) == {"l_orderkey", "l_quantity"}
+    assert out.count() == spark.read.parquet(path).filter(
+        F.col("l_orderkey").between(*ranges["l_orderkey"])
+    ).count()
+
+    # a range beyond the data prunes everything -> empty, same schema
+    empty = read_pruned_rowgroups(
+        spark, path, idx, {"l_orderkey": (hi + 10, hi + 20)}
+    )
+    assert empty.count() == 0
+    assert empty.columns == spark.read.parquet(path).columns

@@ -88,6 +88,7 @@ from .fileindex import (
     prune_rowgroups,
     read_pruned,
     read_pruned_rowgroups,
+    update_file_index,
 )
 from .graph import degrees, pagerank_fixed, triangle_counts, triangles
 from .ivm import maintain_join_view

@@ -68,6 +68,17 @@ def build_file_index(
     files = _list_parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
+    file_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        min(len(files), 64)
+    )
+    return _footer_stats_frame(file_df, cols, footer_batch_files)
+
+
+def _footer_stats_frame(
+    file_df: DataFrame, cols: list[str], footer_batch_files: int
+) -> DataFrame:
+    """Footer-read core of ``build_file_index``/``update_file_index``:
+    per-(file, column) stats for every file in ``file_df``."""
     want = list(cols)
     chunk = max(1, int(footer_batch_files))
 
@@ -115,9 +126,6 @@ def build_file_index(
                     )
             yield pd.DataFrame(rows, columns=cols_out)
 
-    file_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
-        min(len(files), 64)
-    )
     return file_df.mapInPandas(read_footers, _INDEX_SCHEMA)
 
 
@@ -367,3 +375,35 @@ def read_pruned_rowgroups(
                     yield tbl.to_pandas()[need]
 
     return plan_df.mapInPandas(read_groups, schema).filter(cond)
+
+
+def update_file_index(
+    spark: SparkSession, path: str, index: DataFrame, cols: list[str],
+    footer_batch_files: int = 1024,
+) -> DataFrame:
+    """Bring a STORED file index up to date with the directory: footers
+    are read only for files the index has not seen, rows for deleted
+    files are dropped, everything else is reused as-is. This is how an
+    index over a continuously-ingesting 100 TB table stays maintainable
+    — per refresh the work is O(new files), never a re-walk of every
+    footer (the same append-only discipline as
+    ``minhash_lsh_pairs_incremental`` and the CDC snapshot store).
+
+    The current file LISTING still comes from the driver-side walk —
+    the same driver-bounded metadata operation as ``prune_files``; at
+    extreme file counts, list per partition directory. Returns the
+    refreshed index (same schema as ``build_file_index``); persist it
+    wherever the stored index lives."""
+    on_disk = set(_list_parquet_files(path))
+    if not on_disk:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    known = {r.file for r in index.select("file").distinct().collect()}
+    kept = index.filter(F.col("file").isin(list(known & on_disk)))
+    new_files = sorted(on_disk - known)
+    if not new_files:
+        return kept
+    file_df = spark.createDataFrame(
+        [(f,) for f in new_files], "file string"
+    ).repartition(min(len(new_files), 64))
+    fresh = _footer_stats_frame(file_df, cols, footer_batch_files)
+    return kept.unionByName(fresh)

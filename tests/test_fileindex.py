@@ -253,3 +253,33 @@ def test_read_pruned_rowgroups_projection_and_empty_plan(
     )
     assert empty.count() == 0
     assert empty.columns == spark.read.parquet(path).columns
+
+
+def test_update_file_index_incremental_equals_fresh_build(
+    spark, sf_small, tmp_path
+):
+    from impala_hashset_count_spark.operators.fileindex import (
+        build_file_index,
+        update_file_index,
+    )
+
+    ship_package(spark)
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    path = os.path.join(str(tmp_path), "inc")
+    li.limit(2000).coalesce(2).write.parquet(path)
+    idx0 = build_file_index(spark, path, ["l_orderkey"]).localCheckpoint()
+
+    # append two more files, delete one ORIGINAL (indexed) file
+    li.limit(1000).coalesce(2).write.mode("append").parquet(path)
+    victim = sorted({r.file for r in idx0.collect()})[0]
+    os.remove(victim)
+
+    updated = update_file_index(spark, path, idx0, ["l_orderkey"])
+    fresh = build_file_index(spark, path, ["l_orderkey"])
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(updated) == canon(fresh)
+    assert not any(r.file == victim for r in updated.collect())
+
+    # no new files: the stored rows come back verbatim
+    again = update_file_index(spark, path, updated, ["l_orderkey"])
+    assert canon(again) == canon(updated)

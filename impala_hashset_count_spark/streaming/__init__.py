@@ -14,6 +14,7 @@ from .windows import (
     stream_dedup_within_watermark,
     stream_interval_join,
     stream_interval_join_full_outer,
+    stream_index_maintenance,
     stream_interval_join_left_outer,
     stream_quantiles_sketch,
     stream_session_windows,

@@ -283,3 +283,71 @@ def test_update_file_index_incremental_equals_fresh_build(
     # no new files: the stored rows come back verbatim
     again = update_file_index(spark, path, updated, ["l_orderkey"])
     assert canon(again) == canon(updated)
+
+
+def test_stream_index_maintenance_live_and_replay_safe(spark, tmp_path):
+    """LIVE continuous index maintenance: two real micro-batches land
+    as idempotent batch partitions while the stored footer index
+    advances one version per batch with O(batch files) work; the final
+    index equals a fresh full rebuild, pruning against it matches a
+    direct scan, and a replayed run (fresh checkpoint, same source)
+    converges to the same state instead of duplicating rows."""
+    from impala_hashset_count_spark.operators.fileindex import (
+        build_file_index,
+        prune_files,
+    )
+    from impala_hashset_count_spark.streaming.windows import (
+        read_snapshot,
+        stream_index_maintenance,
+    )
+
+    ship_package(spark)
+    schema = "k bigint, v bigint"
+    src = str(tmp_path / "ix_src")
+    data = str(tmp_path / "ix_data")
+    ixp = str(tmp_path / "ix_idx")
+    b1 = [(i, i * 10) for i in range(100)]
+    b2 = [(i, i * 10) for i in range(100, 160)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def drain(ck):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_index_maintenance(stream, data, ixp, ck, ["k"])
+        q.processAllAvailable()
+        q.stop()
+
+    drain(str(tmp_path / "ix_ck1"))
+
+    # the maintained index == a fresh rebuild of everything on disk
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    latest = read_snapshot(spark, ixp)
+    assert canon(latest) == canon(build_file_index(spark, data, ["k"]))
+
+    # pruning against the maintained index matches a direct scan
+    kept = prune_files(latest, {"k": (120.0, 140.0)})
+    got = (
+        spark.read.parquet(*kept)
+        .filter(F.col("k").between(120, 140))
+        .count()
+    )
+    assert got == 21
+    # and it really skipped the batch whose range misses the predicate
+    assert len(kept) < len(
+        {r.file for r in latest.select("file").distinct().collect()}
+    )
+
+    # the ingested data itself round-trips
+    assert sorted(
+        (r.k, r.v) for r in spark.read.parquet(data).collect()
+    ) == sorted(b1 + b2)
+
+    # replay with a fresh checkpoint: same final data + index state
+    drain(str(tmp_path / "ix_ck2"))
+    assert sorted(
+        (r.k, r.v) for r in spark.read.parquet(data).collect()
+    ) == sorted(b1 + b2)
+    latest2 = read_snapshot(spark, ixp)
+    assert canon(latest2) == canon(build_file_index(spark, data, ["k"]))

@@ -115,7 +115,7 @@ from .multimodal import (
 from .profile import profile_table
 from .quality_model import filter_by_quality_model, train_quality_model
 from .quantiles import bottomk_sample, mad_disc, quantiles_disc
-from .range_join import binned_range_join
+from .range_join import binned_interval_join, binned_range_join
 from .zorder import cluster_write, zorder_key
 
 # Every public operator imported above; submodules (non-callables) are

@@ -91,3 +91,73 @@ def binned_range_join(
             points.join(F.broadcast(wide), on=[(p >= s) & (p <= e)])
         )
     return out
+
+
+def binned_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int | float,
+    max_bins_per_interval: int | None = 256,
+) -> DataFrame:
+    """Inner join of every OVERLAPPING interval pair
+    (``l_start <= r_end AND r_start <= l_end``, ends inclusive) — the
+    interval-x-interval generalization of ``binned_range_join``, for
+    span-vs-span workloads (sessions x incident windows, ad exposure x
+    conversion windows, shipment x promotion periods).
+
+    Both sides explode onto fixed-width bins and equi-join on the bin
+    id; a pair sharing k bins would surface k times, so the join keeps
+    only the FIRST shared bin — ``__bin == greatest(start_bin_l,
+    start_bin_r)``. For an overlapping pair that bin is spanned by both
+    sides (bin() is monotone, so overlap puts each start bin at or
+    before the other side's end bin), hence exactly one surviving
+    candidate per pair, then the exact overlap predicate runs as the
+    residual. Same scale shape as the point variant: a plain shuffle
+    join keyed on bins, no broadcast of the big sides, no quadratic
+    work; intervals wider than ``max_bins_per_interval`` bins on either
+    side split off to a broadcast NLJ remainder (tiny by construction).
+
+    Returns all columns of both inputs (caller ensures distinct names).
+    Intervals with ``end < start`` or NULL endpoints match nothing."""
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re_ = F.col(right_start), F.col(right_end)
+    overlap = (ls <= re_) & (rs <= le)
+    lv = left.filter(ls.isNotNull() & le.isNotNull() & (ls <= le))
+    rv = right.filter(rs.isNotNull() & re_.isNotNull() & (rs <= re_))
+
+    def split(df, s, e):
+        n_bins = _bin(e, bin_width) - _bin(s, bin_width) + 1
+        if max_bins_per_interval is None:
+            return df, None
+        return (
+            df.filter(n_bins <= max_bins_per_interval),
+            df.filter(n_bins > max_bins_per_interval),
+        )
+
+    lnarrow, lwide = split(lv, ls, le)
+    rnarrow, rwide = split(rv, rs, re_)
+
+    lex = lnarrow.withColumn("__sbin_l", _bin(ls, bin_width)).withColumn(
+        "__bin", F.explode(F.sequence(_bin(ls, bin_width), _bin(le, bin_width)))
+    )
+    rex = rnarrow.withColumn("__sbin_r", _bin(rs, bin_width)).withColumn(
+        "__bin", F.explode(F.sequence(_bin(rs, bin_width), _bin(re_, bin_width)))
+    )
+    out = (
+        lex.join(rex, on="__bin", how="inner")
+        .filter(F.col("__bin") == F.greatest("__sbin_l", "__sbin_r"))
+        .filter(overlap)
+        .drop("__bin", "__sbin_l", "__sbin_r")
+    )
+    # wide remainders are tiny by construction -> broadcast NLJ legs;
+    # lwide x rv covers wide-wide pairs, so the rwide leg only sees the
+    # narrow left side (no pair counted twice)
+    if lwide is not None:
+        out = out.unionByName(rv.join(F.broadcast(lwide), on=[overlap]))
+    if rwide is not None:
+        out = out.unionByName(lnarrow.join(F.broadcast(rwide), on=[overlap]))
+    return out

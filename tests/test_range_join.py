@@ -102,3 +102,104 @@ def test_plan_is_shuffle_join_not_nested_loop(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------
+# Interval x interval overlap join
+# ---------------------------------------------------------------------
+
+from impala_hashset_count_spark.operators.range_join import (  # noqa: E402
+    binned_interval_join,
+)
+
+
+def _naive_overlap(left, right):
+    return left.join(
+        right,
+        (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")),
+    )
+
+
+def _mk_iv(spark, lrows, rrows):
+    left = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+    return left, right
+
+
+def _pair_rows(df):
+    return sorted(map(tuple, df.select("lid", "rid").collect()))
+
+
+def test_interval_join_equals_naive_random(spark):
+    rng = random.Random(13)
+    lrows, rrows = [], []
+    for i in range(150):
+        s = rng.randrange(0, 800)
+        lrows.append((i, s, s + rng.randrange(0, 50)))
+    for i in range(130):
+        s = rng.randrange(0, 800)
+        rrows.append((i, s, s + rng.randrange(0, 50)))
+    left, right = _mk_iv(spark, lrows, rrows)
+    got = binned_interval_join(
+        left, right, "ls", "le", "rs", "re", bin_width=16
+    )
+    assert _pair_rows(got) == _pair_rows(_naive_overlap(left, right))
+    # exactly-once: no dedup pass hides double counting
+    assert got.count() == len(_pair_rows(got))
+
+
+def test_interval_join_touching_endpoints_and_containment(spark):
+    lrows = [(1, 0, 10), (2, 20, 30), (3, 5, 50)]
+    rrows = [(10, 10, 20), (11, 31, 40), (12, 0, 100), (13, 51, 60)]
+    left, right = _mk_iv(spark, lrows, rrows)
+    got = binned_interval_join(
+        left, right, "ls", "le", "rs", "re", bin_width=8
+    )
+    assert _pair_rows(got) == _pair_rows(_naive_overlap(left, right))
+    # touching at a single shared point counts as overlap (inclusive)
+    assert (1, 10) in _pair_rows(got)
+
+
+def test_interval_join_wide_guard_both_sides(spark):
+    rng = random.Random(29)
+    lrows = [(i, s := rng.randrange(0, 500), s + rng.randrange(0, 20))
+             for i in range(80)]
+    rrows = [(i, s := rng.randrange(0, 500), s + rng.randrange(0, 20))
+             for i in range(80)]
+    # one giant interval on EACH side: routed to the broadcast legs
+    lrows.append((900, 0, 10_000))
+    rrows.append((901, 0, 10_000))
+    left, right = _mk_iv(spark, lrows, rrows)
+    got = binned_interval_join(
+        left, right, "ls", "le", "rs", "re",
+        bin_width=16, max_bins_per_interval=8,
+    )
+    assert _pair_rows(got) == _pair_rows(_naive_overlap(left, right))
+    # the wide-wide pair surfaced exactly once (no double counting
+    # between the two broadcast legs)
+    assert _pair_rows(got).count((900, 901)) == 1
+
+
+def test_interval_join_invalid_and_null_match_nothing(spark):
+    lrows = [(1, 5, 4), (2, None, 10), (3, 0, 100)]
+    rrows = [(10, 8, None), (11, 50, 40), (12, 1, 2)]
+    left, right = _mk_iv(spark, lrows, rrows)
+    got = binned_interval_join(
+        left, right, "ls", "le", "rs", "re", bin_width=16
+    )
+    assert _pair_rows(got) == [(3, 12)]
+
+
+def test_interval_join_plan_is_shuffle_join_not_nested_loop(spark):
+    left, right = _mk_iv(
+        spark, [(1, 0, 10)], [(2, 5, 15)]
+    )
+    got = binned_interval_join(
+        left, right, "ls", "le", "rs", "re",
+        bin_width=16, max_bins_per_interval=None,
+    )
+    plan = explain_str(got)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan  # tiny fixtures may auto-broadcast
+    )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from ..operators.kmv import kmv_accumulate, kmv_combine, kmv_estimate
-from ..operators.range_join import binned_range_join
+from ..operators.range_join import binned_interval_join, binned_range_join
 from ..operators.ivm import maintain_join_view
 from ..operators.merge import apply_changes
 from ..operators import checks as chk
@@ -1353,9 +1353,87 @@ def join_theta_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _range_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(F.lit("resid").alias("tier"), "o_orderpriority", "n_pairs")
+    )
+
+
+_EPOCH = "1970-01-01"
+
+
+def _range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.lit(_EPOCH).cast("date")
+    pts = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("d")
+        )
+        .distinct()
+    )
+    ivs = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("od"),
+        (F.datediff(F.col("o_orderdate").cast("date"), epoch) + 7).alias(
+            "od_end"
+        ),
+    )
+    return (
+        binned_range_join(pts, ivs, "d", "od", "od_end", bin_width=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(F.lit("binned").alias("tier"), "o_orderpriority", "n_pairs")
+    )
+
+
+def _range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.lit(_EPOCH).cast("date")
+    od = F.datediff(F.col("o_orderdate").cast("date"), epoch)
+    a = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (od >= F.datediff(F.lit("1997-01-01").cast("date"), epoch))
+            & (od < F.datediff(F.lit("1998-01-01").cast("date"), epoch))
+        )
+        .select(od.alias("a_s"), (od + 3).alias("a_e"))
+    )
+    b = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("b_priority"),
+        od.alias("b_s"),
+        (od + 3).alias("b_e"),
+    )
+    return (
+        binned_interval_join(a, b, "a_s", "a_e", "b_s", "b_e", bin_width=8)
+        .groupBy("b_priority")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.lit("overlap").alias("tier"),
+            F.col("b_priority").alias("o_orderpriority"),
+            "n_pairs",
+        )
+    )
+
+
 @register(
     "join_range_late_shipments",
     headline=True,
+    arms={
+        "resid": lambda spark, sf_dir: _range_resid(spark, sf_dir),
+        "binned": lambda spark, sf_dir: _range_binned(spark, sf_dir),
+        "overlap": lambda spark, sf_dir: _range_overlap(spark, sf_dir),
+    },
     oracle="""
         SELECT 'resid' AS tier, o.o_orderpriority, COUNT(*) AS n_pairs
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1368,6 +1446,15 @@ def join_theta_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON p.d >= CAST(o.o_orderdate AS DATE)
          AND p.d <= CAST(o.o_orderdate AS DATE) + 7
         GROUP BY o.o_orderpriority
+        UNION ALL
+        SELECT 'overlap' AS tier, b.o_orderpriority, COUNT(*) AS n_pairs
+        FROM orders a JOIN orders b
+          ON CAST(a.o_orderdate AS DATE) <= CAST(b.o_orderdate AS DATE) + 3
+         AND CAST(b.o_orderdate AS DATE) <= CAST(a.o_orderdate AS DATE) + 3
+        WHERE a.o_orderpriority = '1-URGENT'
+          AND CAST(a.o_orderdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(a.o_orderdate AS DATE) <  DATE '1998-01-01'
+        GROUP BY b.o_orderpriority
     """,
 )
 def join_range_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,34 +1471,19 @@ def join_range_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
       would otherwise plan as BroadcastNestedLoopJoin/cartesian
       (plan-asserted in `tests/test_range_join.py`); the DuckDB oracle
       computes the naive non-equi join directly, so the hash match
-      proves the binned rewrite exact (boundaries included)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
-    resid = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_pairs"))
-        .select(F.lit("resid").alias("tier"), "o_orderpriority", "n_pairs")
+      proves the binned rewrite exact (boundaries included).
+    - 'overlap': the INTERVAL-x-INTERVAL overlap join
+      (``binned_interval_join`` — both sides explode onto bins, each
+      overlapping pair kept once via the greatest-start-bin rule):
+      urgent 1997 order windows [od, od+3] against every order's
+      window, paired when the windows overlap, counted by the right
+      side's priority. Again the oracle runs the naive non-equi
+      overlap join, so the hash certifies the rewrite."""
+    return (
+        _range_resid(spark, sf_dir)
+        .union(_range_binned(spark, sf_dir))
+        .union(_range_overlap(spark, sf_dir))
     )
-    epoch = F.lit("1970-01-01").cast("date")
-    pts = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("d"))
-        .distinct()
-    )
-    ivs = _t(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("od"),
-        (F.datediff(F.col("o_orderdate").cast("date"), epoch) + 7).alias("od_end"),
-    )
-    binned = (
-        binned_range_join(pts, ivs, "d", "od", "od_end", bin_width=8)
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_pairs"))
-        .select(F.lit("binned").alias("tier"), "o_orderpriority", "n_pairs")
-    )
-    return resid.union(binned)
 
 
 @register(

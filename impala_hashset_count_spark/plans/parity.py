@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
-from ..operators.kmv import kmv_accumulate, kmv_combine, kmv_estimate
+from ..operators.kmv import (
+    kmv_accumulate,
+    kmv_combine,
+    kmv_estimate,
+    kmv_set_estimates,
+)
 from ..operators.range_join import binned_interval_join, binned_range_join
 from ..operators.ivm import maintain_join_view
 from ..operators.merge import apply_changes
@@ -214,6 +219,76 @@ def hashset_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) WHERE rn <= 128
             GROUP BY l_returnflag
         ) s ON g.l_returnflag = s.l_returnflag
+        UNION ALL
+        SELECT tier, group_key, hashset_count FROM (
+            WITH ha AS (
+                SELECT l_returnflag, hk FROM (
+                    SELECT l_returnflag, hk,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY l_returnflag ORDER BY hk
+                           ) AS rn
+                    FROM (SELECT DISTINCT l_returnflag,
+                                 CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13)
+                                      AS BIGINT) AS hk
+                          FROM lineitem
+                          WHERE l_partkey IS NOT NULL AND l_linestatus = 'O')
+                ) WHERE rn <= 128
+            ),
+            hb AS (
+                SELECT l_returnflag, hk FROM (
+                    SELECT l_returnflag, hk,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY l_returnflag ORDER BY hk
+                           ) AS rn
+                    FROM (SELECT DISTINCT l_returnflag,
+                                 CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13)
+                                      AS BIGINT) AS hk
+                          FROM lineitem
+                          WHERE l_partkey IS NOT NULL AND l_linestatus = 'F')
+                ) WHERE rn <= 128
+            ),
+            m AS (
+                SELECT l_returnflag, hk FROM (
+                    SELECT l_returnflag, hk,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY l_returnflag ORDER BY hk
+                           ) AS rn
+                    FROM (SELECT l_returnflag, hk FROM ha
+                          UNION
+                          SELECT l_returnflag, hk FROM hb)
+                ) WHERE rn <= 128
+            ),
+            mj AS (
+                SELECT m.l_returnflag,
+                       CAST(COUNT(*) AS BIGINT) AS jk,
+                       MAX(m.hk) AS hk,
+                       CAST(SUM(CASE WHEN ha.hk IS NOT NULL
+                                      AND hb.hk IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS jn
+                FROM m
+                LEFT JOIN ha ON ha.l_returnflag = m.l_returnflag
+                            AND ha.hk = m.hk
+                LEFT JOIN hb ON hb.l_returnflag = m.l_returnflag
+                            AND hb.hk = m.hk
+                GROUP BY m.l_returnflag
+            ),
+            est AS (
+                SELECT l_returnflag, jk, jn,
+                       CASE WHEN jk < 128 THEN jk
+                            ELSE 571957152676052992 // hk END AS u
+                FROM mj
+            )
+            SELECT 'kmv_union' AS tier, l_returnflag AS group_key,
+                   CAST(u AS VARCHAR) AS hashset_count FROM est
+            UNION ALL
+            SELECT 'kmv_jk', l_returnflag, CAST(jk AS VARCHAR) FROM est
+            UNION ALL
+            SELECT 'kmv_jn', l_returnflag, CAST(jn AS VARCHAR) FROM est
+            UNION ALL
+            SELECT 'kmv_inter', l_returnflag,
+                   CAST(CASE WHEN jk = 0 THEN NULL
+                        ELSE u * jn // jk END AS VARCHAR) FROM est
+        )
     """,
 )
 def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,11 +384,48 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("group_key"),
         F.col("kmv_distinct").cast("string").alias("hashset_count"),
     )
+    # 'kmv_*' set-operation rows — the capability the reference's exact
+    # state can never offer (its merge can only union, then count): the
+    # distinct part sets of the O and F linestatus slices compared per
+    # returnflag FROM THEIR STORED SKETCHES ALONE (kmv_set_estimates —
+    # |A∪B|, Jaccard numerator/denominator, |A∩B|, all integer
+    # arithmetic over the shared content-fixed hash permutation). The
+    # oracle recomputes the whole pipeline (slice bottom-ks, min-wise
+    # merged bottom-k, membership counts, floor-division estimates)
+    # term for term, so the driver hash certifies the set algebra.
+    ska = kmv_accumulate(
+        li_k.filter(F.col("l_linestatus") == "O").select(
+            "l_returnflag", "l_partkey"
+        ),
+        ["l_returnflag"], "l_partkey", k,
+    )
+    skb = kmv_accumulate(
+        li_k.filter(F.col("l_linestatus") == "F").select(
+            "l_returnflag", "l_partkey"
+        ),
+        ["l_returnflag"], "l_partkey", k,
+    )
+    setops_tier = (
+        kmv_set_estimates(ska, skb, ["l_returnflag"], k)
+        .select(
+            "l_returnflag",
+            F.expr(
+                "stack(4, 'kmv_union', union_est, 'kmv_jk', jaccard_k, "
+                "'kmv_jn', jaccard_n, 'kmv_inter', inter_est) AS (t, v)"
+            ),
+        )
+        .select(
+            F.col("t").alias("tier"),
+            F.col("l_returnflag").alias("group_key"),
+            F.col("v").cast("string").alias("hashset_count"),
+        )
+    )
     return (
         idiomatic.union(rdd_twin)
         .union(state_tier)
         .union(guard_tier)
         .union(kmv_tier)
+        .union(setops_tier)
     )
 
 

@@ -447,3 +447,52 @@ def test_gzip_compressed_ingestion(spark, tmp_path):
     assert any(f.endswith(".json.gz") for f in os.listdir(out))
     back = spark.read.json(out)
     assert sorted((r.k, r.v) for r in back.collect()) == [(i, f"s{i}") for i in range(5)]
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(
+    spark, sf_small, tmp_path
+):
+    """partitionOverwriteMode=dynamic: an overwrite write replaces ONLY
+    the partitions present in the incoming frame — the idempotent
+    reprocess-one-day pattern a 100 TB ingesting table depends on
+    (static mode would truncate every other partition first). The CDC
+    snapshot store and stream_index_maintenance get idempotence from
+    explicit batch/version dirs; this is the same guarantee for plain
+    hive-partitioned layouts."""
+    path = os.path.join(str(tmp_path), "orders_dyn")
+    src = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    src.write.partitionBy("o_orderpriority").parquet(path)
+    before = spark.read.parquet(path)
+    n_total = before.count()
+    n_urgent = before.filter("o_orderpriority = '1-URGENT'").count()
+
+    # reprocess the URGENT partition: halve the price, overwrite
+    redo = (
+        src.filter("o_orderpriority = '1-URGENT'")
+        .withColumn("o_totalprice", F.col("o_totalprice") / 2)
+    )
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        redo.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    after = spark.read.parquet(path)
+    # untouched partitions intact, touched partition replaced not doubled
+    assert after.count() == n_total
+    assert after.filter("o_orderpriority = '1-URGENT'").count() == n_urgent
+    got = (
+        after.filter("o_orderpriority = '1-URGENT'")
+        .agg(F.sum("o_totalprice"))
+        .first()[0]
+    )
+    want = redo.agg(F.sum("o_totalprice")).first()[0]
+    assert abs(got - want) < 1e-6
+    assert sorted(
+        map(tuple, after.filter("o_orderpriority <> '1-URGENT'").collect())
+    ) == sorted(
+        map(tuple, src.filter("o_orderpriority <> '1-URGENT'").collect())
+    )

@@ -879,3 +879,53 @@ def test_winnow_max_fp_docs_guard_drops_ubiquitous_fingerprints(spark):
     for (a, b), (_, s1, s2) in got.items():
         assert (s1, s2) == (want_sz[a], want_sz[b])
     assert (0, 1) in got
+
+
+def test_star_components_hypothesis_equals_union_find(spark):
+    """Property check: arbitrary small edge lists (self-loops,
+    duplicates, disconnected nodes) — star components == union-find."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from impala_hashset_count_spark.operators.dedup import (
+        near_dup_components_star,
+    )
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=25),
+        st.integers(min_value=0, max_value=25),
+    )
+
+    @given(edges=st.lists(edge, min_size=1, max_size=25))
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for a, b in edges:
+            if a != b:
+                parent[find(a)] = find(b)
+                nodes.update((a, b))
+        groups: dict[int, list[int]] = {}
+        for n in nodes:
+            groups.setdefault(find(n), []).append(n)
+        model = {(n, min(g)) for g in groups.values() for n in g}
+
+        pairs = spark.createDataFrame(edges, "id_1 int, id_2 int")
+        got = {
+            (r["id"], r["rep"])
+            for r in near_dup_components_star(pairs).collect()
+        }
+        assert got == model
+
+    run()

@@ -203,3 +203,51 @@ def test_interval_join_plan_is_shuffle_join_not_nested_loop(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan  # tiny fixtures may auto-broadcast
     )
+
+
+def test_interval_join_hypothesis_equals_python_model(spark):
+    """Property check: for arbitrary small interval sets and bin
+    widths, the binned overlap join equals a pure-python O(n*m) model
+    — endpoints, degenerate single-point intervals, duplicates, and
+    bin-edge alignments are all explored by shrinking rather than
+    hand-picked."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    iv = st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=0, max_value=30),
+    )
+    ivs_strategy = st.lists(iv, min_size=0, max_size=12)
+
+    @given(
+        livs=ivs_strategy,
+        rivs=ivs_strategy,
+        width=st.sampled_from([1, 3, 8, 64]),
+    )
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(livs, rivs, width):
+        lrows = [(i, s, s + d) for i, (s, d) in enumerate(livs)]
+        rrows = [(i, s, s + d) for i, (s, d) in enumerate(rivs)]
+        model = sorted(
+            (li, ri)
+            for li, ls, le in lrows
+            for ri, rs, re in rrows
+            if ls <= re and rs <= le
+        )
+        left = spark.createDataFrame(
+            lrows or [(None, None, None)], "lid long, ls long, le long"
+        )
+        right = spark.createDataFrame(
+            rrows or [(None, None, None)], "rid long, rs long, re long"
+        )
+        got = binned_interval_join(
+            left, right, "ls", "le", "rs", "re",
+            bin_width=width, max_bins_per_interval=4,
+        )
+        assert _pair_rows(got) == model
+
+    run()

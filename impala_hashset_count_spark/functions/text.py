@@ -424,3 +424,62 @@ def top_token_ratio(col: str | Column, toks: Column | None = None) -> Column:
         lambda acc: acc.best,
     )
     return run / F.size(t0)
+
+
+#: HTML -> text extraction steps, applied IN ORDER. One shared table
+#: drives both engines (`html_text` compiles it to a Spark
+#: regexp_replace chain, `html_text_sql` to the DuckDB mirror), so the
+#: two implementations cannot drift. Patterns stay inside the
+#: Java-regex/RE2 COMMON dialect (inline (?is) flags, non-greedy
+#: repetition, explicit whitespace class — no lookaround, no
+#: backreferences, no \s whose definition differs between engines);
+#: replacements contain no $ or backslash, which are the two escape
+#: characters the engines treat differently.
+_HTML_STEPS: list[tuple[str, str]] = [
+    # script/style elements go first, WITH their content
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # then every remaining tag; a space preserves word boundaries
+    (r"(?s)<[^>]+>", " "),
+    # minimal entity decode; &amp; LAST so '&amp;lt;' -> '&lt;' (one
+    # decoding pass, not two)
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"[ \t\r\n\f]+", " "),
+]
+
+
+def html_text(col: str | Column) -> Column:
+    """Dependency-free HTML -> text extraction as a whole-stage-codegen
+    ``regexp_replace`` chain (zero Python in the hot path): drop
+    script/style/comment blocks with their content, strip remaining
+    tags (space-preserving), decode the six common entities, collapse
+    whitespace, trim. The regex-level contract is deliberately simple
+    and DETERMINISTIC rather than a browser-grade parser: attribute
+    values containing a literal '>' end the tag early, and an unclosed
+    <script> block (no matching close tag) falls through to tag
+    stripping — both behaviors are identical in the DuckDB mirror
+    (``html_text_sql``), which is what makes the operator
+    oracle-checkable. For a 100 TB web corpus this is the ingestion
+    step between `binaryFile`/WARC bytes and every text operator in
+    this package."""
+    out = _c(col)
+    for pat, rep in _HTML_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def html_text_sql(expr: str) -> str:
+    """DuckDB mirror of ``html_text`` over an SQL expression, generated
+    from the same ``_HTML_STEPS`` table (term-for-term, same order)."""
+    out = expr
+    for pat, rep in _HTML_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"REGEXP_REPLACE({out}, '{p}', '{r}', 'g')"
+    return f"TRIM({out})"

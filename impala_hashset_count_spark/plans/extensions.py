@@ -24,6 +24,8 @@ from ..functions.text import (
     dup_line_ratio,
     dup_ngram_ratio,
     fingerprint_md5,
+    html_text,
+    html_text_sql,
     pii_counts,
     poly_winnow_oracle_exprs,
     predict_lang,
@@ -606,6 +608,28 @@ _HYGIENE_ORACLE = f"""
           UNION ALL SELECT 'js_q', js_q FROM dfinal) m
 """
 
+#: Deterministic HTML wrapper for the 'html' hygiene branch: comments,
+#: style and script blocks WITH content (including a '<' inside the
+#: script), attributes, and entity decoding are all exercised around
+#: every real document.
+_HTML_WRAP_PRE = (
+    '<html><!-- hdr --><head><style>p{c:red}</style></head>'
+    '<body><h1>T&amp;D</h1><p id="d">'
+)
+_HTML_WRAP_POST = (
+    '</p><script type="text/javascript">var x = 1 < 2;</script>'
+    '</body></html>'
+)
+
+_HYGIENE_ORACLE = _HYGIENE_ORACLE + (
+    "\n    UNION ALL\n"
+    "    SELECT 'html', doc_id, MD5("
+    + html_text_sql(
+        "'" + _HTML_WRAP_PRE + "' || text || '" + _HTML_WRAP_POST + "'"
+    )
+    + "), NULL, NULL, NULL FROM documents"
+)
+
 
 
 @register("dedup_exact_stats", oracle=_HYGIENE_ORACLE)
@@ -641,10 +665,19 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       rows are (s=metric, n1=value) for n_a/n_b/v/tv_num/kl_ab_q/
       kl_ba_q/js_q, the full mirror generated by ``drift_oracle_ctes``.
 
+    - ``html``: HTML -> text extraction (``functions.text.html_text``,
+      a whole-stage-codegen regexp chain) proven per document: each
+      text is wrapped in a deterministic HTML shell (comments, style +
+      script blocks with content, attributes, entities) and the md5 of
+      the extraction is hash-checked against the DuckDB mirror
+      generated from the SAME step table (``html_text_sql``) — the web
+      ingestion step between raw bytes and every text operator here.
+
     Scale shape: stats is one scan + partial aggs; boiler/strip are
     the line_dedup design (vocabulary-sized broadcast, one reassembly
     shuffle); decon is a broadcast anti join, bloom a broadcast word
-    table — the corpus never shuffles for either."""
+    table — the corpus never shuffles for either; html is a pure
+    per-row projection."""
     d = _t(spark, sf_dir, "documents")
     stats = d.agg(
         F.count("*").alias("n1"),
@@ -718,12 +751,24 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kv.s").alias("s"),
         F.col("kv.n1").alias("n1"),
     )
+    html_rows = dt.select(
+        F.lit("html").alias("tag"),
+        "doc_id",
+        F.md5(
+            html_text(
+                F.concat(
+                    F.lit(_HTML_WRAP_PRE), F.col("text"), F.lit(_HTML_WRAP_POST)
+                )
+            ).cast("binary")
+        ).alias("s"),
+    )
     return (
         stats.unionByName(bp, allowMissingColumns=True)
         .unionByName(stripped, allowMissingColumns=True)
         .unionByName(dropped, allowMissingColumns=True)
         .unionByName(bloom_rows, allowMissingColumns=True)
         .unionByName(drift_rows, allowMissingColumns=True)
+        .unionByName(html_rows, allowMissingColumns=True)
         .select("tag", "doc_id", "s", "n1", "n2", "n3")
     )
 

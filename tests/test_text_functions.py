@@ -146,3 +146,71 @@ def test_poly_winnow_property_random_unicode(spark):
     }
     for i, t in enumerate(corpus):
         assert got[i] == poly_winnow_py(t, 8, 4), repr(t)
+
+
+def test_html_text_planted_fixtures(spark):
+    from impala_hashset_count_spark.functions.text import html_text
+
+    rows = [
+        (1, '<html><head><style>p{color:red}</style></head>'
+            '<body><h1>Title</h1><p>hello <b>world</b></p>'
+            '<script>var x = 1 < 2;</script></body></html>'),
+        (2, '<!-- header --><p>A&amp;B &lt;tag&gt; &quot;q&quot; '
+            '&#39;s&#39;&nbsp;end</p>'),
+        (3, 'no markup at all'),
+        (4, '<SCRIPT TYPE="text/javascript">alert("x")</SCRIPT>kept'),
+        (5, None),
+        (6, ''),
+    ]
+    df = spark.createDataFrame(rows, "id int, h string")
+    got = {
+        r.id: r.t
+        for r in df.select("id", html_text("h").alias("t")).collect()
+    }
+    assert got[1] == "Title hello world"
+    assert got[2] == 'A&B <tag> "q" \'s\' end'
+    assert got[3] == "no markup at all"
+    assert got[4] == "kept"  # case-insensitive script removal
+    assert got[5] is None
+    assert got[6] == ""
+
+
+def test_html_text_spark_equals_duckdb_mirror(spark):
+    """Engine parity on adversarial inputs — the property that lets
+    html extraction sit on an oracle-hashed surface: unclosed script,
+    attribute '>' early-close, entity chains (&amp;lt; decodes ONCE),
+    multi-line tags, NUL bytes, unicode."""
+    import duckdb
+
+    from impala_hashset_count_spark.functions.text import (
+        html_text,
+        html_text_sql,
+    )
+
+    rows = [
+        (1, "<script>never closed... <p>eaten?</p>"),
+        (2, '<a href="x>y">early close</a>'),
+        (3, "&amp;lt; stays &lt; becomes"),
+        (4, "<div\n  class='m'\n>multi\nline</div>"),
+        (5, "nul\x00byte <b>kept\x00</b>"),
+        (6, "Ünïcødé <i>täg</i> 中文"),
+        (7, "a < b and c > d plain math"),
+        (8, "<style>a{}</style><style>b{}</style>double"),
+    ]
+    df = spark.createDataFrame(rows, "id int, h string")
+    got = {
+        r.id: r.t
+        for r in df.select("id", html_text("h").alias("t")).collect()
+    }
+    assert len(got) == len(rows)
+    con = duckdb.connect()
+    try:
+        con.register(
+            "t", spark.createDataFrame(rows, "id int, h string").toPandas()
+        )
+        expect = dict(
+            con.execute(f"SELECT id, {html_text_sql('h')} FROM t").fetchall()
+        )
+    finally:
+        con.close()
+    assert got == expect

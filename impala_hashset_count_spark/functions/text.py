@@ -483,3 +483,75 @@ def html_text_sql(expr: str) -> str:
         r = rep.replace("'", "''")
         out = f"REGEXP_REPLACE({out}, '{p}', '{r}', 'g')"
     return f"TRIM({out})"
+
+
+#: URL component patterns — ONE extraction regex per component, shared
+#: by the Spark and DuckDB faces (same common-dialect discipline as
+#: ``_HTML_STEPS``). Group 1 is the component. Spark's builtin
+#: ``parse_url`` is deliberately NOT used: it is java.net.URI behavior,
+#: which no oracle engine reproduces; these regexes are the portable
+#: contract.
+_URL_PARTS: dict[str, str] = {
+    # scheme://  (lowercased by the caller for canonical grouping)
+    "scheme": r"^([A-Za-z][A-Za-z0-9+.-]*)://",
+    # host = authority minus userinfo/port
+    "host": r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)",
+    "port": r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)",
+    "path": r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)",
+    "query": r"\?([^#]*)",
+}
+
+
+def url_parts(col: str | Column) -> dict[str, Column]:
+    """Portable URL decomposition: scheme/host/port/path/query columns
+    (empty string when absent — ``regexp_extract``'s no-match value,
+    identical in the DuckDB mirror). All JVM-side, codegen-friendly."""
+    c = _c(col)
+    return {
+        name: F.regexp_extract(c, pat, 1) for name, pat in _URL_PARTS.items()
+    }
+
+
+def url_features(col: str | Column) -> dict[str, Column]:
+    """Per-URL curation features for domain-level corpus policy
+    (per-domain sampling caps, TLD quality priors, spam-pattern
+    screens): lowercased host, registrable-domain heuristic (last two
+    host labels — a documented approximation of the public-suffix
+    list, exact for .com/.org/... and one level short for ccSLDs like
+    .co.uk), path depth, query-parameter count, and a
+    host-is-IPv4-literal flag."""
+    p = url_parts(col)
+    host = F.lower(p["host"])
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    reg_domain = F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
+    path = p["path"]
+    path_depth = F.when(
+        (path == "") | (path == "/"), F.lit(0)
+    ).otherwise(F.size(F.split(F.regexp_replace(path, "^/|/$", ""), "/")))
+    query = p["query"]
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    is_ip = host.rlike(r"^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$")
+    return {
+        "host": host,
+        "reg_domain": reg_domain,
+        "path_depth": path_depth,
+        "n_params": n_params,
+        "is_ip_host": is_ip,
+    }
+
+
+def url_parts_sql(expr: str) -> dict[str, str]:
+    """DuckDB mirror of ``url_parts`` from the same ``_URL_PARTS``
+    table (``REGEXP_EXTRACT(x, pat, 1)`` returns '' on no-match,
+    matching Spark)."""
+    out = {}
+    for name, pat in _URL_PARTS.items():
+        p = pat.replace("'", "''")
+        out[name] = f"REGEXP_EXTRACT({expr}, '{p}', 1)"
+    return out

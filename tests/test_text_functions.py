@@ -214,3 +214,76 @@ def test_html_text_spark_equals_duckdb_mirror(spark):
     finally:
         con.close()
     assert got == expect
+
+
+def test_url_parts_spark_equals_duckdb_mirror(spark):
+    """The portable-URL contract: same component extraction on both
+    engines (ports, userinfo, fragments, missing pieces, IPs, bare
+    hosts, uppercase schemes)."""
+    import duckdb
+
+    from impala_hashset_count_spark.functions.text import (
+        url_parts,
+        url_parts_sql,
+    )
+
+    rows = [
+        (1, "https://example.com/a/b/c?x=1&y=2#frag"),
+        (2, "http://user:pw@sub.host.co.uk:8080/p?q=1"),
+        (3, "ftp://10.0.0.1/file.bin"),
+        (4, "HTTPS://UPPER.COM"),
+        (5, "https://no-path.org?only=query"),
+        (6, "not a url at all"),
+        (7, "//protocol-relative.com/x"),
+        (8, "https://host/#justfrag"),
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, u string")
+    parts = url_parts("u")
+    got = {
+        r.id: (r.scheme, r.host, r.port, r.path, r.query)
+        for r in df.select(
+            "id", *[c.alias(n) for n, c in parts.items()]
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("t", df.toPandas())
+        sqls = url_parts_sql("u")
+        expect = {
+            r[0]: tuple(r[1:])
+            for r in con.execute(
+                "SELECT id, "
+                + ", ".join(sqls[k] for k in ("scheme", "host", "port", "path", "query"))
+                + " FROM t"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == expect
+    assert got[2][1] == "sub.host.co.uk" and got[2][2] == "8080"
+    assert got[1][4] == "x=1&y=2"
+    assert got[6] == ("", "", "", "", "")
+
+
+def test_url_features_domain_policy_columns(spark):
+    from impala_hashset_count_spark.functions.text import url_features
+
+    rows = [
+        (1, "https://docs.example.com/a/b/c?x=1&y=2"),
+        (2, "http://example.com/"),
+        (3, "https://10.1.2.3/x"),
+        (4, "https://single"),
+    ]
+    df = spark.createDataFrame(rows, "id int, u string")
+    feats = url_features("u")
+    got = {
+        r.id: (r.host, r.reg_domain, r.path_depth, r.n_params, r.is_ip_host)
+        for r in df.select(
+            "id", *[c.alias(n) for n, c in feats.items()]
+        ).collect()
+    }
+    assert got[1] == ("docs.example.com", "example.com", 3, 2, False)
+    assert got[2] == ("example.com", "example.com", 0, 0, False)
+    assert got[3] == ("10.1.2.3", "2.3", 1, 0, True)
+    assert got[4] == ("single", "single", 0, 0, False)

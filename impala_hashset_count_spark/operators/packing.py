@@ -99,9 +99,13 @@ def pack_sequences_greedy(
 
     A row starts a new bin when adding it would exceed ``budget`` (a
     single row larger than the budget gets a bin of its own). bin_id is
-    1-based per group. Deterministic given the ordering, hence fully
-    oracle-checkable (DuckDB mirror: a linear recursive CTE advancing
-    one row at a time per group).
+    1-based per group. ``seq_offset`` is the row's starting TOKEN
+    OFFSET inside its bin — the span metadata a trainer needs to build
+    per-document attention/loss masks over the packed sequence (doc i
+    occupies [seq_offset, seq_offset + n_tokens) of bin bin_id).
+    Deterministic given the ordering, hence fully oracle-checkable
+    (DuckDB mirror: a linear recursive CTE advancing one row at a time
+    per group).
 
     Scale shape: one shuffle on the group key; state per group is two
     scalars (current bin, current fill) — the same running-state
@@ -116,23 +120,26 @@ def pack_sequences_greedy(
     in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = (
         f"{group_col} {in_types[group_col]}, {order_col} {in_types[order_col]}, "
-        f"{token_col} {in_types[token_col]}, bin_id bigint"
+        f"{token_col} {in_types[token_col]}, bin_id bigint, seq_offset bigint"
     )
 
     def pack(pdf):
         pdf = pdf.sort_values(order_col).reset_index(drop=True)
-        bins = []
+        bins, offsets = [], []
         bin_id, fill = 0, 0
         for n in pdf[token_col]:
             n = int(n)
             if bin_id == 0 or fill + n > budget:
                 bin_id += 1
+                offsets.append(0)
                 fill = n
             else:
+                offsets.append(fill)
                 fill += n
             bins.append(bin_id)
         pdf = pdf[[group_col, order_col, token_col]].copy()
         pdf["bin_id"] = bins
+        pdf["seq_offset"] = offsets
         return pdf
 
     return (

@@ -392,17 +392,21 @@ def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         p AS (
             SELECT lang, doc_id, n_tokens, rn,
-                   1 AS bin_id, n_tokens AS fill
+                   1 AS bin_id, n_tokens AS fill, 0 AS seq_offset
             FROM t WHERE rn = 1
             UNION ALL
             SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
                    CASE WHEN p.fill + t.n_tokens > 512 THEN p.bin_id + 1
                         ELSE p.bin_id END,
                    CASE WHEN p.fill + t.n_tokens > 512 THEN t.n_tokens
-                        ELSE p.fill + t.n_tokens END
+                        ELSE p.fill + t.n_tokens END,
+                   CASE WHEN p.fill + t.n_tokens > 512 THEN 0
+                        ELSE p.fill END
             FROM t JOIN p ON t.lang = p.lang AND t.rn = p.rn + 1
         )
-        SELECT lang, doc_id, n_tokens, CAST(bin_id AS BIGINT) AS bin_id FROM p
+        SELECT lang, doc_id, n_tokens, CAST(bin_id AS BIGINT) AS bin_id,
+               CAST(seq_offset AS BIGINT) AS seq_offset
+        FROM p
     """,
 )
 def train_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -238,3 +238,38 @@ def test_chunk_overlap_validation_and_zero_overlap_equivalence(spark):
     a = chunk_documents(df, "doc_id", "text", chunk_tokens=2).collect()
     b = chunk_documents(df, "doc_id", "text", chunk_tokens=2, overlap=0).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pack_seq_offsets_tile_each_bin_exactly(spark):
+    """seq_offset is the trainer-facing span metadata: within every
+    (group, bin), documents tile the packed sequence contiguously —
+    first offset 0, each next offset = previous offset + previous
+    token count, and the bin's fill stays within budget (except the
+    documented oversized-single-row bin)."""
+    from impala_hashset_count_spark.operators.packing import (
+        pack_sequences_greedy,
+    )
+
+    rows = [
+        ("a", 1, 200), ("a", 2, 200), ("a", 3, 200),   # 512: [1,2] then [3]
+        ("a", 4, 900),                                  # oversized alone
+        ("b", 1, 512), ("b", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, i int, n int")
+    out = pack_sequences_greedy(df, "g", "i", "n", budget=512).collect()
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault((r["g"], r["bin_id"]), []).append(r)
+    for (_g, _b), grp in by_bin.items():
+        grp.sort(key=lambda r: r["i"])
+        expect_off = 0
+        for r in grp:
+            assert r["seq_offset"] == expect_off
+            expect_off += r["n"]
+        if len(grp) > 1 or grp[0]["n"] <= 512:
+            assert expect_off <= 512
+    offs = {(r["g"], r["i"]): r["seq_offset"] for r in out}
+    assert offs == {
+        ("a", 1): 0, ("a", 2): 200, ("a", 3): 0, ("a", 4): 0,
+        ("b", 1): 0, ("b", 2): 0,
+    }

@@ -36,6 +36,7 @@ from .hashset_count import (
 )
 from .packing import chunk_documents, pack_sequences_greedy
 from .sampling import (
+    cap_per_key,
     hash_split,
     mix_corpus,
     priority_sample,

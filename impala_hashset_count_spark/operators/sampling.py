@@ -286,3 +286,33 @@ def priority_sample(
         .withColumn("sample_rank", F.row_number().over(win))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    max_rows: int,
+    id_col: str,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per key, chosen DETERMINISTICALLY
+    in content-hash order of ``id_col`` — the per-domain crawl cap
+    (with ``key_cols=[reg_domain]`` from ``functions.text.url_features``
+    this is the "no domain may dominate the corpus" policy), and the
+    same bounded-representation tool for any over-represented source.
+
+    Hash order rather than an attribute order keeps the selection
+    seed-free and engine-stable (the ``_uniform_from_hash`` discipline
+    above), and unbiased within the key: the kept subset is a uniform
+    sample of the key's rows, not its first or newest ones. Plan shape:
+    one window shuffle on the key; ``row_number <= k`` is rank-limited
+    map-side by WindowGroupLimit, so the shuffle carries at most
+    ``max_rows`` rows per key per input partition — the same top-k
+    physics as ``topk_per_customer_and_global``."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(max_rows))
+        .drop("__rn")
+    )

@@ -299,3 +299,33 @@ def test_priority_sample_prefers_heavy_rows_and_is_grouped(spark):
     assert sorted((r.grp, r.key, r.sample_rank) for r in out) == sorted(
         (r.grp, r.key, r.sample_rank) for r in out2
     )
+
+
+def test_cap_per_key_deterministic_uniform_cap(spark):
+    from impala_hashset_count_spark.operators.sampling import cap_per_key
+
+    rows = [(f"d{i % 3}", i) for i in range(300)] + [("rare", 999)]
+    df = spark.createDataFrame(rows, "dom string, doc_id int")
+    capped = cap_per_key(df, ["dom"], 20, "doc_id")
+    counts = {r["dom"]: r["n"] for r in capped.groupBy("dom").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts == {"d0": 20, "d1": 20, "d2": 20, "rare": 1}
+    # deterministic: same selection across runs and partitionings
+    a = sorted(map(tuple, capped.collect()))
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = sorted(map(tuple, cap_per_key(df, ["dom"], 20, "doc_id").collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert a == b
+
+
+def test_cap_per_key_plan_is_rank_limited(spark):
+    from impala_hashset_count_spark.operators.sampling import cap_per_key
+    from tests.test_plans import explain_str
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("doc_id")
+    )
+    plan = explain_str(cap_per_key(df, ["k"], 3, "doc_id"))
+    assert "WindowGroupLimit" in plan

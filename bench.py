@@ -59,10 +59,11 @@ def main() -> None:
     arm_timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
         timings[name] = time_min2(q.fn)
-        # Per-arm attribution for multi-arm entries: each arm is a
-        # standalone plan (shared sub-plans rebuilt), so arm times
-        # attribute growth to a family; they need not sum to the
-        # entry's time. Not part of the headline total.
+    # Per-arm attribution for multi-arm entries — ALL of them, headline
+    # or not: each arm is a standalone plan (shared sub-plans rebuilt),
+    # so arm times attribute growth to a family; they need not sum to
+    # the entry's time and are never part of the headline total.
+    for name, q in sorted(all_queries().items()):
         for arm_name, arm_fn in (q.arms or {}).items():
             arm_timings[f"{name}/{arm_name}"] = time_min2(arm_fn)
 

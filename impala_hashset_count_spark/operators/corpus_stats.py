@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -60,6 +60,32 @@ def _qint(col, scale: float):
     summable form of ``_qfix`` (integer addition is exact and
     order-independent, so SUMs of these are engine-stable)."""
     return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+def _sig40(*cols) -> Column:
+    """40-bit integer signature of the ':'-joined decimal renderings
+    of EXACT-INTEGER (or string) columns:
+    ``conv(substr(md5(s), 1, 10), 16, 10)`` as BIGINT.
+
+    This is the log-free hashed surface for the LM/ranking scores: a
+    score of the form ``sum_i k_i * ln(num_i / den_i)`` is fully
+    determined by the multiset of its integer components
+    ``{(k, num, den)}``, so summing a per-component signature verifies
+    the entire computation EXCEPT the final (deterministic, libm-local)
+    ``ln`` application — removing the one cross-engine assumption a
+    quantized-log surface carries (Spark's and the oracle's ``LN``
+    agreeing to within the quantum). md5 of a decimal string is
+    engine-identical by definition. 40 bits keeps per-document SUMs of
+    up to ~2^22 components inside BIGINT with no overflow. DuckDB
+    mirror: ``CAST('0x' || substr(md5(CONCAT_WS(':', ...)), 1, 10) AS
+    BIGINT)``. Inputs must be NULL-free (coalesce first): concat_ws
+    SKIPS nulls in both engines, which would alias distinct tuples."""
+    rendered = [
+        (c if hasattr(c, "cast") else F.lit(c)).cast("string") for c in cols
+    ]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *rendered)), 1, 10), 16, 10
+    ).cast("long")
 
 
 def _tok_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -101,6 +127,7 @@ def tfidf_top_terms(
     broadcast_vocab: bool = True,
     tf_table: DataFrame | None = None,
     integer_scores: bool = False,
+    component_scores: bool = False,
 ) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF.
 
@@ -127,7 +154,15 @@ def tfidf_top_terms(
     survives every engine->pandas conversion with dtype intact
     (DuckDB's HUGEINT and float64 conversions are exactly what made a
     mixed union column hash-diverge on the external driver). Ranking is
-    identical either way (same quantized values)."""
+    identical either way (same quantized values).
+
+    ``component_scores=True`` goes one rung further: the emitted value
+    column is ``df`` (the exact-integer document frequency) instead of
+    the quantized-log score — together with ``tf`` and the corpus-wide
+    N, it fully DETERMINES the score without putting any ``ln`` output
+    under a hash gate (see ``_sig40``; ranking still uses the quantized
+    score internally, where the 1e-4 quantum + term tie-break keep the
+    order engine-deterministic)."""
     tf = tf_table if tf_table is not None else term_doc_stats(df, id_col, text_col)
     dfreq = doc_frequency(tf)
     if broadcast_vocab:
@@ -145,10 +180,15 @@ def tfidf_top_terms(
         .withColumn("tfidf", quant)
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    out_cols = (
+        [id_col, "term", "tf", "df", "rank"]
+        if component_scores
+        else [id_col, "term", "tf", "tfidf", "rank"]
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(id_col, "term", "tf", "tfidf", "rank")
+        .select(*out_cols)
     )
 
 
@@ -161,6 +201,7 @@ def bm25_topn(
     b: float = 0.75,
     n: int = 20,
     integer_scores: bool = False,
+    component_scores: bool = False,
 ) -> DataFrame:
     """Okapi BM25 document ranking for a bag-of-words query.
 
@@ -177,6 +218,14 @@ def bm25_topn(
     fact is not — the summation order differs). ``integer_scores=True``
     emits the BIGINT micro-unit sum itself (no divide back to double) —
     the hash-gate-safe all-integer surface.
+
+    ``component_scores=True`` replaces the score column with
+    ``comp_sig``: the per-document SUM of ``_sig40('bm', term, tf, df,
+    dl, N, dl_total)`` over matched terms — exact integers that fully
+    determine the score with no ``ln`` output under the hash (avgdl =
+    dl_total / N, so the float never enters the signature). The top-n
+    SELECTION still orders by the quantized score (membership at the
+    n-boundary keeps the established quantum + id tie-break).
 
     The corpus-wide pieces (N, avgdl) are one tiny aggregate; tf and df
     for the QUERY terms only come from a per-row ``array_intersect``
@@ -204,7 +253,9 @@ def bm25_topn(
         ).alias("__qtoks"),
     )
     stats = withlen.agg(
-        F.count("*").alias("__N"), F.avg("dl").alias("__avgdl")
+        F.count("*").alias("__N"),
+        F.avg("dl").alias("__avgdl"),
+        F.sum("dl").cast("long").alias("__dl_total"),
     )
     # df per query term: __qhit is the per-document DISTINCT matched
     # term set, so exploding it and counting rows per term is exactly
@@ -247,6 +298,27 @@ def bm25_topn(
         if integer_scores
         else (micro_sum.cast("double") / F.lit(1e6))
     )
+    if component_scores:
+        sig = _sig40(
+            "bm",
+            F.col("term"),
+            F.col("tf"),
+            F.col("df"),
+            F.col("dl"),
+            F.col("__N"),
+            F.col("__dl_total"),
+        )
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                micro_sum.alias("__score"),
+                F.sum(sig).cast("long").alias("comp_sig"),
+                F.count("*").alias("n_matched"),
+            )
+            .orderBy(F.col("__score").desc(), F.col(id_col))
+            .limit(n)
+            .select(id_col, "comp_sig", "n_matched")
+        )
     return (
         scored.groupBy(id_col)
         .agg(
@@ -327,6 +399,7 @@ def unigram_logprob_scores(
     broadcast_vocab: bool = True,
     tf_table: DataFrame | None = None,
     integer_scores: bool = False,
+    component_scores: bool = False,
 ) -> DataFrame:
     """Corpus-trained unigram language-model score per document: the
     mean natural-log probability of the document's token instances
@@ -351,7 +424,11 @@ def unigram_logprob_scores(
     ``lp_micro``): mean = lp_micro / 1e6 / n_tokens is recoverable, and
     the all-integer surface is the one a dtype-sensitive hash gate can
     compare across engines (a final float division is where
-    engine->pandas conversions diverge).
+    engine->pandas conversions diverge). ``component_scores=True`` goes
+    log-free: the value column becomes ``comp_sig`` — the per-document
+    SUM of ``_sig40('u', term, tf, c, T)`` over (doc, term) rows, exact
+    integers that fully determine the score with no ``ln`` output under
+    the hash (see ``_sig40``).
     Shuffle account: the one corpus
     explode feeds the partial-aggregated (doc, term) shuffle, the
     token-count table (vocabulary-sized) aggregates on top and
@@ -367,11 +444,18 @@ def unigram_logprob_scores(
     micro = F.sum(
         _qint(F.col("tf") * F.log(F.col("c") / F.col("__T")), 1e6)
     ).cast("long")
-    score = (
-        micro.alias("lp_micro")
-        if integer_scores
-        else ((micro.cast("double") / F.lit(1e6)) / F.sum("tf")).alias("mean_lp")
-    )
+    if component_scores:
+        score = (
+            F.sum(_sig40("u", F.col("term"), F.col("tf"), F.col("c"), F.col("__T")))
+            .cast("long")
+            .alias("comp_sig")
+        )
+    elif integer_scores:
+        score = micro.alias("lp_micro")
+    else:
+        score = ((micro.cast("double") / F.lit(1e6)) / F.sum("tf")).alias(
+            "mean_lp"
+        )
     return (
         tf.join(counts, "term")
         .crossJoin(F.broadcast(total))
@@ -419,6 +503,7 @@ def bigram_logprob_scores(
     text_col: str = "text",
     alpha: float = 0.4,
     broadcast_vocab: bool = True,
+    component_scores: bool = False,
 ) -> DataFrame:
     """Bigram language-model score per document with Stupid Backoff
     (Brants et al., 2007) — the next quality rung above the unigram
@@ -441,6 +526,14 @@ def bigram_logprob_scores(
     the emitted sum is engine-bit-stable (same contract as
     ``unigram_logprob_scores(integer_scores=True)``); mean log-prob =
     lp_micro / 1e6 / n_bigrams. Documents with < 2 tokens emit no row.
+
+    ``component_scores=True`` replaces ``lp_micro`` with ``comp_sig``:
+    per pair type, ``_sig40('s', w1, w2, k, c12, c1)`` on the seen path
+    or ``_sig40('b', w1, w2, k, coalesce(c2,1), T)`` on the backoff
+    path (alpha is a global constant and stays out), summed per
+    document — the exact-integer multiset that fully determines the
+    score, with no ``ln`` output under the hash and hence no
+    cross-engine libm assumption at all (see ``_sig40``).
 
     Shuffle account: one bigram explode + (id, w1, w2) partial-agg
     shuffle over the SCORED corpus; the train-side bigram and unigram
@@ -478,16 +571,31 @@ def bigram_logprob_scores(
     ).otherwise(
         F.log((F.lit(alpha) * F.coalesce(F.col("c2"), F.lit(1))) / F.col("__T"))
     )
+    if component_scores:
+        sig = F.when(
+            F.col("c12").isNotNull(),
+            _sig40(
+                "s", F.col("w1"), F.col("w2"), F.col("k"),
+                F.col("c12"), F.col("c1"),
+            ),
+        ).otherwise(
+            _sig40(
+                "b", F.col("w1"), F.col("w2"), F.col("k"),
+                F.coalesce(F.col("c2"), F.lit(1)), F.col("__T"),
+            )
+        )
+        value = F.sum(sig).cast("long").alias("comp_sig")
+    else:
+        value = F.sum(_qint(F.col("k") * lp, 1e6)).cast("long").alias(
+            "lp_micro"
+        )
     return (
         doc_bg.join(train_bg, ["w1", "w2"], "left")
         .join(c1, "w1", "left")
         .join(c2, "w2", "left")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
-        .agg(
-            F.sum("k").cast("long").alias("n_bigrams"),
-            F.sum(_qint(F.col("k") * lp, 1e6)).cast("long").alias("lp_micro"),
-        )
+        .agg(F.sum("k").cast("long").alias("n_bigrams"), value)
     )
 
 

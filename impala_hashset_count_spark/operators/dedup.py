@@ -742,6 +742,7 @@ def near_dup_components_star(
     )
     nodes = _symmetrize(edges).select(F.col("u").alias("id")).distinct()
     cur = edges
+    converged = False
     for _ in range(max_iter):
         after_large = _large_star(cur).localCheckpoint()
         after_small = _small_star(after_large).localCheckpoint()
@@ -751,7 +752,17 @@ def near_dup_components_star(
         )
         cur = after_small
         if unchanged:
+            converged = True
             break
+    if not converged:
+        # A non-fixed-point edge set yields component reps that are
+        # NOT the component minimum, indistinguishable from correct
+        # labels downstream — fail loudly rather than mislabel.
+        raise RuntimeError(
+            f"near_dup_components_star did not reach a fixed point in "
+            f"{max_iter} rounds; raise max_iter (O(log^2 n) rounds "
+            f"suffice — 25 covers any realistic corpus)"
+        )
     # At the fixed point every edge is (child, component-min); roots
     # appear only on the right-hand side.
     parents = cur.groupBy("u").agg(F.min("v").alias("rep"))

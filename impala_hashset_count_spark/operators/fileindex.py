@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _INDEX_SCHEMA = (
-    "file string, n_rows long, column string, "
+    "file string, n_rows long, file_size long, file_mtime_ns long, "
+    "column string, "
     "min_num double, max_num double, min_str string, max_str string"
 )
 
@@ -86,7 +87,7 @@ def _footer_stats_frame(
         import pyarrow.parquet as pq
 
         cols_out = [
-            "file", "n_rows", "column",
+            "file", "n_rows", "file_size", "file_mtime_ns", "column",
             "min_num", "max_num", "min_str", "max_str",
         ]
         for pdf in batches:
@@ -95,6 +96,10 @@ def _footer_stats_frame(
                 if len(rows) >= chunk * len(want):
                     yield pd.DataFrame(rows, columns=cols_out)
                     rows = []
+                # size+mtime identify the file VERSION: an in-place
+                # rewrite under the same path must invalidate the
+                # stored stats (see ``update_file_index``)
+                st_f = os.stat(fname)
                 md = pq.ParquetFile(fname).metadata
                 stats: dict[str, list] = {c: [None, None] for c in want}
                 for rg in range(md.num_row_groups):
@@ -117,6 +122,8 @@ def _footer_stats_frame(
                         {
                             "file": fname,
                             "n_rows": md.num_rows,
+                            "file_size": st_f.st_size,
+                            "file_mtime_ns": st_f.st_mtime_ns,
                             "column": c,
                             "min_num": float(lo) if numeric and lo is not None else None,
                             "max_num": float(hi) if numeric and hi is not None else None,
@@ -129,23 +136,20 @@ def _footer_stats_frame(
     return file_df.mapInPandas(read_footers, _INDEX_SCHEMA)
 
 
-def prune_files(
-    index: DataFrame, ranges: dict[str, tuple[float, float]],
-    max_files: int | None = 1_000_000,
-) -> list[str]:
-    """Files whose per-column [min,max] intersects EVERY predicate
-    range (conjunction). A file lacking statistics for a column is
-    conservatively kept. Runs on the (tiny) index DataFrame; the
-    returned list is the read plan.
+def prune_files_df(
+    index: DataFrame, ranges: dict[str, tuple[float, float]]
+) -> DataFrame:
+    """Surviving files as a one-column DataFrame (``file string``) —
+    the DISTRIBUTED form of the read plan: files whose per-column
+    [min,max] intersects EVERY predicate range (conjunction). A file
+    lacking statistics for a column is conservatively kept.
 
-    The plan list necessarily comes back to the DRIVER (it is what a
-    table format's driver computes too), which bounds this operator at
-    millions of surviving files, not beyond. ``max_files`` makes the
-    bound explicit: the collect is LIMITed to max_files+1 rows (one
-    bounded execution — the driver never materializes an oversized
-    list) and an over-cap plan raises with the staged-pruning remedy
-    instead of silently building a multi-GB driver list. None disables
-    the guard."""
+    Nothing here touches the driver: the predicate evaluation is a
+    filter + intersect over the index DataFrame, and callers that can
+    consume the plan distributively (``read_pruned(distributed=True)``
+    joins it straight into a ``mapInPandas`` read) never materialize a
+    file list at all — so pruning has NO scale ceiling beyond the
+    index's own size (metadata-tiny even at 100k files)."""
     per_col = []
     for c, (lo, hi) in ranges.items():
         hit = index.filter(
@@ -159,6 +163,26 @@ def prune_files(
     plan = per_col[0]
     for other in per_col[1:]:
         plan = plan.intersect(other)
+    return plan
+
+
+def prune_files(
+    index: DataFrame, ranges: dict[str, tuple[float, float]],
+    max_files: int | None = 1_000_000,
+) -> list[str]:
+    """Driver-side file list for the pruned read plan (see
+    ``prune_files_df`` for the predicate semantics) — what
+    ``spark.read.parquet(*files)`` needs, and what a table format's
+    driver computes too.
+
+    The list necessarily comes back to the DRIVER, which bounds this
+    form at millions of surviving files; ``max_files`` makes the bound
+    explicit: the collect is LIMITed to max_files+1 rows (one bounded
+    execution — the driver never materializes an oversized list) and
+    an over-cap plan raises, pointing at the distributed path
+    (``read_pruned(distributed=True)``) which has no such ceiling.
+    None disables the guard."""
+    plan = prune_files_df(index, ranges)
     if max_files is None:
         return sorted(r.file for r in plan.collect())
     # ONE bounded execution: collect at most max_files+1 rows — the
@@ -167,9 +191,10 @@ def prune_files(
     rows = plan.limit(max_files + 1).collect()
     if len(rows) > max_files:
         raise ValueError(
-            f"pruned read plan exceeds max_files={max_files}; "
-            f"prune in stages (partition directories first), tighten "
-            f"the predicate ranges, or raise max_files explicitly"
+            f"pruned read plan exceeds max_files={max_files}; use "
+            f"read_pruned(..., distributed=True) (the plan stays a "
+            f"DataFrame), prune in stages (partition directories "
+            f"first), or raise max_files explicitly"
         )
     return sorted(r.file for r in rows)
 
@@ -179,20 +204,52 @@ def read_pruned(
     path: str,
     index: DataFrame,
     ranges: dict[str, tuple[float, float]],
+    distributed: bool = False,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Read only the files surviving the index cut, then apply the
     exact predicate — semantics identical to a full scan + filter
     (pruning is conservative), touching a fraction of the files on a
-    clustered layout."""
-    files = prune_files(index, ranges)
-    if not files:
-        base = spark.read.parquet(path)
-        return base.filter(F.lit(False))
-    df = spark.read.parquet(*files)
+    clustered layout.
+
+    ``distributed=False`` (default): the surviving file list is
+    collected (bounded by ``prune_files``'s guard) and handed to the
+    native parquet reader — the fastest path while the plan fits a
+    driver list, and the scan keeps full vectorized-reader pushdown.
+
+    ``distributed=True``: the plan NEVER reaches the driver — the
+    kept-file DataFrame from ``prune_files_df`` feeds a
+    ``mapInPandas`` read where each task pyarrow-reads its assigned
+    files (projection pruned to ``columns`` + predicate columns).
+    This removes the max_files ceiling entirely: pruning a 100k-file
+    index and reading the survivors is one distributed pipeline."""
+    base = spark.read.parquet(path)
+    need = (
+        list(base.columns)
+        if columns is None
+        else [c for c in base.columns if c in set(columns) | set(ranges)]
+    )
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         cond = cond & F.col(c).between(lo, hi)
-    return df.filter(cond)
+    if not distributed:
+        files = prune_files(index, ranges)
+        if not files:
+            return base.select(*need).filter(F.lit(False))
+        return spark.read.parquet(*files).select(*need).filter(cond)
+    schema = base.select(*need).schema
+    plan_df = prune_files_df(index, ranges).repartition(64)
+
+    def read_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for fname in pdf["file"]:
+                pf = pq.ParquetFile(fname)
+                for batch in pf.iter_batches(columns=need):
+                    yield batch.to_pandas()[need]
+
+    return plan_df.mapInPandas(read_files, schema).filter(cond)
 
 
 def compact_small_files(
@@ -297,15 +354,14 @@ def build_rowgroup_index(
     return file_df.mapInPandas(read_footers, _RG_INDEX_SCHEMA)
 
 
-def prune_rowgroups(
-    index: DataFrame, ranges: dict[str, tuple[float, float]],
-    max_groups: int | None = 1_000_000,
-) -> list[tuple[str, int]]:
-    """(file, row_group) pairs whose per-column [min,max] intersects
-    EVERY predicate range — ``prune_files`` at row-group granularity.
-    Groups lacking statistics for a column are conservatively kept.
-    Same driver-side bound discipline: one LIMITed collect, raise with
-    the staged-pruning remedy above ``max_groups``."""
+def prune_rowgroups_df(
+    index: DataFrame, ranges: dict[str, tuple[float, float]]
+) -> DataFrame:
+    """Surviving (file, rg) pairs as a DataFrame —
+    ``prune_files_df`` at row-group granularity. Groups lacking
+    statistics for a column are conservatively kept. Fully
+    distributed; ``read_pruned_rowgroups`` consumes it without ever
+    collecting the plan."""
     per_col = []
     for c, (lo, hi) in ranges.items():
         hit = index.filter(
@@ -319,13 +375,28 @@ def prune_rowgroups(
     plan = per_col[0]
     for other in per_col[1:]:
         plan = plan.intersect(other)
+    return plan
+
+
+def prune_rowgroups(
+    index: DataFrame, ranges: dict[str, tuple[float, float]],
+    max_groups: int | None = 1_000_000,
+) -> list[tuple[str, int]]:
+    """Driver-side (file, row_group) plan list (see
+    ``prune_rowgroups_df`` for the predicate semantics). Same
+    driver-side bound discipline as ``prune_files``: one LIMITed
+    collect, raise above ``max_groups`` — note the distributed reader
+    (``read_pruned_rowgroups``) does NOT go through this list and has
+    no such ceiling."""
+    plan = prune_rowgroups_df(index, ranges)
     if max_groups is None:
         return sorted((r.file, r.rg) for r in plan.collect())
     rows = plan.limit(max_groups + 1).collect()
     if len(rows) > max_groups:
         raise ValueError(
             f"pruned row-group plan exceeds max_groups={max_groups}; "
-            f"prune in stages (partition directories, then files) or "
+            f"use read_pruned_rowgroups (the plan stays a DataFrame), "
+            f"prune in stages (partition directories, then files), or "
             f"raise max_groups explicitly"
         )
     return sorted((r.file, r.rg) for r in rows)
@@ -341,12 +412,14 @@ def read_pruned_rowgroups(
     """Read ONLY the row groups surviving the index cut, then apply
     the exact predicate — semantics identical to full scan + filter.
 
-    The surviving (file, row_group) plan is distributed back to
-    executors and each task range-reads just its assigned groups via
-    pyarrow (``read_row_group`` fetches only those column chunks' byte
-    ranges) — pruned files are never opened at all, and kept files
-    surrender only their matching groups. ``columns`` prunes the
-    projection the same way (predicate columns are always included)."""
+    The surviving (file, row_group) plan NEVER reaches the driver: it
+    stays a DataFrame (``prune_rowgroups_df``) repartitioned straight
+    into the reading tasks, and each task range-reads just its
+    assigned groups via pyarrow (``read_row_group`` fetches only those
+    column chunks' byte ranges) — pruned files are never opened at
+    all, kept files surrender only their matching groups, and there is
+    no max_groups ceiling. ``columns`` prunes the projection the same
+    way (predicate columns are always included)."""
     base = spark.read.parquet(path)
     need = (
         list(base.columns)
@@ -357,12 +430,7 @@ def read_pruned_rowgroups(
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         cond = cond & F.col(c).between(lo, hi)
-    plan = prune_rowgroups(index, ranges)
-    if not plan:
-        return base.select(*need).filter(F.lit(False))
-    plan_df = spark.createDataFrame(
-        plan, "file string, rg int"
-    ).repartition(min(len(plan), 64))
+    plan_df = prune_rowgroups_df(index, ranges).repartition(64)
 
     def read_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -389,21 +457,42 @@ def update_file_index(
     footer (the same append-only discipline as
     ``minhash_lsh_pairs_incremental`` and the CDC snapshot store).
 
+    A file is identified by its (path, size, mtime_ns) VERSION, not
+    its path alone: a parquet file rewritten in place under the same
+    path changes size and/or mtime, so its stale stats are dropped and
+    its footer re-read like a brand-new file's. The diff against the
+    stored index is two joins on the version key (semi for survivors,
+    anti for arrivals) — no driver-side path list ever enters a plan,
+    so the plan size is independent of the file count.
+
     The current file LISTING still comes from the driver-side walk —
     the same driver-bounded metadata operation as ``prune_files``; at
     extreme file counts, list per partition directory. Returns the
     refreshed index (same schema as ``build_file_index``); persist it
     wherever the stored index lives."""
-    on_disk = set(_list_parquet_files(path))
-    if not on_disk:
+    listing = [
+        (f, os.stat(f).st_size, os.stat(f).st_mtime_ns)
+        for f in _list_parquet_files(path)
+    ]
+    if not listing:
         raise FileNotFoundError(f"no parquet files under {path}")
-    known = {r.file for r in index.select("file").distinct().collect()}
-    kept = index.filter(F.col("file").isin(list(known & on_disk)))
-    new_files = sorted(on_disk - known)
-    if not new_files:
+    on_disk = spark.createDataFrame(
+        listing, "file string, file_size long, file_mtime_ns long"
+    )
+    version_key = ["file", "file_size", "file_mtime_ns"]
+    # survivors: index rows whose exact file version is still on disk
+    # (an in-place rewrite fails this match and is dropped here)
+    kept = index.join(F.broadcast(on_disk), version_key, "left_semi").select(
+        *index.columns  # the list-form join moves its keys first
+    )
+    # arrivals: on-disk versions the index has never footer-read —
+    # genuinely new files AND rewritten ones
+    new_files = on_disk.join(
+        index.select(*version_key).distinct(), version_key, "left_anti"
+    ).select("file")
+    if new_files.isEmpty():
         return kept
-    file_df = spark.createDataFrame(
-        [(f,) for f in new_files], "file string"
-    ).repartition(min(len(new_files), 64))
-    fresh = _footer_stats_frame(file_df, cols, footer_batch_files)
+    fresh = _footer_stats_frame(
+        new_files.repartition(64), cols, footer_batch_files
+    )
     return kept.unionByName(fresh)

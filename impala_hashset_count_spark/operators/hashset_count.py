@@ -134,7 +134,6 @@ def make_hashset_count_udaf():
 def _route_by_group_size(
     df: DataFrame,
     group_cols: Sequence[str],
-    value_col: str,
     max_group_rows: int,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``df`` into (small-group rows, oversized-group rows) by
@@ -190,7 +189,7 @@ def hashset_count_df_guarded(
     At 100 TB the counting pass is the price of skew safety; pipelines
     that already know their key histogram can pass the big-key list
     directly instead (filter + two groupBys, same shape)."""
-    small, big = _route_by_group_size(df, group_cols, value_col, max_group_rows)
+    small, big = _route_by_group_size(df, group_cols, max_group_rows)
     udaf = make_hashset_count_udaf()
     small_out = small.groupBy(*group_cols).agg(
         udaf(F.col(value_col)).alias("hashset_count")

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 #: Each is a cheap JVM-side expression from functions.text.
 
 
-def _feature_cols(text_col: str) -> dict[str, Column]:
+def _feature_cols(text_col: str, toks: Column | None = None) -> dict[str, Column]:
     from ..functions.text import (
         QUALITY_STOPWORDS,
         avg_word_len,
@@ -38,7 +38,8 @@ def _feature_cols(text_col: str) -> dict[str, Column]:
         tokens,
     )
 
-    toks = tokens(text_col)
+    if toks is None:
+        toks = tokens(text_col)
     return {
         "f_n_tokens": token_count(text_col, toks=toks).cast("double"),
         "f_punct": punct_ratio(text_col),
@@ -89,13 +90,18 @@ def train_quality_model(
 
 
 def quality_logit_expr(
-    weights: dict[str, float], text_col: str = "text"
+    weights: dict[str, float],
+    text_col: str = "text",
+    toks: Column | None = None,
 ) -> Column:
     """Score = ``b + sum_i w_i * f_i(text)`` as one codegen'd column
     expression, left-to-right in FEATURES order (fixed association —
     the discipline that keeps emitted floats engine-stable). Positive
-    logit == model says keep (p > 0.5)."""
-    cols = _feature_cols(text_col)
+    logit == model says keep (p > 0.5). Pass a pre-staged ``toks``
+    attribute when scoring alongside other tokenized metrics (the
+    same re-tokenization hazard ``functions.text.token_count``
+    documents)."""
+    cols = _feature_cols(text_col, toks=toks)
     s: Column = F.lit(float(weights["__intercept"]))
     for name in FEATURES:
         s = s + F.lit(float(weights[name])) * F.coalesce(

@@ -168,8 +168,149 @@ def hashset_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hashset_count_tiers per-tier builders (also the bench arms: each
+# --- is a standalone plan, timed separately so growth in the entry's
+# --- total can be attributed to one tier) -----------------------------
+
+
+def _hct_idiomatic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(hashset_count_agg("l_suppkey").alias("hashset_count"))
+        .select(
+            F.lit("idiomatic_lineitem").alias("tier"),
+            F.col("l_linestatus").alias("group_key"),
+            "hashset_count",
+        )
+    )
+
+
+def _hct_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    return hashset_count_rdd(ev, "event_type", "user_id").select(
+        F.lit("rdd_events").alias("tier"),
+        F.col("event_type").alias("group_key"),
+        "hashset_count",
+    )
+
+
+def _hct_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_b = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    states = distinct_state_accumulate(
+        ev_b.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id"
+    ).unionByName(
+        distinct_state_accumulate(
+            ev_b.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id"
+        )
+    )
+    return distinct_state_count(
+        distinct_state_merge(states, ["event_type"]), ["event_type"]
+    ).select(
+        F.lit("state_events").alias("tier"),
+        F.col("event_type").alias("group_key"),
+        "hashset_count",
+    )
+
+
+def _hct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold at 40% of the table: the 'N' flag (~50% of rows) takes
+    # the tier-a route, 'A'/'R' (~25% each) take the pandas UDAF — the
+    # ratio holds at every SF, so the split is SF-stable. The single
+    # count() action is the documented guard prerequisite (production
+    # passes a known histogram instead).
+    li = _t(spark, sf_dir, "lineitem")
+    return hashset_count_df_guarded(
+        li, ["l_returnflag"], "l_partkey",
+        max_group_rows=int(0.4 * li.count()),
+    ).select(
+        F.lit("guard_lineitem").alias("tier"),
+        F.col("l_returnflag").alias("group_key"),
+        "hashset_count",
+    )
+
+
+def _hct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 'kmv_lineitem' — the deterministic KMV sketch (operators/kmv.py),
+    # deliberately routed through the STORED-SKETCH lifecycle: accumulate
+    # at the fine (l_returnflag, l_linestatus) grain, MERGE the stored
+    # sketches up to l_returnflag, then finalize. The oracle recomputes
+    # the direct single-pass pipeline at the coarse grain, so a hash
+    # match proves min-wise merge exactness (combine == direct) under
+    # the driver's hard signal — the reference's Serialize/Merge
+    # contract (`hashset-count.cc:269-461`) at O(k) state.
+    k = 128
+    li_k = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_partkey"
+    )
+    fine = kmv_accumulate(li_k, ["l_returnflag", "l_linestatus"], "l_partkey", k)
+    return kmv_estimate(kmv_combine(fine, ["l_returnflag"], k), k).select(
+        F.lit("kmv_lineitem").alias("tier"),
+        F.col("l_returnflag").alias("group_key"),
+        F.col("kmv_distinct").cast("string").alias("hashset_count"),
+    )
+
+
+def _hct_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 'kmv_*' set-operation rows — the capability the reference's exact
+    # state can never offer (its merge can only union, then count): the
+    # distinct part sets of the O and F linestatus slices compared per
+    # returnflag FROM THEIR STORED SKETCHES ALONE (kmv_set_estimates —
+    # |A∪B|, Jaccard numerator/denominator, |A∩B|, all integer
+    # arithmetic over the shared content-fixed hash permutation). The
+    # oracle recomputes the whole pipeline (slice bottom-ks, min-wise
+    # merged bottom-k, membership counts, floor-division estimates)
+    # term for term, so the driver hash certifies the set algebra.
+    k = 128
+    li_k = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_partkey"
+    )
+    ska = kmv_accumulate(
+        li_k.filter(F.col("l_linestatus") == "O").select(
+            "l_returnflag", "l_partkey"
+        ),
+        ["l_returnflag"], "l_partkey", k,
+    )
+    skb = kmv_accumulate(
+        li_k.filter(F.col("l_linestatus") == "F").select(
+            "l_returnflag", "l_partkey"
+        ),
+        ["l_returnflag"], "l_partkey", k,
+    )
+    return (
+        kmv_set_estimates(ska, skb, ["l_returnflag"], k)
+        .select(
+            "l_returnflag",
+            F.expr(
+                "stack(4, 'kmv_union', union_est, 'kmv_jk', jaccard_k, "
+                "'kmv_jn', jaccard_n, 'kmv_inter', inter_est) AS (t, v)"
+            ),
+        )
+        .select(
+            F.col("t").alias("tier"),
+            F.col("l_returnflag").alias("group_key"),
+            F.col("v").cast("string").alias("hashset_count"),
+        )
+    )
+
+
+_HCT_ARMS = {
+    "idiomatic": _hct_idiomatic,
+    "rdd": _hct_rdd,
+    "state": _hct_state,
+    "guard": _hct_guard,
+    "kmv": _hct_kmv,
+    "kmv_setops": _hct_kmv_setops,
+}
+
+
 @register(
     "hashset_count_tiers",
+    arms=_HCT_ARMS,
     oracle="""
         SELECT 'idiomatic_lineitem' AS tier, l_linestatus AS group_key,
                CASE WHEN COUNT(l_suppkey) = 0 THEN NULL
@@ -248,6 +389,11 @@ def hashset_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ) WHERE rn <= 128
             ),
             m AS (
+                -- restricted to groups present in BOTH slices: the
+                -- operator (kmv_set_estimates) inner-joins the two
+                -- sketch tables on the group keys, so a returnflag
+                -- appearing in only one linestatus slice must emit no
+                -- row here either
                 SELECT l_returnflag, hk FROM (
                     SELECT l_returnflag, hk,
                            ROW_NUMBER() OVER (
@@ -256,6 +402,8 @@ def hashset_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM (SELECT l_returnflag, hk FROM ha
                           UNION
                           SELECT l_returnflag, hk FROM hb)
+                    WHERE l_returnflag IN (SELECT l_returnflag FROM ha)
+                      AND l_returnflag IN (SELECT l_returnflag FROM hb)
                 ) WHERE rn <= 128
             ),
             mj AS (
@@ -319,113 +467,18 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     routes through tier a's codegen'd distinct agg while 'A'/'R'
     (~quarter each) run the pandas UDAF — the driver hash proves both
     routes and their identical output contract in one arm (routing
-    split plan-asserted in tests/test_hashset_count.py)."""
-    li = _t(spark, sf_dir, "lineitem")
-    idiomatic = (
-        li.groupBy("l_linestatus")
-        .agg(hashset_count_agg("l_suppkey").alias("hashset_count"))
-        .select(
-            F.lit("idiomatic_lineitem").alias("tier"),
-            F.col("l_linestatus").alias("group_key"),
-            "hashset_count",
-        )
-    )
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.col("user_id").cast("string").alias("user_id")
-    )
-    rdd_twin = hashset_count_rdd(ev, "event_type", "user_id").select(
-        F.lit("rdd_events").alias("tier"),
-        F.col("event_type").alias("group_key"),
-        "hashset_count",
-    )
-    ev_b = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
-    states = distinct_state_accumulate(
-        ev_b.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id"
-    ).unionByName(
-        distinct_state_accumulate(
-            ev_b.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id"
-        )
-    )
-    state_tier = distinct_state_count(
-        distinct_state_merge(states, ["event_type"]), ["event_type"]
-    ).select(
-        F.lit("state_events").alias("tier"),
-        F.col("event_type").alias("group_key"),
-        "hashset_count",
-    )
-    # threshold at 40% of the table: the 'N' flag (~50% of rows) takes
-    # the tier-a route, 'A'/'R' (~25% each) take the pandas UDAF — the
-    # ratio holds at every SF, so the split is SF-stable. The single
-    # count() action is the documented guard prerequisite (production
-    # passes a known histogram instead).
-    guard_tier = hashset_count_df_guarded(
-        li, ["l_returnflag"], "l_partkey",
-        max_group_rows=int(0.4 * li.count()),
-    ).select(
-        F.lit("guard_lineitem").alias("tier"),
-        F.col("l_returnflag").alias("group_key"),
-        "hashset_count",
-    )
-    # 'kmv_lineitem' — the deterministic KMV sketch (operators/kmv.py),
-    # deliberately routed through the STORED-SKETCH lifecycle: accumulate
-    # at the fine (l_returnflag, l_linestatus) grain, MERGE the stored
-    # sketches up to l_returnflag, then finalize. The oracle recomputes
-    # the direct single-pass pipeline at the coarse grain, so a hash
-    # match proves min-wise merge exactness (combine == direct) under
-    # the driver's hard signal — the reference's Serialize/Merge
-    # contract (`hashset-count.cc:269-461`) at O(k) state.
-    k = 128
-    li_k = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_linestatus", "l_partkey"
-    )
-    fine = kmv_accumulate(li_k, ["l_returnflag", "l_linestatus"], "l_partkey", k)
-    kmv_tier = kmv_estimate(kmv_combine(fine, ["l_returnflag"], k), k).select(
-        F.lit("kmv_lineitem").alias("tier"),
-        F.col("l_returnflag").alias("group_key"),
-        F.col("kmv_distinct").cast("string").alias("hashset_count"),
-    )
-    # 'kmv_*' set-operation rows — the capability the reference's exact
-    # state can never offer (its merge can only union, then count): the
-    # distinct part sets of the O and F linestatus slices compared per
-    # returnflag FROM THEIR STORED SKETCHES ALONE (kmv_set_estimates —
-    # |A∪B|, Jaccard numerator/denominator, |A∩B|, all integer
-    # arithmetic over the shared content-fixed hash permutation). The
-    # oracle recomputes the whole pipeline (slice bottom-ks, min-wise
-    # merged bottom-k, membership counts, floor-division estimates)
-    # term for term, so the driver hash certifies the set algebra.
-    ska = kmv_accumulate(
-        li_k.filter(F.col("l_linestatus") == "O").select(
-            "l_returnflag", "l_partkey"
-        ),
-        ["l_returnflag"], "l_partkey", k,
-    )
-    skb = kmv_accumulate(
-        li_k.filter(F.col("l_linestatus") == "F").select(
-            "l_returnflag", "l_partkey"
-        ),
-        ["l_returnflag"], "l_partkey", k,
-    )
-    setops_tier = (
-        kmv_set_estimates(ska, skb, ["l_returnflag"], k)
-        .select(
-            "l_returnflag",
-            F.expr(
-                "stack(4, 'kmv_union', union_est, 'kmv_jk', jaccard_k, "
-                "'kmv_jn', jaccard_n, 'kmv_inter', inter_est) AS (t, v)"
-            ),
-        )
-        .select(
-            F.col("t").alias("tier"),
-            F.col("l_returnflag").alias("group_key"),
-            F.col("v").cast("string").alias("hashset_count"),
-        )
-    )
+    split plan-asserted in tests/test_hashset_count.py).
+
+    Each tier is built by its own ``_hct_*`` helper — the same
+    builders serve as the entry's bench ARMS, so BENCH per-round
+    records attribute the entry's cost tier by tier."""
     return (
-        idiomatic.union(rdd_twin)
-        .union(state_tier)
-        .union(guard_tier)
-        .union(kmv_tier)
-        .union(setops_tier)
+        _hct_idiomatic(spark, sf_dir)
+        .union(_hct_rdd(spark, sf_dir))
+        .union(_hct_state(spark, sf_dir))
+        .union(_hct_guard(spark, sf_dir))
+        .union(_hct_kmv(spark, sf_dir))
+        .union(_hct_kmv_setops(spark, sf_dir))
     )
 
 

@@ -140,7 +140,14 @@ def write_training_shards(
     Replays: the write is mode=overwrite and both the order and the
     shard boundaries are deterministic given (data, seed), so a retry
     reproduces identical shard CONTENTS, boundaries, and counts (the
-    physical file names carry the write's task UUIDs and differ)."""
+    physical file names carry the write's task UUIDs and differ).
+
+    LOCAL-FILESYSTEM PATHS ONLY: the parquet write itself goes through
+    Spark (any Hadoop-supported scheme), but the manifest step lists
+    the directory and reads footers via driver-local ``os``/``open`` —
+    an ``s3://``/``hdfs://`` path fails at manifest time. Route the
+    listing through the Hadoop FileSystem API (or write the manifest
+    from a downstream job) before pointing this at object storage."""
     from ..operators.sampling import shuffle_rows
 
     ordered = shuffle_rows(df, key_col, seed=seed, n_shards=n_shards, keep_key=True)
@@ -188,7 +195,10 @@ def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
     returned frame carries ``__shard_id`` (manifest position) and
     ``__shuffle_key``, so ``orderBy(__shard_id, __shuffle_key)``
     reproduces the global order inside Spark; a plain data loader just
-    streams the files sequentially."""
+    streams the files sequentially. Same LOCAL-FS restriction as
+    ``write_training_shards``: the manifest is opened with driver-local
+    ``open``, so object-store paths need the manifest fetched/listed
+    through the Hadoop FileSystem API first."""
     with open(os.path.join(path, "manifest.json")) as fh:
         manifest = json.load(fh)
     parts = []

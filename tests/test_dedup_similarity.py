@@ -376,6 +376,23 @@ def test_star_components_long_chain_few_rounds(spark):
     }
 
 
+def test_star_components_raises_without_fixed_point(spark):
+    """Exiting the large-star/small-star loop before the edge set
+    reaches a fixed point would emit non-minimal reps that look like
+    correct labels — the operator must fail loudly instead."""
+    import pytest
+
+    from impala_hashset_count_spark.operators.dedup import (
+        near_dup_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_1 int, id_2 int"
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        near_dup_components_star(pairs, max_iter=1)
+
+
 def test_star_components_equal_propagation_tier(spark, sf_small):
     """Both component strategies assign identical (id, rep) labels over
     the real exact-Jaccard pair list — the strategy swap is free."""

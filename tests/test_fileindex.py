@@ -351,3 +351,107 @@ def test_stream_index_maintenance_live_and_replay_safe(spark, tmp_path):
     ) == sorted(b1 + b2)
     latest2 = read_snapshot(spark, ixp)
     assert canon(latest2) == canon(build_file_index(spark, data, ["k"]))
+
+
+def test_update_file_index_detects_in_place_rewrite(
+    spark, sf_small, tmp_path
+):
+    """A parquet file rewritten IN PLACE under the same path must not
+    keep its stale stats: the index identifies files by
+    (path, size, mtime_ns), so the rewritten version is re-footer-read
+    and the refreshed index equals a fresh build."""
+    from impala_hashset_count_spark.operators.fileindex import (
+        update_file_index,
+    )
+
+    ship_package(spark)
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    path = os.path.join(str(tmp_path), "rw")
+    li.limit(500).coalesce(1).write.parquet(path)
+    idx0 = build_file_index(spark, path, ["l_orderkey"]).localCheckpoint()
+    victim = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+
+    # rewrite the same path with DIFFERENT data (wider key range)
+    stage = os.path.join(str(tmp_path), "rw_stage")
+    li.orderBy(F.desc("l_orderkey")).limit(700).coalesce(1).write.parquet(
+        stage
+    )
+    src = sorted(glob.glob(os.path.join(stage, "*.parquet")))[0]
+    os.replace(src, victim)
+
+    updated = update_file_index(spark, path, idx0, ["l_orderkey"])
+    fresh = build_file_index(spark, path, ["l_orderkey"])
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(updated) == canon(fresh)
+    # and the stale stats are really gone: row count reflects the
+    # rewrite, not the original write
+    (row,) = updated.filter(F.col("file") == victim).collect()
+    assert row.n_rows == 700
+
+
+def test_read_pruned_distributed_equals_driver_path(
+    spark, sf_small, tmp_path
+):
+    """distributed=True (plan never collected) returns exactly the
+    same rows as the driver-list path and the full scan + filter."""
+    ship_package(spark)
+    li, path = _zcluster(spark, sf_small, tmp_path)
+    idx = build_file_index(spark, path, ["l_partkey", "l_suppkey"])
+    ranges = {"l_partkey": (10.0, 40.0), "l_suppkey": (1.0, 5.0)}
+    cond = F.col("l_partkey").between(10, 40) & F.col("l_suppkey").between(
+        1, 5
+    )
+    want = sorted(map(tuple, li.filter(cond).collect()))
+    driver = sorted(
+        map(tuple, read_pruned(spark, path, idx, ranges).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            read_pruned(
+                spark, path, idx, ranges, distributed=True
+            ).collect(),
+        )
+    )
+    assert driver == want
+    assert dist == want
+    # projection pruning on the distributed path
+    cols = sorted(
+        read_pruned(
+            spark, path, idx, ranges, distributed=True,
+            columns=["l_orderkey"],
+        ).columns
+    )
+    assert cols == sorted({"l_orderkey", "l_partkey", "l_suppkey"})
+
+
+def test_distributed_prune_has_no_file_count_ceiling(spark):
+    """A 100k-file synthetic index prunes through the DataFrame path
+    with no staged-pruning error (the old driver-list ceiling): the
+    plan stays distributed and only an aggregate of it is observed."""
+    from impala_hashset_count_spark.operators.fileindex import (
+        prune_files_df,
+    )
+
+    n = 100_000
+    idx = spark.range(n).select(
+        F.concat(F.lit("f"), F.col("id")).alias("file"),
+        F.lit(100).cast("long").alias("n_rows"),
+        F.lit(1).cast("long").alias("file_size"),
+        F.lit(1).cast("long").alias("file_mtime_ns"),
+        F.lit("k").alias("column"),
+        (F.col("id") * 10.0).alias("min_num"),
+        (F.col("id") * 10.0 + 9.0).alias("max_num"),
+        F.lit(None).cast("string").alias("min_str"),
+        F.lit(None).cast("string").alias("max_str"),
+    )
+    # a predicate wide enough that >99% of files survive: the old
+    # driver-list path would raise at max_files=1000; the DataFrame
+    # plan does not care
+    plan = prune_files_df(idx, {"k": (0.0, 10.0 * n)})
+    assert plan.count() == n
+
+    import pytest
+
+    with pytest.raises(ValueError, match="distributed=True"):
+        prune_files(idx, {"k": (0.0, 10.0 * n)}, max_files=1000)

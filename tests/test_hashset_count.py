@@ -605,7 +605,7 @@ class TestGuardedFaithful:
             ("tiny", "a"), ("tiny", "b"),
         ]
         df = _df(spark, rows)
-        small, big = _route_by_group_size(df, ["group_key"], "s", 100)
+        small, big = _route_by_group_size(df, ["group_key"], 100)
         assert big.filter(F.col("group_key").isNull()).count() == 300
         assert small.filter(F.col("group_key").isNull()).count() == 0
         assert small.count() == 2
@@ -628,7 +628,7 @@ class TestGuardedFaithful:
             ("cold", "x")
         ]
         df = _df(spark, rows)
-        small, big = _route_by_group_size(df, ["group_key"], "s", 100)
+        small, big = _route_by_group_size(df, ["group_key"], 100)
         # non-NULL count is 10 <= 100, but 200 total rows would ship
         assert big.filter(F.col("group_key") == "hot").count() == 200
         assert small.count() == 1

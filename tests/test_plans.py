@@ -70,10 +70,20 @@ def test_faithful_udaf_preceded_by_jvm_distinct(spark):
 
 def test_chunking_is_shuffle_free(spark):
     # chunk_documents is a pure per-row explode: any Exchange in the
-    # plan means a regression to a shuffling formulation
-    plan = _plan(spark, "train_chunk_documents")
-    assert "Exchange" not in plan
-    assert "Generate explode" in plan or "Generate" in plan
+    # plan means a regression to a shuffling formulation. Asserted on
+    # the operator's own plan (the registry entry now also carries the
+    # shard-export 'epoch' branch, whose range write/order window
+    # shuffles by design).
+    from impala_hashset_count_spark.operators.packing import chunk_documents
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    fixed = chunk_documents(d, "doc_id", "text", chunk_tokens=64)
+    slide = chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
+    for df in (fixed, slide):
+        plan = explain_str(df)
+        assert "Exchange" not in plan
+        assert "Generate explode" in plan or "Generate" in plan
 
 
 def test_packing_shuffles_once_on_group_key(spark):

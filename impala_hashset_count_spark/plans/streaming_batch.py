@@ -397,6 +397,84 @@ def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     return pairs.unionByName(lone).unionByName(lone_r).unionByName(enrich)
 
 
+def _jpeg_oracle_sql() -> tuple[str, str]:
+    """(CTEs, union-select) for the ``jpeg`` tag: recompute the REAL
+    baseline-JPEG decode's output pixels ARITHMETICALLY — the fixture
+    coefficients S = q * t as literal formulas of (doc_id, block), the
+    2^12-scaled integer IDCT basis (``JPEG_IDCT_TABLE``) as list
+    literals, the same positive-bias floor division, level shift, and
+    clamp — so the oracle puts the decoder's huffman/run/EOB/restart/
+    dequant/zigzag/IDCT chain under the driver's hash signal with zero
+    trust in the Python side. Generated from the SAME module constants
+    the codec uses (no transcription to drift)."""
+    from ..operators.multimodal import JPEG_FIXTURE_QTABLE, JPEG_IDCT_TABLE
+
+    t = {
+        u: "[" + ", ".join(str(v) for v in JPEG_IDCT_TABLE[u]) + "]"
+        for u in (0, 1, 2)
+    }
+    q = JPEG_FIXTURE_QTABLE
+    ctes = f"""
+        jb AS (SELECT doc_id, UNNEST(RANGE(4)) AS b FROM documents),
+        jc AS (
+            SELECT doc_id, b, f.u, f.v, f.s FROM jb, LATERAL (VALUES
+                (0, 0, ((doc_id * 5 + b * 7) % 121 - 60) * {q[0][0]}),
+                (1, 0, ((doc_id + b) % 15 - 7) * {q[0][1]}),
+                (0, 1, ((doc_id * 3 + b) % 13 - 6) * {q[1][0]}),
+                (2, 2, ((doc_id * 7 + b) % 9 - 4) * {q[2][2]})
+            ) AS f(u, v, s)
+        ),
+        jxy AS (
+            SELECT doc_id, b, y, UNNEST(RANGE(8)) AS x
+            FROM (SELECT doc_id, b, UNNEST(RANGE(8)) AS y FROM jb)
+        ),
+        jacc AS (
+            SELECT c.doc_id, c.b, g.x, g.y,
+                   SUM(c.s
+                       * (CASE c.u WHEN 0 THEN {t[0]}[g.x + 1]
+                               WHEN 1 THEN {t[1]}[g.x + 1]
+                               ELSE {t[2]}[g.x + 1] END)
+                       * (CASE c.v WHEN 0 THEN {t[0]}[g.y + 1]
+                               WHEN 1 THEN {t[1]}[g.y + 1]
+                               ELSE {t[2]}[g.y + 1] END)) AS acc
+            FROM jc c JOIN jxy g ON c.doc_id = g.doc_id AND c.b = g.b
+            GROUP BY 1, 2, 3, 4
+        ),
+        jpix AS (
+            SELECT doc_id, b, x, y,
+                   LEAST(255, GREATEST(0,
+                       (acc + 8388608 + 1099511627776) // 16777216
+                       - 65536 + 128)) AS p
+            FROM jacc
+        ),
+        jsum AS (
+            SELECT doc_id,
+                   CAST(SUM(p) AS BIGINT) AS pix_sum,
+                   CAST(SUM(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN p
+                                 ELSE 0 END) AS BIGINT) AS out_sum
+            FROM jpix GROUP BY doc_id
+        )"""
+    union = """
+        UNION ALL
+        SELECT 'jpeg' AS tag, doc_id,
+               CAST(256 AS INTEGER) AS byte_len,
+               CAST(16 AS INTEGER) AS width,
+               CAST(16 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(1 AS INTEGER) AS n_frames,
+               CAST(16 AS INTEGER) AS src_width,
+               CAST(16 AS INTEGER) AS src_height,
+               CAST(8 AS INTEGER) AS out_width,
+               CAST(8 AS INTEGER) AS out_height,
+               CAST(64 AS INTEGER) AS out_bytes,
+               pix_sum, out_sum
+        FROM jsum"""
+    return ctes, union
+
+
+_JPEG_ORACLE_CTES, _JPEG_ORACLE_UNION = _jpeg_oracle_sql()
+
+
 @register(
     "multimodal_image_pipeline",
     oracle="""
@@ -442,7 +520,7 @@ def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame
             FROM oxy
         ),
         osum AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS out_sum
-                 FROM opix GROUP BY doc_id)
+                 FROM opix GROUP BY doc_id),""" + _JPEG_ORACLE_CTES + """
         SELECT 'stub' AS tag, doc_id,
                CAST(n AS INTEGER) AS byte_len,
                CAST(w AS INTEGER) AS width,
@@ -476,7 +554,7 @@ def streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame
                psum.pix_sum, osum.out_sum
         FROM od JOIN psum ON od.doc_id = psum.doc_id
                 JOIN osum ON od.doc_id = osum.doc_id
-    """,
+    """ + _JPEG_ORACLE_UNION,
 )
 def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image branch of the multimodal plumbing end-to-end, tagged:
@@ -499,8 +577,24 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       parser (``decode_png``) inside one mapInPandas stage, then
       nearest-neighbor resized; the oracle recomputes the decoded and
       resized pixel SUMS arithmetically (generate_series over the same
-      ramp), so any CRC, inflate, filter, or resample bug hash-fails."""
-    from ..operators.multimodal import png_roundtrip_features, size_balanced
+      ramp), so any CRC, inflate, filter, or resample bug hash-fails.
+    - ``jpeg``: the REAL ENTROPY-CODED format tier — the format web
+      image corpora actually use — proven the same way
+      (``jpeg_roundtrip_features``): deterministic quantized
+      coefficients are written as a canonical baseline JPEG
+      (DQT/SOF0/DHT/SOS + DRI restarts) and decoded back through the
+      real marker-walking huffman/dequant/integer-IDCT parser
+      (``decode_jpeg``, stdlib+numpy only); the oracle recomputes the
+      DECODED pixels arithmetically from the same coefficient formulas
+      and 2^12 IDCT basis literals, so any huffman, run/EOB, restart,
+      zigzag, dequant, IDCT, or clamp bug hash-fails. (Chroma
+      subsampling stays PIL-gated; the fixture class is grayscale +
+      3-component 4:4:4.)"""
+    from ..operators.multimodal import (
+        jpeg_roundtrip_features,
+        png_roundtrip_features,
+        size_balanced,
+    )
 
     d = _t(spark, sf_dir, "documents")
     payloads = size_balanced(attach_binary_payload(d, "doc_id", "text"), "payload")
@@ -528,11 +622,27 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pix_sum",
         "out_sum",
     )
+    jpeg = jpeg_roundtrip_features(payloads, target=8).select(
+        F.lit("jpeg").alias("tag"),
+        "doc_id",
+        (F.col("width") * F.col("height")).cast("int").alias("byte_len"),
+        "width",
+        "height",
+        F.lit(1).cast("int").alias("channels"),
+        F.lit(1).cast("int").alias("n_frames"),
+        F.col("width").alias("src_width"),
+        F.col("height").alias("src_height"),
+        "out_width",
+        "out_height",
+        (F.col("out_width") * F.col("out_height")).cast("int").alias("out_bytes"),
+        "pix_sum",
+        "out_sum",
+    )
     return stub.select(
         "tag", "doc_id", "byte_len", "width", "height", "channels", "n_frames",
         "src_width", "src_height", "out_width", "out_height", "out_bytes",
         "pix_sum", "out_sum",
-    ).unionByName(png)
+    ).unionByName(png).unionByName(jpeg)
 
 
 @register(

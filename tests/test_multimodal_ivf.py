@@ -620,3 +620,144 @@ def test_png_roundtrip_features_matches_python_model(spark):
         assert (r.width, r.height, r.out_width, r.out_height) == (w, h, ow, oh)
         assert r.pix_sum == sum(pix)
         assert r.out_sum == out_sum
+
+
+# --- JPEG baseline codec (round 5) -----------------------------------
+
+
+def test_jpeg_zigzag_matches_standard_prefix():
+    from impala_hashset_count_spark.operators.multimodal import _ZZ
+
+    # the canonical first 16 entries of the JPEG zigzag sequence in
+    # row-major index form: 0,1,8,16,9,2,3,10,17,24,32,25,18,11,4,5
+    got = [r * 8 + c for r, c in _ZZ[:16]]
+    assert got == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    assert sorted(r * 8 + c for r, c in _ZZ) == list(range(64))
+
+
+def test_jpeg_fixture_huffman_tables_are_canonical_feasible():
+    from impala_hashset_count_spark.operators.multimodal import (
+        _AC_BITS,
+        _AC_VALS,
+        _DC_BITS,
+        _DC_VALS,
+        _huff_codes,
+    )
+
+    for bits, vals in ((_DC_BITS, _DC_VALS), (_AC_BITS, _AC_VALS)):
+        assert sum(bits) == len(vals)
+        kraft = sum(n * 2 ** -(ln + 1) for ln, n in enumerate(bits))
+        assert kraft <= 1.0
+        codes = _huff_codes(bits, vals)
+        # prefix-free: no code is a prefix of another
+        as_strs = [format(c, f"0{ln}b") for ln, c in codes.values()]
+        for i, a in enumerate(as_strs):
+            for j, b in enumerate(as_strs):
+                if i != j:
+                    assert not b.startswith(a)
+
+
+def test_jpeg_gray_roundtrip_exact_and_restart_invariant():
+    import numpy as np
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_FIXTURE_QTABLE,
+        JPEG_IDCT_TABLE,
+        decode_jpeg,
+        encode_jpeg_baseline,
+        jpeg_fixture_blocks,
+    )
+
+    t = np.asarray(JPEG_IDCT_TABLE, dtype=np.int64)
+    qt = np.asarray(JPEG_FIXTURE_QTABLE, dtype=np.int64)
+    for did in (0, 1, 37, 499, 12345):
+        blocks = jpeg_fixture_blocks(did)
+        expect = np.zeros((16, 16), dtype=np.int64)
+        for b, blk in enumerate(blocks):
+            s = np.asarray(blk, dtype=np.int64) * qt
+            acc = np.einsum("vu,ux,vy->yx", s, t, t)
+            pix = (acc + (1 << 23) + (1 << 40)) // (1 << 24) - (1 << 16) + 128
+            my, mx = divmod(b, 2)
+            expect[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+                pix, 0, 255
+            )
+        for ri in (0, 1, 2, 3):
+            jpg = encode_jpeg_baseline(
+                16, 16, [blocks], [JPEG_FIXTURE_QTABLE], restart_interval=ri
+            )
+            w, h, nc, gray = decode_jpeg(jpg)
+            assert (w, h, nc) == (16, 16, 1)
+            got = np.frombuffer(gray, dtype=np.uint8).reshape(16, 16)
+            assert np.array_equal(got.astype(np.int64), expect), (did, ri)
+
+
+def test_jpeg_zrl_long_zero_run_roundtrip():
+    # a lone coefficient 20 zigzag positions past DC forces a ZRL
+    # (16-zero run) symbol plus a (4, size) pair — both decode paths
+    import numpy as np
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        _ZZ,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    qt = [[1] * 8 for _ in range(8)]
+    q = [[0] * 8 for _ in range(8)]
+    r, c = _ZZ[21]
+    q[r][c] = -33
+    q[0][0] = 40
+    jpg = encode_jpeg_baseline(8, 8, [[q]], [qt])
+    w, h, nc, gray = decode_jpeg(jpg)
+    assert (w, h, nc) == (8, 8, 1)
+    # decode must reproduce the coefficients exactly: re-derive pixels
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_IDCT_TABLE,
+    )
+
+    t = np.asarray(JPEG_IDCT_TABLE, dtype=np.int64)
+    s = np.asarray(q, dtype=np.int64)
+    acc = np.einsum("vu,ux,vy->yx", s, t, t)
+    pix = np.clip(
+        (acc + (1 << 23) + (1 << 40)) // (1 << 24) - (1 << 16) + 128, 0, 255
+    )
+    assert np.array_equal(
+        np.frombuffer(gray, dtype=np.uint8).reshape(8, 8).astype(np.int64),
+        pix,
+    )
+
+
+def test_jpeg_color_decode_and_rejections():
+    import numpy as np
+    import pytest
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_FIXTURE_QTABLE,
+        decode_jpeg,
+        encode_jpeg_baseline,
+        jpeg_fixture_blocks,
+    )
+
+    blocks = jpeg_fixture_blocks(7)
+    jc = encode_jpeg_baseline(
+        16, 16, [blocks, blocks, blocks],
+        [JPEG_FIXTURE_QTABLE, JPEG_FIXTURE_QTABLE],
+    )
+    w, h, nc, rgb = decode_jpeg(jc)
+    assert (w, h, nc) == (16, 16, 3) and len(rgb) == 16 * 16 * 3
+    # identical Y/Cb/Cr planes at Cb=Cr values near 128 stay finite and
+    # deterministic; decoding twice is byte-identical
+    assert decode_jpeg(jc)[3] == rgb
+    arr = np.frombuffer(rgb, dtype=np.uint8)
+    assert arr.min() >= 0 and arr.max() <= 255
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01")
+    good = encode_jpeg_baseline(8, 8, [[blocks[0]]], [JPEG_FIXTURE_QTABLE])
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])  # truncated mid-segments
+    # progressive (SOF2) rejected: patch the SOF0 marker byte
+    sof2 = bytearray(good)
+    sof2[good.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(sof2))

@@ -218,18 +218,24 @@ def _hct_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # threshold at 40% of the table: the 'N' flag (~50% of rows) takes
-    # the tier-a route, 'A'/'R' (~25% each) take the pandas UDAF — the
-    # ratio holds at every SF, so the split is SF-stable. The single
+    # documents grouped by lang — the one genuinely SKEWED key in the
+    # testdata ('en' ~41% of docs, the others ~14% each, the ratio
+    # holding at every SF). Threshold at 30% of the table: 'en' takes
+    # the tier-a codegen'd route, the small langs take the pandas
+    # UDAF, so BOTH routes carry rows at every SF. (Round-5 sf1 stress
+    # caught the previous lineitem/returnflag choice claiming a skew
+    # the data does not have — returnflag is even thirds, so the
+    # tier-a route never actually fired; tests/test_sf1_scale.py now
+    # asserts the hot group really exceeds the threshold.) The single
     # count() action is the documented guard prerequisite (production
     # passes a known histogram instead).
-    li = _t(spark, sf_dir, "lineitem")
+    d = _t(spark, sf_dir, "documents")
     return hashset_count_df_guarded(
-        li, ["l_returnflag"], "l_partkey",
-        max_group_rows=int(0.4 * li.count()),
+        d, ["lang"], "text",
+        max_group_rows=int(0.3 * d.count()),
     ).select(
-        F.lit("guard_lineitem").alias("tier"),
-        F.col("l_returnflag").alias("group_key"),
+        F.lit("guard_documents").alias("tier"),
+        F.col("lang").alias("group_key"),
         "hashset_count",
     )
 
@@ -333,12 +339,12 @@ _HCT_ARMS = {
         FROM events
         GROUP BY event_type
         UNION ALL
-        SELECT 'guard_lineitem' AS tier, l_returnflag AS group_key,
-               CASE WHEN COUNT(l_partkey) = 0 THEN NULL
-                    ELSE CAST(COUNT(DISTINCT l_partkey) AS VARCHAR)
+        SELECT 'guard_documents' AS tier, lang AS group_key,
+               CASE WHEN COUNT(text) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT text) AS VARCHAR)
                END AS hashset_count
-        FROM lineitem
-        GROUP BY l_returnflag
+        FROM documents
+        GROUP BY lang
         UNION ALL
         SELECT 'kmv_lineitem' AS tier, g.l_returnflag AS group_key,
                CAST(CASE WHEN s.n IS NULL THEN NULL
@@ -461,13 +467,15 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct count over the full table: a hash match proves the
     two-batch state path is exactly lossless.
 
-    'guard_lineitem' is the GROUP-SIZE-GUARDED tier b
-    (``hashset_count_df_guarded``): threshold = 40% of the table, so
-    at every SF the skewed 'N' returnflag group (~half the rows)
-    routes through tier a's codegen'd distinct agg while 'A'/'R'
-    (~quarter each) run the pandas UDAF — the driver hash proves both
-    routes and their identical output contract in one arm (routing
-    split plan-asserted in tests/test_hashset_count.py).
+    'guard_documents' is the GROUP-SIZE-GUARDED tier b
+    (``hashset_count_df_guarded``) over the one genuinely skewed key
+    in the testdata — documents.lang ('en' ~41%, others ~14% each, SF-
+    stable): threshold = 30% of the table, so 'en' routes through tier
+    a's codegen'd distinct agg while the small langs run the pandas
+    UDAF — the driver hash proves both routes and their identical
+    string/NULL output contract in one arm (routing split
+    plan-asserted in tests/test_hashset_count.py; the hot group
+    observed over-threshold at 10x volume in tests/test_sf1_scale.py).
 
     Each tier is built by its own ``_hct_*`` helper — the same
     builders serve as the entry's bench ARMS, so BENCH per-round

@@ -65,12 +65,64 @@ def _shingles_from_tokens(toks: Column, n: int) -> Column:
 def _shingled(
     df: DataFrame, id_cols: list[str], text_col: str, n: int
 ) -> DataFrame:
-    """(ids..., __shs) with the token array staged as its own projection
-    so the shingle lambda references an attribute."""
-    toks = df.select(*id_cols, _norm_tokens(text_col).alias("__toks"))
+    """(ids..., __shs) with the normalized text AND the token array
+    each staged as their own projection, so every downstream lambda
+    (and the blank-guard's double reference to the normalization)
+    reads an attribute instead of re-running the regex chain.
+
+    SCALE WARNING (measured in round 5): do NOT ``explode(__shs)``
+    over this frame — the optimizer collapses the token staging into
+    the shingle lambda under a Generate, and the normalize+split chain
+    re-evaluates PER SHINGLE (O(shingles x tokens) per document;
+    observed 45x at sf0.1). Corpus-sized pipelines must use
+    ``_shingle_pairs`` (explode-first, no array lambda on the hot
+    path) instead; this array form remains for per-document outputs."""
+    norm = df.select(*id_cols, normalize_text(text_col).alias("__norm"))
+    toks = norm.select(
+        *id_cols,
+        F.when(
+            F.length("__norm") == 0, F.array().cast("array<string>")
+        ).otherwise(F.split("__norm", " ")).alias("__toks"),
+    )
     return toks.select(
         *id_cols, _shingles_from_tokens(F.col("__toks"), n).alias("__shs")
     )
+
+
+def _shingle_pairs(
+    df: DataFrame, id_cols: list[str], text_col: str, n: int
+) -> DataFrame:
+    """(ids..., sh) — one row per shingle INSTANCE (not distinct),
+    plus one (ids..., NULL) row for documents too short to form any
+    shingle (so per-doc accounting can still see them; filter
+    ``sh IS NOT NULL`` when only real shingles matter).
+
+    This is the corpus-hot-path formulation: explode the START INDICES
+    first (a Generate over a cheap int sequence whose child row
+    materializes the token array ONCE per document), then build each
+    shingle as a plain ``concat_ws(slice(...))`` projection over the
+    Generate's materialized output — per-shingle cost is O(n), and no
+    higher-order-function lambda exists for the optimizer to inline
+    the tokenization into (the collapse that made the array form
+    re-normalize per shingle; see ``_shingled``'s warning)."""
+    toks = df.select(
+        *id_cols, _norm_tokens(text_col).alias("__toks")
+    )
+    starts = toks.select(
+        *id_cols,
+        "__toks",
+        F.explode_outer(
+            F.when(
+                F.size("__toks") >= n,
+                F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    )
+    sh = F.when(
+        F.col("__i").isNotNull(),
+        F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), n)),
+    )
+    return starts.select(*id_cols, sh.alias("sh"))
 
 
 def eval_shingle_index(
@@ -80,8 +132,8 @@ def eval_shingle_index(
     side. One tiny input => one tiny index; the ``distinct()`` runs on
     the eval set's own partitions, never touching the corpus."""
     return (
-        _shingled(eval_df, [], text_col, n)
-        .select(F.explode("__shs").alias("sh"))
+        _shingle_pairs(eval_df, [], text_col, n)
+        .filter(F.col("sh").isNotNull())
         .distinct()
     )
 
@@ -101,21 +153,34 @@ def contamination_stats(
     in the eval set; ``contaminated`` is any-hit (the standard
     decontamination policy — a single 8-gram collision with a benchmark
     is disqualifying). Docs too short to form a shingle have
-    ratio 0.0, not NULL (ANSI-safe: the division is guarded)."""
-    idx = eval_shingle_index(eval_df, eval_text_col, n)
-    shs = _shingled(docs, [id_col], text_col, n)
-    base = shs.select(F.col(id_col), F.size("__shs").alias("n_shingles"))
-    hits = (
-        shs.select(F.col(id_col), F.explode("__shs").alias("sh"))
-        .join(F.broadcast(idx), "sh")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+    ratio 0.0, not NULL (ANSI-safe: the division is guarded).
+
+    ONE explode-first shingle pass over the corpus (round-5 rework —
+    arm timing caught the previous array formulation at 38 s
+    standalone for sf0.1: the shingle projection ran three times, and
+    the optimizer additionally inlined the tokenization into the
+    shingle lambda under the explode, re-normalizing PER SHINGLE; see
+    ``_shingle_pairs``): shingle instances stream out of one Generate,
+    dedup to per-doc DISTINCT shingles in a map-side-combining
+    (id, sh) aggregate, LEFT-join the broadcast eval index with a hit
+    indicator, and reduce per doc. Shuffle account: one exchange of
+    the DISTINCT (id, shingle) pairs plus one of the per-doc partials
+    — the same shingle-stream budget ``minhash_lsh_pairs`` runs on."""
+    idx = eval_shingle_index(eval_df, eval_text_col, n).withColumn(
+        "__inx", F.lit(True)
     )
-    # hits is O(contaminated docs) — small by construction, so the
-    # join-back to the full corpus is broadcast too (no corpus shuffle)
+    pairs = _shingle_pairs(docs, [id_col], text_col, n).groupBy(
+        id_col, "sh"
+    ).agg(F.lit(1).alias("__one"))
     return (
-        base.join(F.broadcast(hits), id_col, "left")
-        .fillna(0, ["n_hits"])
+        pairs.join(F.broadcast(idx), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("sh").cast("int").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__inx").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_hits"),
+        )
         .select(
             F.col(id_col),
             "n_shingles",
@@ -144,8 +209,7 @@ def decontaminate(
     the corpus is filtered in place, never shuffled."""
     idx = eval_shingle_index(eval_df, eval_text_col, n)
     contaminated_ids = (
-        _shingled(docs, [id_col], text_col, n)
-        .select(F.col(id_col), F.explode("__shs").alias("sh"))
+        _shingle_pairs(docs, [id_col], text_col, n)
         .join(F.broadcast(idx), "sh")
         .select(id_col)
         .distinct()

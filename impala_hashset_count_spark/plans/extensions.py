@@ -866,7 +866,15 @@ def _des_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _des_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = _des_dt(spark, sf_dir)
     eval_slice = dt.filter(F.col("doc_id") % 20 == 0)
-    corpus = dt.filter(F.col("doc_id") % 20 != 0)
+    # the documents table is ONE small parquet file locally, so the
+    # scan yields one partition and the shingle projection (the
+    # expensive stage) would run on one core; a cheap row-count
+    # repartition restores the parallelism a real many-file corpus
+    # scan has natively (at 100 TB this repartition is a no-op to
+    # delete — the scan is already thousands of partitions)
+    corpus = dt.filter(F.col("doc_id") % 20 != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return contamination_stats(
         corpus, eval_slice, "doc_id", "text", n=8
     ).filter("contaminated").select(

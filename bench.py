@@ -63,9 +63,12 @@ def main() -> None:
     # or not: each arm is a standalone plan (shared sub-plans rebuilt),
     # so arm times attribute growth to a family; they need not sum to
     # the entry's time and are never part of the headline total.
-    for name, q in sorted(all_queries().items()):
-        for arm_name, arm_fn in (q.arms or {}).items():
-            arm_timings[f"{name}/{arm_name}"] = time_min2(arm_fn)
+    # SPARK_GRAFT_ARMS=0 skips them (used for long scale-stress runs
+    # at sf1+ where only the headline set is being scaled-checked).
+    if os.environ.get("SPARK_GRAFT_ARMS", "1") != "0":
+        for name, q in sorted(all_queries().items()):
+            for arm_name, arm_fn in (q.arms or {}).items():
+                arm_timings[f"{name}/{arm_name}"] = time_min2(arm_fn)
 
     total = round(sum(timings.values()), 3)
     out = {

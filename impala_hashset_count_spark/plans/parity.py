@@ -240,6 +240,36 @@ def _hct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hct_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the JVM PARTIAL/MERGE tier (operators/jvm_udaf.py): the
+    # reference's Init/Update/Serialize/Merge/Finalize lifecycle as a
+    # Java Aggregator — partial ObjectHashAggregate, buffer serialized
+    # across the Exchange, final-side merge (the structure no Python
+    # tier can express; plan-asserted in tests/test_jvm_udaf.py). The
+    # value contract is IDENTICAL to tier a (exact distinct, string,
+    # NULL-not-0), so when the JVM toolchain/classloader path is
+    # unavailable the tier falls back to the tier-a expression and the
+    # driver hash is unaffected — the tier changes the ENGINE, never
+    # the answer.
+    from ..operators.jvm_udaf import (
+        hashset_count_jvm_agg,
+        try_register_jvm_udaf,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus", F.col("l_partkey").cast("string").alias("v")
+    )
+    if try_register_jvm_udaf(spark):
+        agg = hashset_count_jvm_agg("v")
+    else:  # pragma: no cover - exercised only without javac/jar
+        agg = hashset_count_agg("v")
+    return li.groupBy("l_linestatus").agg(agg.alias("hashset_count")).select(
+        F.lit("jvm_lineitem").alias("tier"),
+        F.col("l_linestatus").alias("group_key"),
+        "hashset_count",
+    )
+
+
 def _hct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'kmv_lineitem' — the deterministic KMV sketch (operators/kmv.py),
     # deliberately routed through the STORED-SKETCH lifecycle: accumulate
@@ -309,6 +339,7 @@ _HCT_ARMS = {
     "rdd": _hct_rdd,
     "state": _hct_state,
     "guard": _hct_guard,
+    "jvm": _hct_jvm,
     "kmv": _hct_kmv,
     "kmv_setops": _hct_kmv_setops,
 }
@@ -345,6 +376,14 @@ _HCT_ARMS = {
                END AS hashset_count
         FROM documents
         GROUP BY lang
+        UNION ALL
+        SELECT 'jvm_lineitem' AS tier, l_linestatus AS group_key,
+               CASE WHEN COUNT(l_partkey) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT CAST(l_partkey AS VARCHAR))
+                              AS VARCHAR)
+               END AS hashset_count
+        FROM lineitem
+        GROUP BY l_linestatus
         UNION ALL
         SELECT 'kmv_lineitem' AS tier, g.l_returnflag AS group_key,
                CAST(CASE WHEN s.n IS NULL THEN NULL
@@ -467,6 +506,19 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct count over the full table: a hash match proves the
     two-batch state path is exactly lossless.
 
+    'jvm_lineitem' is the JVM PARTIAL/MERGE tier
+    (``operators/jvm_udaf.py``): the reference's defining
+    Init/Update/Serialize/Merge/Finalize structure
+    (`hashset-count.h:30-34`) as a Java ``Aggregator`` compiled
+    in-container and injected into the running session — partial
+    ObjectHashAggregate, state serialized across the Exchange, final-
+    side merge. This closes the gap every earlier round carried as
+    "out of scope": the faithful tier now HAS a 1:1 JVM twin with a
+    real partial split (no Python tier can express one). Identical
+    value contract to tier a, with a tier-a fallback when the JVM
+    toolchain is unavailable, so the tier changes the engine, never
+    the answer.
+
     'guard_documents' is the GROUP-SIZE-GUARDED tier b
     (``hashset_count_df_guarded``) over the one genuinely skewed key
     in the testdata — documents.lang ('en' ~41%, others ~14% each, SF-
@@ -485,6 +537,7 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(_hct_rdd(spark, sf_dir))
         .union(_hct_state(spark, sf_dir))
         .union(_hct_guard(spark, sf_dir))
+        .union(_hct_jvm(spark, sf_dir))
         .union(_hct_kmv(spark, sf_dir))
         .union(_hct_kmv_setops(spark, sf_dir))
     )

@@ -1,0 +1,121 @@
+"""JVM partial/merge tier of the faithful UDAF
+(`operators/jvm_udaf.py` + `jvm/src/ihc/*.java`).
+
+This is the 1:1 twin of the reference's partial-aggregate lifecycle
+(`hashset-count.h:30-34`): zero/reduce == Init/Update, the buffer
+encoder crossing the Exchange == Serialize, merge == Merge, finish ==
+Finalize — asserted on the PHYSICAL PLAN (partial ObjectHashAggregate
+below the exchange, final above), not just on values."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from impala_hashset_count_spark.operators.jvm_udaf import (
+    ensure_jvm_jar,
+    hashset_count_jvm_agg,
+    register_jvm_udaf,
+    try_register_jvm_udaf,
+)
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("javac") is None
+    and not os.path.exists(
+        os.path.join(os.path.dirname(__file__), "..", "jvm", "ihc-udaf.jar")
+    ),
+    reason="no javac and no prebuilt ihc-udaf.jar",
+)
+
+
+def test_jar_builds_and_registration_is_idempotent(spark):
+    jar = ensure_jvm_jar()
+    assert os.path.exists(jar)
+    register_jvm_udaf(spark)
+    register_jvm_udaf(spark)  # second call is a no-op
+    assert try_register_jvm_udaf(spark) is True
+
+
+def test_reference_contract_null_empty_and_nul_bytes(spark):
+    """The reference's edge semantics through the JVM tier: NULL
+    skipped, all-NULL group -> SQL NULL (not '0'), '' counts, embedded
+    NUL bytes are ordinary characters (the trap the reference's
+    \\0-terminated layout documents, README.md:9)."""
+    register_jvm_udaf(spark)
+    rows = [
+        ("a", "x"), ("a", "y"), ("a", "x"), ("a", None),
+        ("b", None),
+        ("c", ""),
+        ("d", "p\x00q"), ("d", "p"), ("d", "q"), ("d", "p\x00q"),
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        r.g: r.c
+        for r in df.groupBy("g")
+        .agg(hashset_count_jvm_agg("v").alias("c"))
+        .collect()
+    }
+    assert got == {"a": "2", "b": None, "c": "1", "d": "3"}
+
+
+def test_physical_plan_has_partial_merge_split(spark):
+    """The point of the tier: a real partial aggregate below the
+    exchange and a final merge above it — the structure the pandas
+    UDAF cannot express (it ships whole groups to one worker)."""
+    register_jvm_udaf(spark)
+    df = spark.createDataFrame(
+        [("g%d" % (i % 5), str(i % 97)) for i in range(1000)],
+        "g string, v string",
+    )
+    out = df.groupBy("g").agg(hashset_count_jvm_agg("v").alias("c"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_hashset_count_jvm" in plan
+    assert plan.count("ObjectHashAggregate") >= 2
+    assert "Exchange" in plan
+    # and the partial really sits BELOW the exchange
+    assert plan.index("Exchange") < plan.index("partial_hashset_count_jvm")
+
+
+def test_matches_count_distinct_on_lineitem(spark, sf_small):
+    register_jvm_udaf(spark)
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").select(
+        "l_linestatus", F.col("l_partkey").cast("string").alias("v")
+    )
+    got = {
+        r.l_linestatus: r.c
+        for r in li.groupBy("l_linestatus")
+        .agg(hashset_count_jvm_agg("v").alias("c"))
+        .collect()
+    }
+    want = {
+        r.l_linestatus: str(r.d)
+        for r in li.groupBy("l_linestatus")
+        .agg(F.count_distinct("v").alias("d"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_survives_repartitioning_and_reuse_in_sql(spark):
+    """Merge correctness is partitioning-independent, and the SQL name
+    works in a second query in the same session."""
+    register_jvm_udaf(spark)
+    df = spark.createDataFrame(
+        [("k", str(i % 13)) for i in range(500)], "g string, v string"
+    )
+    for parts in (1, 7, 32):
+        got = (
+            df.repartition(parts)
+            .groupBy("g")
+            .agg(hashset_count_jvm_agg("v").alias("c"))
+            .collect()
+        )
+        assert got[0].c == "13"
+    df.createOrReplaceTempView("jvm_t")
+    assert (
+        spark.sql(
+            "SELECT hashset_count_jvm(v) AS c FROM jvm_t GROUP BY g"
+        ).first().c
+        == "13"
+    )

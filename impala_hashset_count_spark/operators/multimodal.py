@@ -503,6 +503,23 @@ def fake_resize(payload: bytes, target: int = 224) -> tuple[int, int, int, int, 
     return (w, h, ow, oh, data)
 
 
+def jpeg_resize(payload: bytes, target: int = 224) -> tuple[int, int, int, int, bytes]:
+    """REAL decode + aspect-fit nearest-neighbor resize for baseline
+    JPEG payloads (``decode_jpeg``: gray or 4:4:4 color) — same output
+    contract as ``bmp_resize``/``png_resize`` (RGB bytes; grayscale is
+    expanded to RGB triplets so byte accounting is uniform)."""
+    import numpy as np
+
+    w, h, nc, px = decode_jpeg(payload)
+    if nc == 1:
+        px = np.repeat(
+            np.frombuffer(px, dtype=np.uint8), 3
+        ).tobytes()
+    scale = min(target / w, target / h)
+    ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+    return (w, h, ow, oh, _nn_resize_rgb(px, w, h, ow, oh))
+
+
 def resize_images(df: DataFrame, target: int = 224, decode: str = "stub") -> DataFrame:
     """mapInPandas resize over (doc_id, payload): aspect-fit each image
     into ``target`` square, emitting typed dimension metadata plus the
@@ -516,13 +533,16 @@ def resize_images(df: DataFrame, target: int = 224, decode: str = "stub") -> Dat
     proven end-to-end in tests even in this codec-less container.
     ``decode='png'`` is the REAL COMPRESSED-format tier (``png_resize``:
     stdlib zlib inflate + all-five-filter scanline reconstruction).
+    ``decode='jpeg'`` is the REAL ENTROPY-CODED tier (``jpeg_resize``:
+    baseline SOF0 huffman + integer IDCT via ``decode_jpeg``).
     ``decode='real'`` runs ``decode_image`` + PIL ``Image.resize``
     (``real_resize``) and raises ``NotImplementedError`` where PIL is
     absent. Every tier shares the Spark-side batch shape, schema, and
     byte accounting."""
-    if decode not in ("stub", "bmp", "png", "real"):
+    if decode not in ("stub", "bmp", "png", "jpeg", "real"):
         raise ValueError(
-            f"decode must be 'stub', 'bmp', 'png' or 'real', got {decode!r}"
+            f"decode must be 'stub', 'bmp', 'png', 'jpeg' or 'real', "
+            f"got {decode!r}"
         )
     if decode == "real" and not pil_available():
         raise NotImplementedError(
@@ -533,6 +553,7 @@ def resize_images(df: DataFrame, target: int = 224, decode: str = "stub") -> Dat
         "stub": fake_resize,
         "bmp": bmp_resize,
         "png": png_resize,
+        "jpeg": jpeg_resize,
         "real": real_resize,
     }[decode]
 

@@ -761,3 +761,28 @@ def test_jpeg_color_decode_and_rejections():
     sof2[good.index(b"\xff\xc0") + 1] = 0xC2
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(sof2))
+
+
+def test_resize_images_jpeg_tier(spark):
+    """decode='jpeg' routes through the real baseline decoder with the
+    shared byte-accounting contract (grayscale expanded to RGB)."""
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_FIXTURE_QTABLE,
+        encode_jpeg_baseline,
+        jpeg_fixture_blocks,
+        resize_images,
+    )
+
+    rows = [
+        (did, encode_jpeg_baseline(
+            16, 16, [jpeg_fixture_blocks(did)], [JPEG_FIXTURE_QTABLE]
+        ))
+        for did in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = resize_images(df, target=8, decode="jpeg").collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r.src_width, r.src_height) == (16, 16)
+        assert (r.out_width, r.out_height) == (8, 8)
+        assert r.out_bytes == 8 * 8 * 3 == len(r.payload)

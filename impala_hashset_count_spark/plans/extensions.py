@@ -246,11 +246,20 @@ def _ta_prune(cols: list[str]):
     return arm
 
 
-_TA_ARM_SPECIAL = ["n_winnow_blocks", "winnow_sum", "n_bpe", "bpe_head", "n_bpe_ish"]
+_TA_URL_COLS = [
+    "url_scheme", "url_port", "url_host", "url_reg_domain",
+    "url_path_depth", "url_n_params", "url_is_ip",
+]
+
+_TA_ARM_SPECIAL = [
+    "n_winnow_blocks", "winnow_sum", "n_bpe", "bpe_head", "n_bpe_ish",
+    *_TA_URL_COLS,
+]
 
 _TA_ARMS = {
     "winnow": _ta_prune(["n_winnow_blocks", "winnow_sum"]),
     "bpe": _ta_prune(["n_bpe", "bpe_head", "n_bpe_ish"]),
+    "url": _ta_prune(_TA_URL_COLS),
     "base": lambda spark, sf_dir: text_analysis_documents(spark, sf_dir).drop(
         *_TA_ARM_SPECIAL
     ),

@@ -786,3 +786,63 @@ def test_resize_images_jpeg_tier(spark):
         assert (r.src_width, r.src_height) == (16, 16)
         assert (r.out_width, r.out_height) == (8, 8)
         assert r.out_bytes == 8 * 8 * 3 == len(r.payload)
+
+
+def test_jpeg_property_random_blocks_roundtrip_exact():
+    """Property: for ANY quantized coefficient blocks (random sparsity
+    — long zero runs, dense blocks, negative amplitudes), any quant
+    table, any restart interval, and non-multiple-of-8 dimensions, the
+    decoder reproduces the exact integer-IDCT pixels (cropped to w x h).
+    This is the falsifiability net beyond the fixture formulas: any
+    Huffman/run/EOB/ZRL/restart/zigzag/dequant/crop bug breaks it."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_IDCT_TABLE,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    t = np.asarray(JPEG_IDCT_TABLE, dtype=np.int64)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        w = data.draw(st.integers(4, 20), label="w")
+        h = data.draw(st.integers(4, 20), label="h")
+        ri = data.draw(st.integers(0, 3), label="restart")
+        mx, my = (w + 7) // 8, (h + 7) // 8
+        qt = [
+            [data.draw(st.integers(1, 64)) for _ in range(8)]
+            for _ in range(8)
+        ]
+        blocks = []
+        for _ in range(mx * my):
+            q = np.zeros((8, 8), dtype=np.int64)
+            # sparse positions incl. possible >16 zigzag gaps (ZRL)
+            for _ in range(data.draw(st.integers(0, 6))):
+                r = data.draw(st.integers(0, 7))
+                c = data.draw(st.integers(0, 7))
+                q[r][c] = data.draw(
+                    st.integers(-200, 200).filter(lambda v: v != 0)
+                )
+            blocks.append(q.tolist())
+        jpg = encode_jpeg_baseline(w, h, [blocks], [qt], restart_interval=ri)
+        dw, dh, nc, gray = decode_jpeg(jpg)
+        assert (dw, dh, nc) == (w, h, 1)
+        got = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
+        full = np.zeros((my * 8, mx * 8), dtype=np.int64)
+        for b, blk in enumerate(blocks):
+            s = np.asarray(blk, dtype=np.int64) * np.asarray(qt)
+            acc = np.einsum("vu,ux,vy->yx", s, t, t)
+            pix = np.clip(
+                (acc + (1 << 23) + (1 << 40)) // (1 << 24) - (1 << 16) + 128,
+                0,
+                255,
+            )
+            yy, xx = divmod(b, mx)
+            full[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = pix
+        assert np.array_equal(got.astype(np.int64), full[:h, :w])
+
+    run()

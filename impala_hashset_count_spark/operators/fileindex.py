@@ -470,10 +470,10 @@ def update_file_index(
     extreme file counts, list per partition directory. Returns the
     refreshed index (same schema as ``build_file_index``); persist it
     wherever the stored index lives."""
-    listing = [
-        (f, os.stat(f).st_size, os.stat(f).st_mtime_ns)
-        for f in _list_parquet_files(path)
-    ]
+    listing = []
+    for f in _list_parquet_files(path):
+        st = os.stat(f)
+        listing.append((f, st.st_size, st.st_mtime_ns))
     if not listing:
         raise FileNotFoundError(f"no parquet files under {path}")
     on_disk = spark.createDataFrame(

@@ -46,9 +46,9 @@ def decode_image(payload: bytes):
     """Real decode — gated on PIL availability (not in this container).
     Dependency-free alternates cover the common classes without PIL:
     ``decode_bmp`` (uncompressed), ``decode_png`` (DEFLATE), and
-    ``decode_jpeg`` (baseline SOF0 gray / 4:4:4 — the entropy-coded
-    class); PIL remains the route for chroma-subsampled/progressive
-    JPEG and everything else."""
+    ``decode_jpeg`` (baseline SOF0 gray / 4:4:4 / 4:2:0 / 4:2:2 —
+    the entropy-coded class incl. chroma subsampling); PIL remains
+    the route for progressive JPEG and everything else."""
     try:
         import io
 
@@ -505,9 +505,10 @@ def fake_resize(payload: bytes, target: int = 224) -> tuple[int, int, int, int, 
 
 def jpeg_resize(payload: bytes, target: int = 224) -> tuple[int, int, int, int, bytes]:
     """REAL decode + aspect-fit nearest-neighbor resize for baseline
-    JPEG payloads (``decode_jpeg``: gray or 4:4:4 color) — same output
-    contract as ``bmp_resize``/``png_resize`` (RGB bytes; grayscale is
-    expanded to RGB triplets so byte accounting is uniform)."""
+    JPEG payloads (``decode_jpeg``: gray or color, 4:4:4 and the
+    subsampled 4:2:0/4:2:2/4:4:0 layouts) — same output contract as
+    ``bmp_resize``/``png_resize`` (RGB bytes; grayscale is expanded
+    to RGB triplets so byte accounting is uniform)."""
     import numpy as np
 
     w, h, nc, px = decode_jpeg(payload)
@@ -833,9 +834,11 @@ def wav_roundtrip_features(df: DataFrame, rate: int = 16000) -> DataFrame:
 # (DQT/DHT/SOF0/SOS/DRI, APPn/COM skipped), canonical Huffman tables
 # derived FROM THE STREAM's DHT segments, byte-unstuffing + restart
 # markers, DC prediction, run/EOB AC decoding, dequantization, and an
-# integer fixed-point IDCT — stdlib + numpy only. Grayscale and 3-
-# component 4:4:4 (no chroma subsampling) are supported; subsampled
-# files raise with PIL as the documented fallback.
+# integer fixed-point IDCT — stdlib + numpy only. Grayscale, 4:4:4,
+# and the common subsampled layouts (4:2:0 / 4:2:2 / 4:4:0 — sampling
+# factors in {1,2}, interleaved MCUs, replication upsampling) are
+# supported; progressive/beyond-2x2 files raise with PIL as the
+# documented fallback.
 #
 # The IDCT is deliberately an INTEGER fixed point with fully defined
 # rounding (floor on a positive-biased accumulator), so its output is
@@ -953,27 +956,43 @@ def encode_jpeg_baseline(
     comp_blocks: list[list[list[list[int]]]],
     qtables: list[list[list[int]]],
     restart_interval: int = 0,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Fixture encoder: a canonical BASELINE (SOF0) JPEG from
     QUANTIZED coefficient blocks (natural [row][col] order, one block
-    list per component, all components 1x1 sampling). 1 component =
-    grayscale, 3 = YCbCr 4:4:4 (component 0 uses qtable 0, 1-2 use the
-    last qtable). Emits DQT/SOF0/DHT/SOS (+DRI and byte-aligned RSTn
-    when restart_interval > 0) with the canonical fixture Huffman
-    tables — the decoder still reads everything from the stream. This
-    is the generator that makes ``decode_jpeg`` falsifiable: the
-    decoded pixels are an exact integer function of the coefficients."""
+    list per component). 1 component = grayscale, 3 = YCbCr
+    (component 0 uses qtable 0, 1-2 use the last qtable). ``sampling``
+    gives per-component (h, v) factors in {1, 2} — None means all 1x1
+    (4:4:4); ``[(2, 2), (1, 1), (1, 1)]`` is 4:2:0. Each component's
+    block list is in MCU scan order: for every MCU, that component's
+    h*v blocks row-major, so component ci needs
+    ``n_mcux * n_mcuy * h * v`` blocks where the MCU grid is
+    ``ceil(width / (8*hmax)) x ceil(height / (8*vmax))``. Emits
+    DQT/SOF0/DHT/SOS (+DRI and byte-aligned RSTn when
+    restart_interval > 0) with the canonical fixture Huffman tables —
+    the decoder still reads everything from the stream. This is the
+    generator that makes ``decode_jpeg`` falsifiable: the decoded
+    pixels are an exact integer function of the coefficients."""
     import struct
 
     ncomp = len(comp_blocks)
     if ncomp not in (1, 3):
-        raise ValueError("1 (gray) or 3 (4:4:4) components")
-    n_mcux = (width + 7) // 8
-    n_mcuy = (height + 7) // 8
+        raise ValueError("1 (gray) or 3 (YCbCr) components")
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    if len(sampling) != ncomp or any(
+        sh not in (1, 2) or sv not in (1, 2) for sh, sv in sampling
+    ):
+        raise ValueError("sampling factors must be per-component (h,v) in {1,2}")
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
+    n_mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    n_mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     n_mcu = n_mcux * n_mcuy
-    for blocks in comp_blocks:
-        if len(blocks) != n_mcu:
-            raise ValueError("need ceil(w/8)*ceil(h/8) blocks per component")
+    for ci, blocks in enumerate(comp_blocks):
+        sh, sv = sampling[ci]
+        if len(blocks) != n_mcu * sh * sv:
+            raise ValueError("need n_mcux*n_mcuy*h*v blocks per component")
 
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
@@ -988,7 +1007,10 @@ def encode_jpeg_baseline(
     comp_q = [0] + [len(qtables) - 1] * 2
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, comp_q[ci] if ncomp == 3 else 0])
+        sh, sv = sampling[ci]
+        sof += bytes(
+            [ci + 1, (sh << 4) | sv, comp_q[ci] if ncomp == 3 else 0]
+        )
     out += seg(0xC0, sof)  # SOF0
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
@@ -1011,32 +1033,34 @@ def encode_jpeg_baseline(
             bw = _BitWriter()
             prev_dc = [0] * ncomp
         for ci in range(ncomp):
-            blk = comp_blocks[ci][m]
-            dc = blk[0][0]
-            size, bits = _amp_bits(dc - prev_dc[ci])
-            prev_dc[ci] = dc
-            ln, code = dc_codes[size]
-            bw.write(ln, code)
-            if size:
-                bw.write(size, bits)
-            run = 0
-            for r, c in _ZZ[1:]:
-                v = blk[r][c]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    ln, code = ac_codes[0xF0]  # ZRL
-                    bw.write(ln, code)
-                    run -= 16
-                size, bits = _amp_bits(v)
-                ln, code = ac_codes[(run << 4) | size]
+            sh, sv = sampling[ci]
+            for k in range(sh * sv):
+                blk = comp_blocks[ci][m * sh * sv + k]
+                dc = blk[0][0]
+                size, bits = _amp_bits(dc - prev_dc[ci])
+                prev_dc[ci] = dc
+                ln, code = dc_codes[size]
                 bw.write(ln, code)
-                bw.write(size, bits)
+                if size:
+                    bw.write(size, bits)
                 run = 0
-            if run:
-                ln, code = ac_codes[0x00]  # EOB
-                bw.write(ln, code)
+                for r, c in _ZZ[1:]:
+                    v = blk[r][c]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        ln, code = ac_codes[0xF0]  # ZRL
+                        bw.write(ln, code)
+                        run -= 16
+                    size, bits = _amp_bits(v)
+                    ln, code = ac_codes[(run << 4) | size]
+                    bw.write(ln, code)
+                    bw.write(size, bits)
+                    run = 0
+                if run:
+                    ln, code = ac_codes[0x00]  # EOB
+                    bw.write(ln, code)
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -1108,16 +1132,25 @@ def _idct_block(s) -> "object":
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL baseline JPEG decode, zero dependencies beyond numpy:
     (width, height, n_components, pixel bytes) — grayscale bytes for 1
-    component, interleaved RGB for 3 (YCbCr 4:4:4, integer fixed-point
-    color convert). Walks the marker stream (skipping APPn/COM),
-    derives canonical Huffman tables from the file's DHT segments,
-    un-stuffs 0xFF00, honors DRI/RSTn (DC prediction reset + byte
-    alignment), huffman-decodes DC deltas and (run,size) AC pairs with
-    EOB/ZRL, dequantizes with the file's DQT tables, and reconstructs
-    pixels through the integer IDCT (``_idct_block``). Chroma
-    subsampling (sampling factors != 1x1) and progressive scans raise
-    — route those through the PIL-gated ``decode_image`` tier
-    (`operators/multimodal.py:45`)."""
+    component, interleaved RGB for 3 (YCbCr, integer fixed-point color
+    convert). Walks the marker stream (skipping APPn/COM), derives
+    canonical Huffman tables from the file's DHT segments, un-stuffs
+    0xFF00, honors DRI/RSTn (DC prediction reset + byte alignment),
+    huffman-decodes DC deltas and (run,size) AC pairs with EOB/ZRL,
+    dequantizes with the file's DQT tables, and reconstructs pixels
+    through the integer IDCT (``_idct_block``).
+
+    CHROMA SUBSAMPLING: sampling factors h,v in {1,2} are supported —
+    4:4:4 (1x1 everywhere), 4:2:0 (Y 2x2), 4:2:2 (Y 2x1), 4:4:0
+    (Y 1x2). The interleaved MCU carries h*v blocks per component
+    (row-major) and subsampled planes are upsampled by PIXEL
+    REPLICATION (libjpeg's do_fancy_upsampling=FALSE convention —
+    deterministic integer nearest-neighbor, the property the SQL
+    oracle mirrors). Factors > 2 and progressive scans raise — route
+    those through the PIL-gated ``decode_image`` tier
+    (`operators/multimodal.py:45`). A single-component scan is
+    non-interleaved per the spec: its MCU is one block regardless of
+    the declared factors."""
     import struct
 
     import numpy as np
@@ -1162,10 +1195,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("only 8-bit precision supported")
             for ci in range(nc):
                 cid, samp, tq = data[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                sh, sv = samp >> 4, samp & 0xF
+                if sh not in (1, 2) or sv not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling not supported — use the "
-                        "PIL-gated decode_image tier"
+                        "sampling factors beyond 2x2 not supported — "
+                        "use the PIL-gated decode_image tier"
                     )
                 comps.append((cid, tq, samp))
             dims = (w, h, nc)
@@ -1206,10 +1240,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         pos += 1
     segments.append(bytes(cur))
 
-    n_mcux, n_mcuy = (w + 7) // 8, (h + 7) // 8
+    # a single-component scan is non-interleaved: one block per MCU,
+    # whatever factors the SOF declared
+    samps = (
+        [(1, 1)]
+        if nc == 1
+        else [((s >> 4), (s & 0xF)) for _, _, s in comps]
+    )
+    hmax = max(sh for sh, _ in samps)
+    vmax = max(sv for _, sv in samps)
+    n_mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    n_mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     n_mcu = n_mcux * n_mcuy
     planes = [
-        np.zeros((n_mcuy * 8, n_mcux * 8), dtype=np.int64) for _ in range(nc)
+        np.zeros((n_mcuy * sv * 8, n_mcux * sh * 8), dtype=np.int64)
+        for sh, sv in samps
     ]
     seg_i = 0
     br = _BitReader(segments[0])
@@ -1224,37 +1269,53 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             dc_read = huff[(0, comp_huff[ci][0])]
             ac_read = huff[(1, comp_huff[ci][1])]
             qt = qtables[comps[ci][1]]
-            coef = np.zeros((8, 8), dtype=np.int64)
-            size = dc_read(br)
-            diff = 0
-            if size:
-                v = br.bits(size)
-                diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-            prev_dc[ci] += diff
-            coef[0][0] = prev_dc[ci] * qt[0]
-            zi = 1
-            while zi <= 63:
-                sym = ac_read(br)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if sym != 0xF0:
-                        raise ValueError("invalid AC symbol")
-                    zi += 16  # ZRL
-                    continue
-                zi += run
-                if zi > 63:
-                    raise ValueError("AC run past block end")
-                v = br.bits(size)
-                v = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                r, c = _ZZ[zi]
-                coef[r][c] = v * qt[zi]
-                zi += 1
-            planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = _idct_block(
-                coef
-            )
-    planes = [p[:h, :w] for p in planes]
+            sh, sv = samps[ci]
+            for blk in range(sh * sv):  # row-major within the MCU
+                by, bx = divmod(blk, sh)
+                coef = np.zeros((8, 8), dtype=np.int64)
+                size = dc_read(br)
+                diff = 0
+                if size:
+                    v = br.bits(size)
+                    diff = (
+                        v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    )
+                prev_dc[ci] += diff
+                coef[0][0] = prev_dc[ci] * qt[0]
+                zi = 1
+                while zi <= 63:
+                    sym = ac_read(br)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if sym != 0xF0:
+                            raise ValueError("invalid AC symbol")
+                        zi += 16  # ZRL
+                        continue
+                    zi += run
+                    if zi > 63:
+                        raise ValueError("AC run past block end")
+                    v = br.bits(size)
+                    v = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    r, c = _ZZ[zi]
+                    coef[r][c] = v * qt[zi]
+                    zi += 1
+                py = (my * sv + by) * 8
+                px = (mx * sh + bx) * 8
+                planes[ci][py : py + 8, px : px + 8] = _idct_block(coef)
+    # upsample subsampled planes by replication (ratios are 1 or 2),
+    # then crop every plane to the image rectangle
+    up = []
+    for ci in range(nc):
+        sh, sv = samps[ci]
+        p = planes[ci]
+        if sh < hmax:
+            p = np.repeat(p, hmax // sh, axis=1)
+        if sv < vmax:
+            p = np.repeat(p, vmax // sv, axis=0)
+        up.append(p[:h, :w])
+    planes = up
     if nc == 1:
         return w, h, 1, planes[0].astype(np.uint8).tobytes()
     # integer fixed-point YCbCr -> RGB (2^16 scale, floor on positive

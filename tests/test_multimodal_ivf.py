@@ -846,3 +846,215 @@ def test_jpeg_property_random_blocks_roundtrip_exact():
         assert np.array_equal(got.astype(np.int64), full[:h, :w])
 
     run()
+
+
+def _jpeg_ref_decode(comp_blocks, qt, sampling, w, h):
+    """Independent assembly model for subsampled decode: per-block
+    integer IDCT, MCU-interleaved placement, chroma replication,
+    fixed-point color convert — written WITHOUT reusing the decoder's
+    MCU loop so a placement/upsample/convert bug cannot cancel out."""
+    import numpy as np
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_IDCT_TABLE,
+    )
+
+    t = np.asarray(JPEG_IDCT_TABLE, dtype=np.int64)
+    qtn = np.asarray(qt, dtype=np.int64)
+
+    def idct(q):
+        s = np.asarray(q, dtype=np.int64) * qtn
+        acc = np.einsum("vu,ux,vy->yx", s, t, t)
+        return np.clip(
+            (acc + (1 << 23) + (1 << 40)) // (1 << 24) - (1 << 16) + 128,
+            0,
+            255,
+        )
+
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for ci, (sh, sv) in enumerate(sampling):
+        p = np.zeros((my * sv * 8, mx * sh * 8), dtype=np.int64)
+        for m in range(mx * my):
+            myy, mxx = divmod(m, mx)
+            for k in range(sh * sv):
+                by, bx = divmod(k, sh)
+                p[
+                    (myy * sv + by) * 8 : (myy * sv + by) * 8 + 8,
+                    (mxx * sh + bx) * 8 : (mxx * sh + bx) * 8 + 8,
+                ] = idct(comp_blocks[ci][m * sh * sv + k])
+        p = np.repeat(p, hmax // sh, axis=1)
+        p = np.repeat(p, vmax // sv, axis=0)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        return planes[0]
+    y, cb, cr = planes
+    bias = 1 << 30
+
+    def fx(v):
+        return (v + (1 << 15) + bias) // (1 << 16) - (bias >> 16)
+
+    r = np.clip(y + fx(91881 * (cr - 128)), 0, 255)
+    g = np.clip(y - fx(22554 * (cb - 128) + 46802 * (cr - 128)), 0, 255)
+    b = np.clip(y + fx(116130 * (cb - 128)), 0, 255)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _jpeg_rand_blocks(rng, n):
+    import numpy as np
+
+    out = []
+    for _ in range(n):
+        q = np.zeros((8, 8), dtype=np.int64)
+        for _ in range(rng.randint(0, 6)):
+            q[rng.randint(0, 8), rng.randint(0, 8)] = rng.randint(-150, 150)
+        out.append(q.tolist())
+    return out
+
+
+def test_jpeg_420_roundtrip_exact():
+    """4:2:0 (Y 2x2): the interleaved MCU carries 4 Y blocks + 1 Cb +
+    1 Cr; chroma upsampled by replication. Decode must equal the
+    independent assembly model bit-for-bit, incl. restart markers."""
+    import numpy as np
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.RandomState(41)
+    qt = [[1 + ((3 * v + 5 * u) % 9) for u in range(8)] for v in range(8)]
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    for w, h, ri in ((16, 16, 0), (32, 16, 1), (40, 24, 2)):
+        mx, my = (w + 15) // 16, (h + 15) // 16
+        comp = [
+            _jpeg_rand_blocks(rng, mx * my * 4),
+            _jpeg_rand_blocks(rng, mx * my),
+            _jpeg_rand_blocks(rng, mx * my),
+        ]
+        jpg = encode_jpeg_baseline(
+            w, h, comp, [qt, qt], restart_interval=ri, sampling=sampling
+        )
+        dw, dh, nc, rgb = decode_jpeg(jpg)
+        assert (dw, dh, nc) == (w, h, 3)
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        exp = _jpeg_ref_decode(comp, qt, sampling, w, h).astype(np.uint8)
+        assert np.array_equal(got, exp), (w, h, ri)
+
+
+def test_jpeg_422_440_roundtrip_with_crop():
+    """4:2:2 (Y 2x1) and 4:4:0 (Y 1x2) with non-MCU-multiple crops:
+    the partial-MCU padding region is decoded then discarded."""
+    import numpy as np
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.RandomState(43)
+    qt = [[2 + ((v + 7 * u) % 11) for u in range(8)] for v in range(8)]
+    for sampling, w, h in (
+        ([(2, 1), (1, 1), (1, 1)], 20, 7),
+        ([(1, 2), (1, 1), (1, 1)], 7, 20),
+    ):
+        hmax = max(s for s, _ in sampling)
+        vmax = max(s for _, s in sampling)
+        mx = (w + 8 * hmax - 1) // (8 * hmax)
+        my = (h + 8 * vmax - 1) // (8 * vmax)
+        comp = [
+            _jpeg_rand_blocks(rng, mx * my * sh * sv)
+            for sh, sv in sampling
+        ]
+        jpg = encode_jpeg_baseline(
+            w, h, comp, [qt, qt], restart_interval=1, sampling=sampling
+        )
+        dw, dh, nc, rgb = decode_jpeg(jpg)
+        assert (dw, dh, nc) == (w, h, 3)
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        exp = _jpeg_ref_decode(comp, qt, sampling, w, h).astype(np.uint8)
+        assert np.array_equal(got, exp), sampling
+
+
+def test_jpeg_subsampled_property_roundtrip():
+    """Property: any (h,v) in {1,2} per component, any dims, any
+    restart interval — decode equals the independent assembly model."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        sampling = [
+            (
+                data.draw(st.integers(1, 2), label="yh"),
+                data.draw(st.integers(1, 2), label="yv"),
+            ),
+            (1, 1),
+            (1, 1),
+        ]
+        w = data.draw(st.integers(4, 36), label="w")
+        h = data.draw(st.integers(4, 36), label="h")
+        ri = data.draw(st.integers(0, 2), label="restart")
+        seed = data.draw(st.integers(0, 10_000), label="seed")
+        rng = np.random.RandomState(seed)
+        qt = [[1 + ((3 * v + 5 * u) % 17) for u in range(8)] for v in range(8)]
+        hmax = max(s for s, _ in sampling)
+        vmax = max(s for _, s in sampling)
+        mx = (w + 8 * hmax - 1) // (8 * hmax)
+        my = (h + 8 * vmax - 1) // (8 * vmax)
+        comp = [
+            _jpeg_rand_blocks(rng, mx * my * sh * sv)
+            for sh, sv in sampling
+        ]
+        jpg = encode_jpeg_baseline(
+            w, h, comp, [qt, qt], restart_interval=ri, sampling=sampling
+        )
+        dw, dh, nc, rgb = decode_jpeg(jpg)
+        assert (dw, dh, nc) == (w, h, 3)
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        exp = _jpeg_ref_decode(comp, qt, sampling, w, h).astype(np.uint8)
+        assert np.array_equal(got, exp)
+
+    run()
+
+
+def test_jpeg_sampling_rejections():
+    import numpy as np
+    import pytest
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.RandomState(5)
+    qt = [[1] * 8 for _ in range(8)]
+    blocks = _jpeg_rand_blocks(rng, 1)
+    # encoder: factor 3 rejected; wrong block count rejected
+    with pytest.raises(ValueError, match="sampling"):
+        encode_jpeg_baseline(
+            8, 8, [blocks, blocks, blocks], [qt],
+            sampling=[(3, 1), (1, 1), (1, 1)],
+        )
+    with pytest.raises(ValueError, match="blocks"):
+        encode_jpeg_baseline(
+            16, 16, [blocks, blocks, blocks], [qt],
+            sampling=[(2, 2), (1, 1), (1, 1)],
+        )
+    # decoder: a declared factor beyond 2 raises toward the PIL tier
+    good = encode_jpeg_baseline(8, 8, [blocks], [qt])
+    sof = good.index(b"\xff\xc0")
+    patched = bytearray(good)
+    patched[sof + 2 + 2 + 5 + 3 * 0 + 2] = 0x33  # comp0 samp byte -> 3x3
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(bytes(patched))

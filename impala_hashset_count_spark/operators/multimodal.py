@@ -1363,6 +1363,87 @@ def jpeg_fixture_blocks(doc_id: int) -> list[list[list[int]]]:
 #: oracle mirrors as literals); the decoder reads it from DQT.
 JPEG_FIXTURE_QTABLE = [[8 + (3 * v + 5 * u) % 17 for u in range(8)] for v in range(8)]
 
+#: Distinct chroma quant table for the 4:2:0 fixture (q[0][0] = 12 !=
+#: the luma table's 8) so the driver hash proves the decoder binds
+#: each component to ITS OWN DQT table, not just table 0.
+JPEG_FIXTURE_QTABLE_C = [
+    [12 + (5 * v + 3 * u) % 13 for u in range(8)] for v in range(8)
+]
+
+
+def jpeg420_fixture_dcs(doc_id: int) -> tuple[list[int], int, int]:
+    """DC coefficients for one 16x16 4:2:0 color fixture — 4 luma
+    blocks (row-major in the single MCU) + one Cb + one Cr, all
+    DC-only. DC-only blocks reconstruct to a CONSTANT 8x8 region
+    (acc = S * T[0][x] * T[0][y] with T[0][*] uniform), which keeps
+    the SQL oracle's per-quadrant arithmetic closed-form while the
+    decode still exercises SOF sampling-factor parse, interleaved-MCU
+    block order, per-component DQT binding, DC prediction across the
+    6 blocks, chroma replication upsample, and the fixed-point color
+    convert."""
+    ydcs = [(doc_id * 3 + b * 11) % 121 - 60 for b in range(4)]
+    return ydcs, (doc_id * 5) % 81 - 40, (doc_id * 7) % 81 - 40
+
+
+def jpeg420_roundtrip_features(df: DataFrame, target: int = 8) -> DataFrame:
+    """REAL chroma-subsampled decode tier inside one mapInPandas
+    stage: per doc, the ``jpeg420_fixture_dcs`` coefficients are
+    written as a canonical baseline 4:2:0 JPEG (Y 2x2, Cb/Cr 1x1, two
+    DQT tables) and decoded back through ``decode_jpeg``'s interleaved
+    MCU loop + replication upsample + integer YCbCr->RGB; the decoded
+    RGB sum and the nearest-neighbor-resized sum are emitted. Every
+    output is an exact integer function of doc_id, so the SQL oracle
+    recomputes the per-quadrant constants arithmetically — a sampling-
+    factor, block-order, DQT-binding, upsample, or color-convert bug
+    flips a sum and hash-fails."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                ydcs, cbdc, crdc = jpeg420_fixture_dcs(did)
+
+                def dc_block(dc: int) -> list[list[int]]:
+                    q = [[0] * 8 for _ in range(8)]
+                    q[0][0] = dc
+                    return q
+
+                jpg = encode_jpeg_baseline(
+                    16,
+                    16,
+                    [
+                        [dc_block(d) for d in ydcs],
+                        [dc_block(cbdc)],
+                        [dc_block(crdc)],
+                    ],
+                    [JPEG_FIXTURE_QTABLE, JPEG_FIXTURE_QTABLE_C],
+                    sampling=[(2, 2), (1, 1), (1, 1)],
+                )
+                w, h, nc, rgb = decode_jpeg(jpg)
+                if (w, h, nc) != (16, 16, 3):
+                    raise ValueError("4:2:0 fixture decode mismatch")
+                a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                step = h // target
+                rz = a[::step, ::step]
+                rows.append(
+                    (did, w, h, int(a.sum()), target, target, int(rz.sum()))
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "pix_sum",
+                    "out_width", "out_height", "out_sum",
+                ],
+            )
+            for c in ("width", "height", "out_width", "out_height"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return df.select("doc_id").mapInPandas(batches, JPEG_FEATURE_SCHEMA)
+
 
 def jpeg_roundtrip_features(df: DataFrame, target: int = 8) -> DataFrame:
     """REAL entropy-coded-image tier end-to-end inside one mapInPandas

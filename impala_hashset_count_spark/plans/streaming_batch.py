@@ -472,7 +472,81 @@ def _jpeg_oracle_sql() -> tuple[str, str]:
     return ctes, union
 
 
+def _jpeg420_oracle_sql() -> tuple[str, str]:
+    """(CTEs, union-select) for the ``jpeg420`` tag: the CHROMA-
+    SUBSAMPLED decode path under the driver hash. The fixture is
+    DC-only (``jpeg420_fixture_dcs``) so every 8x8 region decodes to a
+    constant — acc = S * T[0][x] * T[0][y] with T[0][*] uniform — and
+    the oracle reduces to per-quadrant closed-form integer arithmetic:
+    the IDCT fixed point, the per-component DQT binding (distinct luma
+    and chroma q[0][0]), the replication upsample (chroma constant
+    spans the MCU), and the 2^16 fixed-point YCbCr->RGB with its
+    positive-bias floor. Any sampling-factor parse, MCU block-order,
+    DQT-binding, upsample, or color-convert bug flips a sum. Generated
+    from the SAME module constants the codec uses."""
+    from ..operators.multimodal import (
+        JPEG_FIXTURE_QTABLE,
+        JPEG_FIXTURE_QTABLE_C,
+        JPEG_IDCT_TABLE,
+    )
+
+    qy = JPEG_FIXTURE_QTABLE[0][0]
+    qc = JPEG_FIXTURE_QTABLE_C[0][0]
+    t2 = JPEG_IDCT_TABLE[0][0] ** 2
+
+    def idc(expr: str, q00: int) -> str:
+        return (
+            f"LEAST(255, GREATEST(0, (({expr}) * {q00} * {t2} "
+            "+ 8388608 + 1099511627776) // 16777216 - 65536 + 128))"
+        )
+
+    def fxp(expr: str) -> str:
+        return f"(({expr}) + 32768 + 1073741824) // 65536 - 16384"
+
+    ctes = f"""
+        j4y AS (
+            SELECT doc_id, b,
+                   {idc("(doc_id * 3 + b * 11) % 121 - 60", qy)} AS yv,
+                   {idc("(doc_id * 5) % 81 - 40", qc)} AS cbv,
+                   {idc("(doc_id * 7) % 81 - 40", qc)} AS crv
+            FROM (SELECT doc_id, UNNEST(RANGE(4)) AS b FROM documents)
+        ),
+        j4rgb AS (
+            SELECT doc_id, b,
+                   LEAST(255, GREATEST(0,
+                       yv + ({fxp("91881 * (crv - 128)")}))) AS r,
+                   LEAST(255, GREATEST(0,
+                       yv - ({fxp("22554 * (cbv - 128) + 46802 * (crv - 128)")}))) AS g,
+                   LEAST(255, GREATEST(0,
+                       yv + ({fxp("116130 * (cbv - 128)")}))) AS bb
+            FROM j4y
+        ),
+        j4sum AS (
+            SELECT doc_id,
+                   CAST(SUM(64 * (r + g + bb)) AS BIGINT) AS pix_sum,
+                   CAST(SUM(16 * (r + g + bb)) AS BIGINT) AS out_sum
+            FROM j4rgb GROUP BY doc_id
+        )"""
+    union = """
+        UNION ALL
+        SELECT 'jpeg420' AS tag, doc_id,
+               CAST(768 AS INTEGER) AS byte_len,
+               CAST(16 AS INTEGER) AS width,
+               CAST(16 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(1 AS INTEGER) AS n_frames,
+               CAST(16 AS INTEGER) AS src_width,
+               CAST(16 AS INTEGER) AS src_height,
+               CAST(8 AS INTEGER) AS out_width,
+               CAST(8 AS INTEGER) AS out_height,
+               CAST(192 AS INTEGER) AS out_bytes,
+               pix_sum, out_sum
+        FROM j4sum"""
+    return ctes, union
+
+
 _JPEG_ORACLE_CTES, _JPEG_ORACLE_UNION = _jpeg_oracle_sql()
+_JPEG420_ORACLE_CTES, _JPEG420_ORACLE_UNION = _jpeg420_oracle_sql()
 
 
 @register(
@@ -520,7 +594,9 @@ _JPEG_ORACLE_CTES, _JPEG_ORACLE_UNION = _jpeg_oracle_sql()
             FROM oxy
         ),
         osum AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS out_sum
-                 FROM opix GROUP BY doc_id),""" + _JPEG_ORACLE_CTES + """
+                 FROM opix GROUP BY doc_id),"""
+    + _JPEG_ORACLE_CTES + ","
+    + _JPEG420_ORACLE_CTES + """
         SELECT 'stub' AS tag, doc_id,
                CAST(n AS INTEGER) AS byte_len,
                CAST(w AS INTEGER) AS width,
@@ -554,7 +630,7 @@ _JPEG_ORACLE_CTES, _JPEG_ORACLE_UNION = _jpeg_oracle_sql()
                psum.pix_sum, osum.out_sum
         FROM od JOIN psum ON od.doc_id = psum.doc_id
                 JOIN osum ON od.doc_id = osum.doc_id
-    """ + _JPEG_ORACLE_UNION,
+    """ + _JPEG_ORACLE_UNION + _JPEG420_ORACLE_UNION,
 )
 def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image branch of the multimodal plumbing end-to-end, tagged:
@@ -587,10 +663,17 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``decode_jpeg``, stdlib+numpy only); the oracle recomputes the
       DECODED pixels arithmetically from the same coefficient formulas
       and 2^12 IDCT basis literals, so any huffman, run/EOB, restart,
-      zigzag, dequant, IDCT, or clamp bug hash-fails. (Chroma
-      subsampling stays PIL-gated; the fixture class is grayscale +
-      3-component 4:4:4.)"""
+      zigzag, dequant, IDCT, or clamp bug hash-fails.
+    - ``jpeg420``: the CHROMA-SUBSAMPLED decode path
+      (``jpeg420_roundtrip_features``): a DC-only 4:2:0 color fixture
+      (Y 2x2 + Cb/Cr 1x1, TWO DQT tables) decoded through the
+      interleaved-MCU loop, replication upsample, and fixed-point
+      YCbCr->RGB; DC-only blocks decode to per-quadrant constants, so
+      the oracle recomputes the RGB sums closed-form — any
+      sampling-factor, MCU block-order, DQT-binding, upsample, or
+      color-convert bug hash-fails."""
     from ..operators.multimodal import (
+        jpeg420_roundtrip_features,
         jpeg_roundtrip_features,
         png_roundtrip_features,
         size_balanced,
@@ -638,11 +721,27 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pix_sum",
         "out_sum",
     )
+    jpeg420 = jpeg420_roundtrip_features(payloads, target=8).select(
+        F.lit("jpeg420").alias("tag"),
+        "doc_id",
+        (F.col("width") * F.col("height") * 3).cast("int").alias("byte_len"),
+        "width",
+        "height",
+        F.lit(3).cast("int").alias("channels"),
+        F.lit(1).cast("int").alias("n_frames"),
+        F.col("width").alias("src_width"),
+        F.col("height").alias("src_height"),
+        "out_width",
+        "out_height",
+        (F.col("out_width") * F.col("out_height") * 3).cast("int").alias("out_bytes"),
+        "pix_sum",
+        "out_sum",
+    )
     return stub.select(
         "tag", "doc_id", "byte_len", "width", "height", "channels", "n_frames",
         "src_width", "src_height", "out_width", "out_height", "out_bytes",
         "pix_sum", "out_sum",
-    ).unionByName(png).unionByName(jpeg)
+    ).unionByName(png).unionByName(jpeg).unionByName(jpeg420)
 
 
 @register(

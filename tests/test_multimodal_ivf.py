@@ -1058,3 +1058,53 @@ def test_jpeg_sampling_rejections():
     patched[sof + 2 + 2 + 5 + 3 * 0 + 2] = 0x33  # comp0 samp byte -> 3x3
     with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(patched))
+
+
+def test_jpeg420_roundtrip_features_matches_closed_form(spark):
+    """The driver-hashed 4:2:0 arm: decoded/resized RGB sums equal the
+    per-quadrant closed-form constants (the same arithmetic the SQL
+    oracle emits) — DC-only blocks + two DQT tables + replication
+    upsample + fixed-point color convert."""
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_FIXTURE_QTABLE,
+        JPEG_FIXTURE_QTABLE_C,
+        JPEG_IDCT_TABLE,
+        jpeg420_fixture_dcs,
+        jpeg420_roundtrip_features,
+    )
+
+    qy = JPEG_FIXTURE_QTABLE[0][0]
+    qc = JPEG_FIXTURE_QTABLE_C[0][0]
+    t2 = JPEG_IDCT_TABLE[0][0] ** 2
+
+    def clamp(v):
+        return max(0, min(255, v))
+
+    def idc(dc, q00):
+        return clamp(
+            (dc * q00 * t2 + (1 << 23) + (1 << 40)) // (1 << 24)
+            - (1 << 16) + 128
+        )
+
+    def fx(v):
+        return (v + 32768 + (1 << 30)) // 65536 - 16384
+
+    dids = [0, 3, 17, 404]
+    df = spark.createDataFrame([(d,) for d in dids], "doc_id long")
+    got = {
+        r.doc_id: r for r in jpeg420_roundtrip_features(df, target=8).collect()
+    }
+    for did in dids:
+        ydcs, cbdc, crdc = jpeg420_fixture_dcs(did)
+        cbv, crv = idc(cbdc, qc), idc(crdc, qc)
+        tot = out = 0
+        for b in range(4):
+            yv = idc(ydcs[b], qy)
+            r = clamp(yv + fx(91881 * (crv - 128)))
+            g = clamp(yv - fx(22554 * (cbv - 128) + 46802 * (crv - 128)))
+            bl = clamp(yv + fx(116130 * (cbv - 128)))
+            tot += 64 * (r + g + bl)
+            out += 16 * (r + g + bl)
+        row = got[did]
+        assert (row.width, row.height) == (16, 16)
+        assert (row.pix_sum, row.out_sum) == (tot, out), did

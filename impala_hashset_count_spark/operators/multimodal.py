@@ -46,9 +46,10 @@ def decode_image(payload: bytes):
     """Real decode — gated on PIL availability (not in this container).
     Dependency-free alternates cover the common classes without PIL:
     ``decode_bmp`` (uncompressed), ``decode_png`` (DEFLATE), and
-    ``decode_jpeg`` (baseline SOF0 gray / 4:4:4 / 4:2:0 / 4:2:2 —
-    the entropy-coded class incl. chroma subsampling); PIL remains
-    the route for progressive JPEG and everything else."""
+    ``decode_jpeg`` (baseline SOF0 AND progressive SOF2, gray /
+    4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 — the entropy-coded class incl.
+    chroma subsampling and multi-scan files); PIL remains the route
+    for exotic formats (12-bit, lossless, arithmetic-coded, >2x2)."""
     try:
         import io
 
@@ -56,7 +57,7 @@ def decode_image(payload: bytes):
     except ImportError as exc:  # pragma: no cover - env without PIL
         raise NotImplementedError(
             "image decode requires PIL; decode_bmp/decode_png/decode_jpeg "
-            "cover BMP, RGB PNG, and baseline JPEG without it"
+            "cover BMP, RGB PNG, and baseline+progressive JPEG without it"
         ) from exc
     return Image.open(io.BytesIO(payload))  # pragma: no cover
 
@@ -837,7 +838,9 @@ def wav_roundtrip_features(df: DataFrame, rate: int = 16000) -> DataFrame:
 # integer fixed-point IDCT — stdlib + numpy only. Grayscale, 4:4:4,
 # and the common subsampled layouts (4:2:0 / 4:2:2 / 4:4:0 — sampling
 # factors in {1,2}, interleaved MCUs, replication upsampling) are
-# supported; progressive/beyond-2x2 files raise with PIL as the
+# supported, for BOTH baseline (SOF0) and progressive (SOF2 — see the
+# PROGRESSIVE section below) streams; beyond-2x2 factors and the rare
+# SOF variants (lossless, arithmetic, 12-bit) raise with PIL as the
 # documented fallback.
 #
 # The IDCT is deliberately an INTEGER fixed point with fully defined
@@ -1146,11 +1149,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     (row-major) and subsampled planes are upsampled by PIXEL
     REPLICATION (libjpeg's do_fancy_upsampling=FALSE convention —
     deterministic integer nearest-neighbor, the property the SQL
-    oracle mirrors). Factors > 2 and progressive scans raise — route
-    those through the PIL-gated ``decode_image`` tier
-    (`operators/multimodal.py:45`). A single-component scan is
-    non-interleaved per the spec: its MCU is one block regardless of
-    the declared factors."""
+    oracle mirrors). PROGRESSIVE (SOF2) files route to the multi-scan
+    accumulator (``_decode_jpeg_progressive``) and come out
+    pixel-identical to a sequential encoding of the same coefficients.
+    Factors > 2 and the rare SOF variants raise — route those through
+    the PIL-gated ``decode_image`` tier (`operators/multimodal.py:45`).
+    A single-component scan is non-interleaved per the spec: its MCU
+    is one block regardless of the declared factors."""
     import struct
 
     import numpy as np
@@ -1203,8 +1208,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                     )
                 comps.append((cid, tq, samp))
             dims = (w, h, nc)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC2:  # SOF2 — hand off to the progressive decoder
+            return _decode_jpeg_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise ValueError("only baseline (SOF0) / progressive (SOF2) supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -1304,8 +1311,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 py = (my * sv + by) * 8
                 px = (mx * sh + bx) * 8
                 planes[ci][py : py + 8, px : px + 8] = _idct_block(coef)
-    # upsample subsampled planes by replication (ratios are 1 or 2),
-    # then crop every plane to the image rectangle
+    return _jpeg_assemble(planes, samps, hmax, vmax, w, h, nc)
+
+
+def _jpeg_assemble(
+    planes, samps, hmax: int, vmax: int, w: int, h: int, nc: int
+) -> tuple[int, int, int, bytes]:
+    """Shared decode tail (baseline AND progressive): upsample
+    subsampled planes by replication (ratios are 1 or 2), crop to the
+    image rectangle, and for color run the integer fixed-point
+    YCbCr -> RGB (2^16 scale, floor on positive bias — same
+    determinism discipline as the IDCT)."""
+    import numpy as np
+
     up = []
     for ci in range(nc):
         sh, sv = samps[ci]
@@ -1318,8 +1336,6 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     planes = up
     if nc == 1:
         return w, h, 1, planes[0].astype(np.uint8).tobytes()
-    # integer fixed-point YCbCr -> RGB (2^16 scale, floor on positive
-    # bias — same determinism discipline as the IDCT)
     y, cb, cr = planes
     bias = 1 << 30
 
@@ -1443,6 +1459,673 @@ def jpeg420_roundtrip_features(df: DataFrame, target: int = 8) -> DataFrame:
             yield out
 
     return df.select("doc_id").mapInPandas(batches, JPEG_FEATURE_SCHEMA)
+
+
+def jpeg_prog_roundtrip_features(df: DataFrame, target: int = 8) -> DataFrame:
+    """PROGRESSIVE-JPEG tier under the driver hash: the SAME fixture
+    coefficients as ``jpeg_roundtrip_features`` are written as an SOF2
+    progressive stream (interleaved DC first scan at Al=1, AC band
+    splits 1-5 / 6-63 at Al=1 with EOB-runs, a DC refinement scan, an
+    AC refinement scan with correction bits — plus a restart every 2
+    blocks) and decoded through the multi-scan accumulator
+    (``_decode_jpeg_progressive``). Because progressive scans
+    reconstruct the exact coefficients, the decoded pixels equal the
+    baseline tier's — so the baseline oracle's pixel arithmetic proves
+    THIS decode path too: any scan-script parse, spectral-selection,
+    successive-approximation, EOB-run, or correction-bit bug flips the
+    hashed sums."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                jpg = encode_jpeg_progressive(
+                    16, 16, [jpeg_fixture_blocks(did)],
+                    [JPEG_FIXTURE_QTABLE], restart_interval=2,
+                )
+                w, h, nc, gray = decode_jpeg(jpg)
+                if (w, h, nc) != (16, 16, 1):
+                    raise ValueError("progressive fixture decode mismatch")
+                g = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
+                step_y, step_x = h // target, w // target
+                rz = g[::step_y, ::step_x]
+                rows.append(
+                    (did, w, h, int(g.sum()), target, target, int(rz.sum()))
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "pix_sum",
+                    "out_width", "out_height", "out_sum",
+                ],
+            )
+            for c in ("width", "height", "out_width", "out_height"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return df.select("doc_id").mapInPandas(batches, schema=JPEG_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# PROGRESSIVE JPEG (SOF2). Web corpora serve a large share of images
+# as progressive scans (spectral selection + successive approximation,
+# ITU T.81 Annex G) — the one JPEG class the baseline decoder above
+# routed to the absent-PIL tier. The decoder accumulates quantized
+# coefficients across ALL scans of the file (DC first/refinement, AC
+# band first scans with EOB-runs, AC refinement with correction bits —
+# the libjpeg-interoperable bit ordering), then runs the SAME
+# dequant/IDCT/upsample/color tail as the baseline path, so decoded
+# pixels for a given coefficient set are IDENTICAL whether the file
+# was written sequential or progressive. `encode_jpeg_progressive` is
+# the fixture generator that makes every scan kind falsifiable.
+# ---------------------------------------------------------------------
+
+#: Progressive fixture AC table: every (run<<4)|size symbol with
+#: size <= 10 — includes the EOBn symbols (size 0, n = run) that
+#: progressive first scans need and the baseline table omits.
+_AC_VALS_PROG_TAIL = [
+    (r << 4) | s
+    for r in range(16)
+    for s in range(0, 11)
+    if ((r << 4) | s) not in (0x00, 0x01, 0x02, 0x03)
+]
+_AC_BITS_PROG = [0] * 16
+_AC_BITS_PROG[3] = len(_AC_VALS_HEAD)
+_AC_BITS_PROG[11] = len(_AC_VALS_PROG_TAIL)
+_AC_VALS_PROG = _AC_VALS_HEAD + _AC_VALS_PROG_TAIL
+
+
+def _comp_block_grid(
+    w: int, h: int, samps: list[tuple[int, int]], ci: int
+) -> tuple[int, int]:
+    """Non-interleaved block grid of component ci: ceil over the
+    component's own sample dimensions (T.81 A.1.1) — smaller than the
+    MCU-padded grid when the image doesn't fill the last MCU."""
+    hmax = max(sh for sh, _ in samps)
+    vmax = max(sv for _, sv in samps)
+    sh, sv = samps[ci]
+    cw = -(-(w * sh) // hmax)
+    ch = -(-(h * sv) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _blk_storage_index(
+    bx: int, by: int, sh: int, sv: int, n_mcux: int
+) -> int:
+    """Map a component-raster block (bx, by) to its index in the
+    MCU-scan-ordered block list the encoder/decoder store."""
+    mcu = (by // sv) * n_mcux + (bx // sh)
+    return mcu * sh * sv + (by % sv) * sh + (bx % sh)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    comp_blocks: list[list[list[list[int]]]],
+    qtables: list[list[list[int]]],
+    sampling: list[tuple[int, int]] | None = None,
+    scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Fixture encoder: a PROGRESSIVE (SOF2) JPEG from the same
+    quantized-coefficient block layout ``encode_jpeg_baseline`` takes.
+    ``scans`` is the scan script as (comp_indices, Ss, Se, Ah, Al)
+    tuples; None uses a script that exercises every progressive path:
+    interleaved DC first at Al=1, per-component AC band splits at Al=1
+    (EOB-runs + ZRL), a DC refinement scan, and per-component AC
+    refinement scans (newly-significant run coding + correction bits —
+    the T.81 G.1.2.3 / libjpeg bit ordering). AC scans must name
+    exactly one component (spec rule); successive scans of a band must
+    step Al down by one. Decoding the result through ``decode_jpeg``
+    reconstructs the EXACT coefficients, so pixels equal the baseline
+    encoding's — the property the round-trip tests and the driver's
+    ``jpeg_prog`` arm check."""
+    import struct
+
+    ncomp = len(comp_blocks)
+    if ncomp not in (1, 3):
+        raise ValueError("1 (gray) or 3 (YCbCr) components")
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
+    n_mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    n_mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    if scans is None:
+        if ncomp == 1:
+            scans = [
+                ((0,), 0, 0, 0, 1),
+                ((0,), 1, 5, 0, 1),
+                ((0,), 6, 63, 0, 1),
+                ((0,), 0, 0, 1, 0),
+                ((0,), 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                (tuple(range(ncomp)), 0, 0, 0, 1),
+                ((0,), 1, 63, 0, 1),
+                ((1,), 1, 63, 0, 1),
+                ((2,), 1, 63, 0, 1),
+                (tuple(range(ncomp)), 0, 0, 1, 0),
+                ((0,), 1, 63, 1, 0),
+                ((1,), 1, 63, 1, 0),
+                ((2,), 1, 63, 1, 0),
+            ]
+
+    # zigzag coefficient vectors per component, MCU-storage order
+    zz_blocks: list[list[list[int]]] = []
+    for ci in range(ncomp):
+        zz_blocks.append(
+            [[blk[r][c] for r, c in _ZZ] for blk in comp_blocks[ci]]
+        )
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in enumerate(qtables):
+        out += seg(0xDB, bytes([tq]) + bytes(qt[r][c] for r, c in _ZZ))
+    comp_q = [0] + [len(qtables) - 1] * 2
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sh, sv = sampling[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, comp_q[ci] if ncomp == 3 else 0])
+    out += seg(0xC2, sof)  # SOF2 progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS_PROG) + bytes(_AC_VALS_PROG))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for sc, ss, se, ah, al in scans:
+        rst = 0  # RSTn numbering restarts per scan (T.81 E.1.2)
+        if ss > 0 and len(sc) != 1:
+            raise ValueError("AC scans must contain exactly one component")
+        sos = bytes([len(sc)])
+        for ci in sc:
+            sos += bytes([ci + 1, 0x00])  # Td=0, Ta=0 — the two fixture tables
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        if ss == 0:
+            units = list(
+                _scan_dc_units(sc, sampling, n_mcux, n_mcuy, width, height)
+            )
+            per_mcu = (
+                sum(sampling[ci][0] * sampling[ci][1] for ci in sc)
+                if len(sc) > 1
+                else 1
+            )
+            step = restart_interval * per_mcu if restart_interval else len(units)
+        else:
+            units = list(
+                _iter_comp_blocks(sc[0], sampling, n_mcux, width, height)
+            )
+            step = restart_interval if restart_interval else len(units)
+        step = max(step, 1)
+        for gi in range(0, max(len(units), 1), step):
+            if gi:
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+            group = units[gi : gi + step]
+            bw = _BitWriter()
+            if ss == 0 and ah == 0:
+                _enc_dc_first(bw, sc, group, al, zz_blocks, dc_codes)
+            elif ss == 0:
+                _enc_dc_refine(bw, group, al, zz_blocks)
+            elif ah == 0:
+                _enc_ac_first(bw, sc[0], group, ss, se, al, zz_blocks, ac_codes)
+            else:
+                _enc_ac_refine(bw, sc[0], group, ss, se, al, zz_blocks, ac_codes)
+            out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _scan_dc_units(
+    sc, sampling, n_mcux, n_mcuy, width, height
+):
+    """Yield (ci, storage_index) block sequences for a DC scan: MCU
+    interleaved when the scan has several components, component-raster
+    (non-interleaved grid) when it has one."""
+    if len(sc) > 1:
+        for m in range(n_mcux * n_mcuy):
+            for ci in sc:
+                sh, sv = sampling[ci]
+                for k in range(sh * sv):
+                    yield ci, m * sh * sv + k
+    else:
+        ci = sc[0]
+        sh, sv = sampling[ci]
+        bx_n, by_n = _comp_block_grid(width, height, sampling, ci)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                yield ci, _blk_storage_index(bx, by, sh, sv, n_mcux)
+
+
+def _enc_dc_first(bw, sc, units, al, zz_blocks, dc_codes) -> None:
+    """One restart interval of a DC first scan: DC prediction starts
+    fresh (the decoder resets it at every RSTn)."""
+    prev = {ci: 0 for ci in sc}
+    for ci, bi in units:
+        v = zz_blocks[ci][bi][0] >> al  # point transform: arithmetic shift
+        diff = v - prev[ci]
+        prev[ci] = v
+        size, bits = _amp_bits(diff)
+        ln, code = dc_codes[size]
+        bw.write(ln, code)
+        if size:
+            bw.write(size, bits)
+
+
+def _enc_dc_refine(bw, units, al, zz_blocks) -> None:
+    for ci, bi in units:
+        bw.write(1, (zz_blocks[ci][bi][0] >> al) & 1)
+
+
+def _iter_comp_blocks(ci, sampling, n_mcux, width, height):
+    sh, sv = sampling[ci]
+    bx_n, by_n = _comp_block_grid(width, height, sampling, ci)
+    for by in range(by_n):
+        for bx in range(bx_n):
+            yield _blk_storage_index(bx, by, sh, sv, n_mcux)
+
+
+def _enc_ac_first(bw, ci, units, ss, se, al, zz_blocks, ac_codes) -> None:
+    """One restart interval of an AC first scan: EOB-runs flush at the
+    interval end (they cannot cross a restart)."""
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ln, code = ac_codes[n << 4]
+            bw.write(ln, code)
+            if n:
+                bw.write(n, eobrun - (1 << n))
+            eobrun = 0
+
+    for bi in units:
+        zz = zz_blocks[ci][bi]
+        band = [
+            (1 if zz[k] > 0 else -1) * (abs(zz[k]) >> al)
+            for k in range(ss, se + 1)
+        ]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ln, code = ac_codes[0xF0]
+                bw.write(ln, code)
+                run -= 16
+            size, bits = _amp_bits(v)
+            ln, code = ac_codes[(run << 4) | size]
+            bw.write(ln, code)
+            bw.write(size, bits)
+            run = 0
+        if nz[-1] + ss < se:
+            eobrun += 1
+    flush_eobrun()
+
+
+def _enc_ac_refine(bw, ci, units, ss, se, al, zz_blocks, ac_codes) -> None:
+    """T.81 G.1.2.3 refinement encoding with libjpeg's bit ordering:
+    correction bits for previously-significant coefficients buffer up
+    and flush after each emitted symbol (ZRL / (run,1) / EOBn); blocks
+    whose band gains no newly-significant coefficient fold into a
+    pending EOB-run whose correction bits ride with the EOBn."""
+    eobrun = 0
+    pend_bits: list[int] = []
+
+    def emit_bits(bits: list[int]) -> None:
+        for b in bits:
+            bw.write(1, b)
+        bits.clear()
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ln, code = ac_codes[n << 4]
+            bw.write(ln, code)
+            if n:
+                bw.write(n, eobrun - (1 << n))
+            eobrun = 0
+        emit_bits(pend_bits)
+
+    for bi in units:
+        zz = zz_blocks[ci][bi]
+        absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        # index (in band) of the last NEWLY-significant coefficient
+        eob = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        br_bits: list[int] = []
+        if eob < 0:
+            eobrun += 1
+            pend_bits.extend(a & 1 for a in absv if a > 1)
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob:
+                ln, code = ac_codes[0xF0]
+                bw.write(ln, code)
+                run -= 16
+                emit_bits(br_bits)
+            if a > 1:  # previously significant: buffer correction bit
+                br_bits.append(a & 1)
+                continue
+            # newly significant (a == 1)
+            ln, code = ac_codes[(run << 4) | 1]
+            bw.write(ln, code)
+            bw.write(1, 1 if zz[ss + i] > 0 else 0)
+            emit_bits(br_bits)
+            run = 0
+        if run > 0 or br_bits:
+            eobrun += 1
+            pend_bits.extend(br_bits)
+    flush_eobrun()
+
+
+def _dec_ac_first(br, zz, ss, se, al, eobrun, ac_read) -> int:
+    """Decode one block's band of an AC first scan (Ah=0); returns the
+    updated EOB-run counter."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = ac_read(br)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.bits(r)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        v = br.bits(s)
+        v = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        zz[k] = v << al
+        k += 1
+    return 0
+
+
+def _dec_ac_refine(br, zz, ss, se, al, eobrun, ac_read) -> int:
+    """Decode one block's band of an AC refinement scan (Ah=Al+1) —
+    the correction-bit walk mirroring ``_enc_ac_refine``."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        if br.bit():
+            if (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = ac_read(br)
+            r, s = sym >> 4, sym & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement amplitude must be 1")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Multi-scan SOF2 decode: walk every marker segment, apply each
+    SOS scan to the accumulated coefficient store, then dequantize +
+    IDCT + upsample + color-convert exactly like the baseline path.
+    Restart markers reset DC prediction and the EOB-run counter at
+    interval boundaries (counted in scan units: MCUs when interleaved,
+    blocks when not)."""
+    import struct
+
+    import numpy as np
+
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], object] = {}
+    dims = None
+    comps: list[tuple[int, int, int]] = []
+    restart_interval = 0
+    coefs: list[list[list[int]]] | None = None
+    samps: list[tuple[int, int]] = []
+    n_mcux = n_mcuy = 0
+
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        data = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            off = 0
+            while off < len(data):
+                pq, tq = data[off] >> 4, data[off] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                qtables[tq] = list(data[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(data):
+                tc, th = data[off] >> 4, data[off] & 0xF
+                bits = list(data[off + 1 : off + 17])
+                nv = sum(bits)
+                huff[(tc, th)] = _huff_decoder(
+                    bits, list(data[off + 17 : off + 17 + nv])
+                )
+                off += 17 + nv
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            for ci in range(nc):
+                cid, samp, tq = data[6 + 3 * ci : 9 + 3 * ci]
+                sh, sv = samp >> 4, samp & 0xF
+                if sh not in (1, 2) or sv not in (1, 2):
+                    raise ValueError(
+                        "sampling factors beyond 2x2 not supported"
+                    )
+                comps.append((cid, tq, samp))
+                samps.append((sh, sv))
+            dims = (w, h, nc)
+            hmax = max(sh for sh, _ in samps)
+            vmax = max(sv for _, sv in samps)
+            n_mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            n_mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [
+                [[0] * 64 for _ in range(n_mcux * n_mcuy * sh * sv)]
+                for sh, sv in samps
+            ]
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:
+            if dims is None or coefs is None:
+                raise ValueError("SOS before SOF2")
+            w, h, nc = dims
+            ns = data[0]
+            scan_comps: list[int] = []
+            scan_tabs: list[tuple[int, int]] = []
+            by_id = {cid: i for i, (cid, _, _) in enumerate(comps)}
+            for si in range(ns):
+                cid, tda = data[1 + 2 * si : 3 + 2 * si]
+                scan_comps.append(by_id[cid])
+                scan_tabs.append((tda >> 4, tda & 0xF))
+            ss, se, a = data[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scans must be single-component")
+            # entropy data: split at RSTn, un-stuff FF00
+            pos = pos + 2 + ln
+            segments: list[bytes] = []
+            cur = bytearray()
+            while pos < len(payload):
+                b = payload[pos]
+                if b == 0xFF:
+                    nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        pos += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        pos += 2
+                        continue
+                    break
+                cur.append(b)
+                pos += 1
+            segments.append(bytes(cur))
+            _apply_progressive_scan(
+                segments, coefs, scan_comps, scan_tabs, ss, se, ah, al,
+                huff, samps, n_mcux, n_mcuy, w, h, restart_interval,
+            )
+            continue  # pos already advanced past the scan
+        pos += 2 + ln
+
+    if dims is None or coefs is None:
+        raise ValueError("missing SOF2 or SOS")
+    w, h, nc = dims
+    hmax = max(sh for sh, _ in samps)
+    vmax = max(sv for _, sv in samps)
+    planes = []
+    for ci in range(nc):
+        sh, sv = samps[ci]
+        qt = qtables[comps[ci][1]]
+        plane = np.zeros((n_mcuy * sv * 8, n_mcux * sh * 8), dtype=np.int64)
+        for bi, zz in enumerate(coefs[ci]):
+            m, k2 = divmod(bi, sh * sv)
+            my, mx = divmod(m, n_mcux)
+            by, bx = divmod(k2, sh)
+            s = np.zeros((8, 8), dtype=np.int64)
+            for k in range(64):
+                if zz[k]:
+                    r, c = _ZZ[k]
+                    s[r][c] = zz[k] * qt[k]
+            py = (my * sv + by) * 8
+            px = (mx * sh + bx) * 8
+            plane[py : py + 8, px : px + 8] = _idct_block(s)
+        planes.append(plane)
+    return _jpeg_assemble(planes, samps, hmax, vmax, w, h, nc)
+
+
+def _apply_progressive_scan(
+    segments, coefs, scan_comps, scan_tabs, ss, se, ah, al,
+    huff, samps, n_mcux, n_mcuy, w, h, restart_interval,
+) -> None:
+    sampling = samps
+    sc = tuple(scan_comps)
+    seg_i = 0
+    br = _BitReader(segments[0])
+
+    if ss == 0:
+        # DC scan — interleaved (ns>1) or component-raster (ns==1);
+        # the restart unit is one MCU / one block respectively
+        units = list(_scan_dc_units(sc, sampling, n_mcux, n_mcuy, w, h))
+        if len(sc) > 1:
+            # group units by MCU for restart counting
+            per_mcu = sum(
+                sampling[ci][0] * sampling[ci][1] for ci in sc
+            )
+        else:
+            per_mcu = 1
+        prev = {ci: 0 for ci in sc}
+        readers = {
+            ci: huff[(0, scan_tabs[i][0])] for i, ci in enumerate(sc)
+        }
+        for ui, (ci, bi) in enumerate(units):
+            if (
+                restart_interval
+                and ui
+                and ui % (restart_interval * per_mcu) == 0
+            ):
+                seg_i += 1
+                br = _BitReader(segments[seg_i])
+                prev = {c: 0 for c in sc}
+            zz = coefs[ci][bi]
+            if ah == 0:
+                size = readers[ci](br)
+                diff = 0
+                if size:
+                    v = br.bits(size)
+                    diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                prev[ci] += diff
+                zz[0] = prev[ci] << al
+            else:
+                if br.bit():
+                    zz[0] |= 1 << al
+        return
+
+    ci = sc[0]
+    ac_read = huff[(1, scan_tabs[0][1])]
+    eobrun = 0
+    for ui, bi in enumerate(
+        _iter_comp_blocks(ci, sampling, n_mcux, w, h)
+    ):
+        if restart_interval and ui and ui % restart_interval == 0:
+            seg_i += 1
+            br = _BitReader(segments[seg_i])
+            eobrun = 0
+        zz = coefs[ci][bi]
+        if ah == 0:
+            eobrun = _dec_ac_first(br, zz, ss, se, al, eobrun, ac_read)
+        else:
+            eobrun = _dec_ac_refine(br, zz, ss, se, al, eobrun, ac_read)
 
 
 def jpeg_roundtrip_features(df: DataFrame, target: int = 8) -> DataFrame:

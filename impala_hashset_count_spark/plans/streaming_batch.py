@@ -468,6 +468,20 @@ def _jpeg_oracle_sql() -> tuple[str, str]:
                CAST(8 AS INTEGER) AS out_height,
                CAST(64 AS INTEGER) AS out_bytes,
                pix_sum, out_sum
+        FROM jsum
+        UNION ALL
+        SELECT 'jpeg_prog' AS tag, doc_id,
+               CAST(256 AS INTEGER) AS byte_len,
+               CAST(16 AS INTEGER) AS width,
+               CAST(16 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(1 AS INTEGER) AS n_frames,
+               CAST(16 AS INTEGER) AS src_width,
+               CAST(16 AS INTEGER) AS src_height,
+               CAST(8 AS INTEGER) AS out_width,
+               CAST(8 AS INTEGER) AS out_height,
+               CAST(64 AS INTEGER) AS out_bytes,
+               pix_sum, out_sum
         FROM jsum"""
     return ctes, union
 
@@ -671,9 +685,19 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       YCbCr->RGB; DC-only blocks decode to per-quadrant constants, so
       the oracle recomputes the RGB sums closed-form — any
       sampling-factor, MCU block-order, DQT-binding, upsample, or
-      color-convert bug hash-fails."""
+      color-convert bug hash-fails.
+    - ``jpeg_prog``: the PROGRESSIVE (SOF2) decode path
+      (``jpeg_prog_roundtrip_features``): the SAME coefficients as the
+      ``jpeg`` tag written as a multi-scan progressive stream (DC
+      first/refinement, AC spectral bands with EOB-runs,
+      successive-approximation correction bits, restarts) and decoded
+      through the scan accumulator; progressive reconstruction is
+      coefficient-exact, so the baseline tag's pixel oracle certifies
+      this path too — a scan-assembly bug diverges from the
+      arithmetic recomputation and hash-fails."""
     from ..operators.multimodal import (
         jpeg420_roundtrip_features,
+        jpeg_prog_roundtrip_features,
         jpeg_roundtrip_features,
         png_roundtrip_features,
         size_balanced,
@@ -721,6 +745,22 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pix_sum",
         "out_sum",
     )
+    jpeg_prog = jpeg_prog_roundtrip_features(payloads, target=8).select(
+        F.lit("jpeg_prog").alias("tag"),
+        "doc_id",
+        (F.col("width") * F.col("height")).cast("int").alias("byte_len"),
+        "width",
+        "height",
+        F.lit(1).cast("int").alias("channels"),
+        F.lit(1).cast("int").alias("n_frames"),
+        F.col("width").alias("src_width"),
+        F.col("height").alias("src_height"),
+        "out_width",
+        "out_height",
+        (F.col("out_width") * F.col("out_height")).cast("int").alias("out_bytes"),
+        "pix_sum",
+        "out_sum",
+    )
     jpeg420 = jpeg420_roundtrip_features(payloads, target=8).select(
         F.lit("jpeg420").alias("tag"),
         "doc_id",
@@ -741,7 +781,7 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tag", "doc_id", "byte_len", "width", "height", "channels", "n_frames",
         "src_width", "src_height", "out_width", "out_height", "out_bytes",
         "pix_sum", "out_sum",
-    ).unionByName(png).unionByName(jpeg).unionByName(jpeg420)
+    ).unionByName(png).unionByName(jpeg).unionByName(jpeg_prog).unionByName(jpeg420)
 
 
 @register(

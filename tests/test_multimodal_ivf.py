@@ -1108,3 +1108,227 @@ def test_jpeg420_roundtrip_features_matches_closed_form(spark):
         row = got[did]
         assert (row.width, row.height) == (16, 16)
         assert (row.pix_sum, row.out_sum) == (tot, out), did
+
+
+# ---------------------------------------------------------------------
+# progressive JPEG (SOF2)
+# ---------------------------------------------------------------------
+
+
+def test_jpeg_progressive_matches_baseline_on_fixtures():
+    """Progressive scans reconstruct the exact coefficients, so the
+    decode must be pixel-identical to the baseline encoding of the
+    same blocks — across the default SA script and restart intervals."""
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_FIXTURE_QTABLE,
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+        jpeg_fixture_blocks,
+    )
+
+    for did in (0, 1, 37, 499, 12345):
+        blocks = jpeg_fixture_blocks(did)
+        base = decode_jpeg(
+            encode_jpeg_baseline(16, 16, [blocks], [JPEG_FIXTURE_QTABLE])
+        )
+        for ri in (0, 1, 2, 3):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    16, 16, [blocks], [JPEG_FIXTURE_QTABLE],
+                    restart_interval=ri,
+                )
+            )
+            assert prog == base, (did, ri)
+
+
+def test_jpeg_progressive_multilevel_sa_and_band_splits():
+    """A 3-level successive-approximation script (Al=2 first scans,
+    two refinement passes) and a no-SA script both converge to the
+    same pixels as baseline — spectral selection and the correction-
+    bit algebra are exercised independently."""
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_FIXTURE_QTABLE,
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+        jpeg_fixture_blocks,
+    )
+
+    scripts = [
+        [
+            ((0,), 0, 0, 0, 2), ((0,), 1, 10, 0, 2), ((0,), 11, 63, 0, 2),
+            ((0,), 0, 0, 1, 1), ((0,), 1, 63, 1, 1),
+            ((0,), 0, 0, 1, 0), ((0,), 1, 10, 1, 0), ((0,), 11, 63, 1, 0),
+        ],
+        [((0,), 0, 0, 0, 0), ((0,), 1, 63, 0, 0)],
+    ]
+    for did in (3, 88, 1024):
+        blocks = jpeg_fixture_blocks(did)
+        base = decode_jpeg(
+            encode_jpeg_baseline(16, 16, [blocks], [JPEG_FIXTURE_QTABLE])
+        )
+        for script in scripts:
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    16, 16, [blocks], [JPEG_FIXTURE_QTABLE], scans=script
+                )
+            )
+            assert prog == base, did
+
+
+def test_jpeg_progressive_refinement_zrl_and_eob_runs():
+    """Adversarial refinement-path shapes: a lone zigzag-63
+    coefficient (maximal ZRL chains in first AND refinement scans),
+    interleaved previously-significant coefficients riding correction
+    bits through EOB-runs that span blocks."""
+    from impala_hashset_count_spark.operators.multimodal import (
+        _ZZ,
+        JPEG_FIXTURE_QTABLE,
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    def blk(assign):
+        q = [[0] * 8 for _ in range(8)]
+        for zi, v in assign.items():
+            r, c = _ZZ[zi]
+            q[r][c] = v
+        return q
+
+    cases = [
+        # all-EOB blocks around one tail coefficient
+        [blk({0: 5}), blk({0: -3, 63: 3}), blk({}), blk({0: 1})],
+        # prev-significant (abs>1 at Al=1) interleaved with newly-significant
+        [blk({0: 2, 5: 6, 40: 1}), blk({1: -7, 22: -1, 63: 1}),
+         blk({10: 2, 11: 3}), blk({})],
+        # newly-significant exactly at Se and nothing after
+        [blk({63: 1}), blk({63: -1}), blk({0: -60}), blk({30: 1})],
+    ]
+    for blocks in cases:
+        base = decode_jpeg(
+            encode_jpeg_baseline(16, 16, [blocks], [JPEG_FIXTURE_QTABLE])
+        )
+        for ri in (0, 2):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    16, 16, [blocks], [JPEG_FIXTURE_QTABLE],
+                    restart_interval=ri,
+                )
+            )
+            assert prog == base
+
+
+def test_jpeg_progressive_color_subsampled_padded_grid():
+    """Color 4:2:0 at 24x24: the luma non-interleaved grid (3x3
+    blocks) is smaller than the MCU-padded grid (4x4) — AC scans must
+    cover exactly the spec grid while the interleaved DC scan covers
+    every MCU block. Padding blocks are zero so baseline equality is
+    exact."""
+    import numpy as np
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_FIXTURE_QTABLE,
+        JPEG_FIXTURE_QTABLE_C,
+        _blk_storage_index,
+        _comp_block_grid,
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    samps = [(2, 2), (1, 1), (1, 1)]
+    w = h = 24
+
+    def comp(ci):
+        sh, sv = samps[ci]
+        n_mcux = (w + 15) // 16
+        n_mcuy = (h + 15) // 16
+        blocks = [
+            [[0] * 8 for _ in range(8)]
+            for _ in range(n_mcux * n_mcuy * sh * sv)
+        ]
+        bx_n, by_n = _comp_block_grid(w, h, samps, ci)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                q = [[0] * 8 for _ in range(8)]
+                q[0][0] = int(rng.randint(-60, 61))
+                for _ in range(6):
+                    q[rng.randint(0, 8)][rng.randint(0, 8)] = int(
+                        rng.randint(-30, 31)
+                    )
+                blocks[_blk_storage_index(bx, by, sh, sv, n_mcux)] = q
+        return blocks
+
+    comps = [comp(0), comp(1), comp(2)]
+    qts = [JPEG_FIXTURE_QTABLE, JPEG_FIXTURE_QTABLE_C]
+    base = decode_jpeg(
+        encode_jpeg_baseline(w, h, comps, qts, sampling=samps)
+    )
+    prog = decode_jpeg(
+        encode_jpeg_progressive(w, h, comps, qts, sampling=samps)
+    )
+    assert prog == base
+
+
+def test_jpeg_progressive_property_random_blocks():
+    """Property: random blocks, random gray script, random restart —
+    progressive decode equals baseline decode (coefficient-exactness
+    of the scan assembly)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_FIXTURE_QTABLE,
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.data())
+    def run(data):
+        seed = data.draw(st.integers(0, 100_000), label="seed")
+        ri = data.draw(st.integers(0, 3), label="restart")
+        split = data.draw(st.integers(1, 62), label="band_split")
+        al = data.draw(st.integers(0, 2), label="al")
+        rng = np.random.RandomState(seed)
+        blocks = _jpeg_rand_blocks(rng, 4)
+        script = [((0,), 0, 0, 0, al)]
+        script += [((0,), 1, split, 0, al), ((0,), split + 1, 63, 0, al)]
+        for lvl in range(al, 0, -1):
+            script += [((0,), 0, 0, lvl, lvl - 1), ((0,), 1, 63, lvl, lvl - 1)]
+        base = decode_jpeg(
+            encode_jpeg_baseline(16, 16, [blocks], [JPEG_FIXTURE_QTABLE])
+        )
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                16, 16, [blocks], [JPEG_FIXTURE_QTABLE],
+                scans=script, restart_interval=ri,
+            )
+        )
+        assert prog == base
+
+    run()
+
+
+def test_jpeg_progressive_rejections():
+    import pytest
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_FIXTURE_QTABLE,
+        encode_jpeg_progressive,
+        jpeg_fixture_blocks,
+    )
+
+    with pytest.raises(ValueError, match="exactly one component"):
+        encode_jpeg_progressive(
+            16, 16,
+            [jpeg_fixture_blocks(1), jpeg_fixture_blocks(2),
+             jpeg_fixture_blocks(3)],
+            [JPEG_FIXTURE_QTABLE],
+            sampling=[(1, 1)] * 3,
+            scans=[((0, 1, 2), 0, 0, 0, 0), ((0, 1), 1, 63, 0, 0)],
+        )

@@ -23,6 +23,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .line_dedup import boilerplate_lines, strip_boilerplate_lines
+from .substring_dedup import duplicated_spans, strip_duplicated_spans
 from .hashset_count import (
     approx_distinct_count,
     distinct_sketch_table,

@@ -61,6 +61,7 @@ from ..operators.dedup import (
 from ..operators.decontaminate import contamination_stats
 from ..operators.graph import degrees, pagerank_fixed, pagerank_oracle_ctes, triangle_counts
 from ..operators.line_dedup import boilerplate_lines, strip_boilerplate_lines
+from ..operators.substring_dedup import duplicated_spans, strip_duplicated_spans
 from ..operators.packing import chunk_documents, pack_sequences_greedy
 from ..operators.sampling import (
     hash_split,
@@ -758,6 +759,43 @@ _HYGIENE_ORACLE = f"""
         FROM tk, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 7, 0))) AS g(i)
     ),
     ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    xtk AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS tk
+        FROM documents WHERE text IS NOT NULL
+    ),
+    xg AS (
+        SELECT doc_id, i AS pos,
+               CAST('0x' || SUBSTRING(
+                   MD5(ARRAY_TO_STRING(tk[i:i+7], ' ')), 1, 15) AS BIGINT)
+                   AS gh
+        FROM xtk,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 7, 0))) AS t(i)
+    ),
+    xdup AS (SELECT gh FROM xg GROUP BY gh HAVING COUNT(*) >= 2),
+    xcov AS (
+        SELECT doc_id, pos, 1 AS cov FROM xg
+        WHERE gh IN (SELECT gh FROM xdup)
+    ),
+    xisl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM xcov
+    ),
+    xspan AS (
+        SELECT doc_id, MIN(pos) AS span_start,
+               CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM xisl GROUP BY doc_id, grp
+    ),
+    xrm AS (
+        SELECT w.doc_id, w.pos, w.raw,
+               MAX(COALESCE(c.cov, 0)) OVER (
+                   PARTITION BY w.doc_id ORDER BY w.pos
+                   RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS rm
+        FROM words w
+        LEFT JOIN xcov c ON w.doc_id = c.doc_id AND w.pos = c.pos
+    ),
     {_DRIFT_CTES},
     {_BLOOM_CTES},
     bmetrics AS (
@@ -807,6 +845,17 @@ _HYGIENE_ORACLE = f"""
           UNION ALL SELECT 'kl_ab_q', kl_ab_q FROM dfinal
           UNION ALL SELECT 'kl_ba_q', kl_ba_q FROM dfinal
           UNION ALL SELECT 'js_q', js_q FROM dfinal) m
+    UNION ALL
+    SELECT 'xsub', doc_id, NULL, span_start, span_tokens, n_grams FROM xspan
+    UNION ALL
+    SELECT 'xsub_fp', d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE MD5(COALESCE(
+                    (SELECT STRING_AGG(r.raw, ' ' ORDER BY r.pos)
+                     FROM xrm r WHERE r.doc_id = d.doc_id AND r.rm = 0), ''))
+           END,
+           NULL, NULL, NULL
+    FROM documents d
 """
 
 #: Deterministic HTML wrapper for the 'html' hygiene branch: comments,
@@ -965,6 +1014,23 @@ def _des_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _des_xsub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dt = _des_dt(spark, sf_dir)
+    spans = duplicated_spans(dt, min_tokens=8, hash_fn="md5").select(
+        F.lit("xsub").alias("tag"),
+        "doc_id",
+        F.col("span_start").alias("n1"),
+        F.col("span_tokens").alias("n2"),
+        F.col("n_grams").alias("n3"),
+    )
+    fp = strip_duplicated_spans(dt, min_tokens=8, hash_fn="md5").select(
+        F.lit("xsub_fp").alias("tag"),
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("s"),
+    )
+    return spans.unionByName(fp, allowMissingColumns=True)
+
+
 _DES_ARMS = {
     "stats": _des_stats,
     "boiler": _des_boiler,
@@ -973,6 +1039,7 @@ _DES_ARMS = {
     "bloom": _des_bloom,
     "drift": _des_drift,
     "html": _des_html,
+    "xsub": _des_xsub,
 }
 
 
@@ -1009,6 +1076,18 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       rows are (s=metric, n1=value) for n_a/n_b/v/tv_num/kl_ab_q/
       kl_ba_q/js_q, the full mirror generated by ``drift_oracle_ctes``.
 
+    - ``xsub`` / ``xsub_fp``: EXACT-SUBSTRING span dedup
+      (``operators/substring_dedup.py`` — the L-gram-cover formulation
+      of suffix-array ExactSubstr): token positions whose 8-token gram
+      occurs >= 2 times corpus-wide (md5 60-bit tier; production is
+      xxhash64, same plan), merged into maximal spans. ``xsub`` rows
+      carry every span's (start, token length, gram count); ``xsub_fp``
+      rows carry the md5 of each document AFTER
+      ``strip_duplicated_spans`` removes the covered tokens — the
+      oracle recomputes grams, duplication, islands, the
+      RANGE-window removal flag, and the byte-exact reassembly, so a
+      hash match proves span detection AND the rewrite.
+
     - ``html``: HTML -> text extraction (``functions.text.html_text``,
       a whole-stage-codegen regexp chain) proven per document: each
       text is wrapped in a deterministic HTML shell (comments, style +
@@ -1021,7 +1100,9 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the line_dedup design (vocabulary-sized broadcast, one reassembly
     shuffle); decon is a broadcast anti join, bloom a broadcast word
     table — the corpus never shuffles for either; html is a pure
-    per-row projection.
+    per-row projection; xsub is the word-count shape (one gram
+    groupBy with map-side combine + one id join, gramless rows
+    bypassing the join) plus doc-keyed windows — nothing all-pairs.
 
     Each branch is built by its own ``_des_*`` helper — the same
     builders serve as the entry's bench ARMS, so BENCH per-round
@@ -1036,6 +1117,7 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_des_bloom(spark, sf_dir), allowMissingColumns=True)
         .unionByName(_des_drift(spark, sf_dir), allowMissingColumns=True)
         .unionByName(_des_html(spark, sf_dir), allowMissingColumns=True)
+        .unionByName(_des_xsub(spark, sf_dir), allowMissingColumns=True)
         .select("tag", "doc_id", "s", "n1", "n2", "n3")
     )
 

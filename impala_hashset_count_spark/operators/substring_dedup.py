@@ -30,10 +30,9 @@ Scale design (nothing all-pairs, no driver state):
   semantics at the cost of shuffling gram bytes).
 - Duplication is ONE ``groupBy(gram_id)`` count with map-side partial
   aggregation — the canonical word-count shape — followed by a
-  shuffle join of the gram frame against the repeated ids. Rows
-  without a gram (the last ``min_tokens - 1`` positions of each
-  document) bypass the join entirely via a union split, so NULL keys
-  never concentrate on one shuffle partition.
+  shuffle join of the gram frame against the repeated ids. Positions
+  without a gram (the last ``min_tokens - 1`` of each document) are
+  never emitted at all, so no NULL keys reach the shuffle.
 - Span assembly and text rewriting are per-document windows over the
   token position (islands by ``pos - row_number()``; removal flag by
   a ``RANGE min_tokens-1 PRECEDING`` max) — shuffles keyed by doc_id,

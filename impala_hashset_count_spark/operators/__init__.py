@@ -23,6 +23,13 @@ from .dedup import (
     simhash_pairs,
 )
 from .line_dedup import boilerplate_lines, strip_boilerplate_lines
+from .bitmap_distinct import (
+    bitmap_accumulate,
+    bitmap_count,
+    bitmap_distinct_count,
+    bitmap_merge,
+    bitmap_set_counts,
+)
 from .substring_dedup import duplicated_spans, strip_duplicated_spans
 from .hashset_count import (
     approx_distinct_count,

@@ -25,6 +25,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
+from ..operators.bitmap_distinct import (
+    bitmap_accumulate,
+    bitmap_count,
+    bitmap_distinct_count,
+    bitmap_merge,
+    bitmap_set_counts,
+)
 from ..operators.kmv import (
     kmv_accumulate,
     kmv_combine,
@@ -334,6 +341,81 @@ def _hct_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bitmap exact-distinct builders (also the bench arms) -------------
+
+
+def _bmd_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-shot bitmap distinct with the reference output contract
+    # (STRING count, NULL-not-0) — two codegen'd hash aggregations.
+    li = _t(spark, sf_dir, "lineitem")
+    return bitmap_distinct_count(li, ["l_linestatus"], "l_partkey").select(
+        F.lit("bitmap_lineitem").alias("tier"),
+        F.col("l_linestatus").alias("group_key"),
+        "hashset_count",
+    )
+
+
+def _bmd_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the STORED-STATE lifecycle: events split into two ingestion
+    # batches (event_id parity), each accumulated to a bitmap state
+    # table, the states MERGED word-wise and finalized — history never
+    # rescanned. The oracle computes the direct distinct over the full
+    # table, so a hash match proves the bitmap merge exactly lossless
+    # (the bitmap form of the reference merge contract,
+    # hashset-count.cc:269-461).
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    s1 = bitmap_accumulate(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id"
+    )
+    s2 = bitmap_accumulate(
+        ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id"
+    )
+    counts = bitmap_count(
+        bitmap_merge(s1.unionByName(s2), ["event_type"]), ["event_type"]
+    )
+    spine = ev.select("event_type").distinct()
+    return spine.join(counts, "event_type", "left").select(
+        F.lit("bitmap_state_events").alias("tier"),
+        F.col("event_type").alias("group_key"),
+        F.col("distinct_count").cast("string").alias("hashset_count"),
+    )
+
+
+def _bmd_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT set algebra from the two stored states alone (word-wise
+    # AND/OR over a full-outer bucket join) — the exact counterpart of
+    # the kmv_setops tier, and the operation the reference's
+    # union-only merge can never express.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_partkey"
+    )
+    sa = bitmap_accumulate(
+        li.filter(F.col("l_linestatus") == "O"), ["l_returnflag"], "l_partkey"
+    )
+    sb = bitmap_accumulate(
+        li.filter(F.col("l_linestatus") == "F"), ["l_returnflag"], "l_partkey"
+    )
+    return (
+        bitmap_set_counts(sa, sb, ["l_returnflag"])
+        .select(
+            "l_returnflag",
+            F.expr(
+                "stack(4, 'bitmap_inter', inter_count,"
+                " 'bitmap_union', union_count,"
+                " 'bitmap_only_a', only_a,"
+                " 'bitmap_only_b', only_b) AS (t, v)"
+            ),
+        )
+        .select(
+            F.col("t").alias("tier"),
+            F.col("l_returnflag").alias("group_key"),
+            F.col("v").cast("string").alias("hashset_count"),
+        )
+    )
+
+
 _HCT_ARMS = {
     "idiomatic": _hct_idiomatic,
     "rdd": _hct_rdd,
@@ -342,6 +424,9 @@ _HCT_ARMS = {
     "jvm": _hct_jvm,
     "kmv": _hct_kmv,
     "kmv_setops": _hct_kmv_setops,
+    "bitmap_count": _bmd_count,
+    "bitmap_state": _bmd_state,
+    "bitmap_setops": _bmd_setops,
 }
 
 
@@ -482,6 +567,59 @@ _HCT_ARMS = {
                    CAST(CASE WHEN jk = 0 THEN NULL
                         ELSE u * jn // jk END AS VARCHAR) FROM est
         )
+        UNION ALL
+        SELECT 'bitmap_lineitem' AS tier, l_linestatus AS group_key,
+               CASE WHEN COUNT(l_partkey) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT l_partkey) AS VARCHAR)
+               END AS hashset_count
+        FROM lineitem
+        GROUP BY l_linestatus
+        UNION ALL
+        SELECT 'bitmap_state_events' AS tier, event_type AS group_key,
+               CASE WHEN COUNT(user_id) = 0 THEN NULL
+                    ELSE CAST(COUNT(DISTINCT user_id) AS VARCHAR)
+               END AS hashset_count
+        FROM events
+        GROUP BY event_type
+        UNION ALL
+        SELECT tier, group_key, hashset_count FROM (
+            WITH ba AS (
+                SELECT DISTINCT l_returnflag, l_partkey
+                FROM lineitem
+                WHERE l_linestatus = 'O' AND l_partkey IS NOT NULL
+            ),
+            bb AS (
+                SELECT DISTINCT l_returnflag, l_partkey
+                FROM lineitem
+                WHERE l_linestatus = 'F' AND l_partkey IS NOT NULL
+            ),
+            fj AS (
+                SELECT COALESCE(ba.l_returnflag, bb.l_returnflag) AS rf,
+                       ba.l_partkey AS pa, bb.l_partkey AS pb
+                FROM ba
+                FULL JOIN bb ON ba.l_returnflag = bb.l_returnflag
+                            AND ba.l_partkey = bb.l_partkey
+            ),
+            st AS (
+                SELECT rf,
+                       CAST(SUM(CASE WHEN pa IS NOT NULL AND pb IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS inter_c,
+                       CAST(COUNT(*) AS BIGINT) AS union_c,
+                       CAST(SUM(CASE WHEN pb IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS oa,
+                       CAST(SUM(CASE WHEN pa IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ob
+                FROM fj GROUP BY rf
+            )
+            SELECT 'bitmap_inter' AS tier, rf AS group_key,
+                   CAST(inter_c AS VARCHAR) AS hashset_count FROM st
+            UNION ALL
+            SELECT 'bitmap_union', rf, CAST(union_c AS VARCHAR) FROM st
+            UNION ALL
+            SELECT 'bitmap_only_a', rf, CAST(oa AS VARCHAR) FROM st
+            UNION ALL
+            SELECT 'bitmap_only_b', rf, CAST(ob AS VARCHAR) FROM st
+        )
     """,
 )
 def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,8 +667,27 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-asserted in tests/test_hashset_count.py; the hot group
     observed over-threshold at 10x volume in tests/test_sf1_scale.py).
 
-    Each tier is built by its own ``_hct_*`` helper — the same
-    builders serve as the entry's bench ARMS, so BENCH per-round
+    The 'bitmap_*' rows (r5) are the BITMAP exact-distinct tier
+    (``operators/bitmap_distinct.py`` — the Kylin/Druid-style exact
+    NDV for bounded integer domains, the fourth point on the repo's
+    state-size/exactness frontier beside list, KMV and HLL state):
+    'bitmap_lineitem' is the one-shot form (two codegen'd hash aggs —
+    per-(group, value>>6) word ``BIT_OR`` with map-side combine, then
+    ``sum(bit_count)``; the shuffle carries one 16-byte row per
+    occupied 64-value bucket, state bounded by the value DOMAIN, not
+    the row count), with the reference's STRING/NULL-not-0 contract
+    (`hashset-count.cc:464-524`); 'bitmap_state_events' accumulates
+    two ingestion batches to stored state tables and MERGES them
+    word-wise (the bitmap form of `hashset-count.cc:269-461`) — the
+    direct-distinct oracle certifies the merge exactly lossless;
+    'bitmap_inter'/'bitmap_union'/'bitmap_only_a'/'bitmap_only_b' are
+    EXACT per-group set algebra computed from the two stored states
+    alone (word-wise AND/OR over a full-outer bucket join — no rescan,
+    no estimate), the exact counterpart of the kmv_* estimate rows and
+    the operation the reference's union-only merge cannot express.
+
+    Each tier is built by its own ``_hct_*`` / ``_bmd_*`` helper — the
+    same builders serve as the entry's bench ARMS, so BENCH per-round
     records attribute the entry's cost tier by tier."""
     return (
         _hct_idiomatic(spark, sf_dir)
@@ -540,6 +697,9 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(_hct_jvm(spark, sf_dir))
         .union(_hct_kmv(spark, sf_dir))
         .union(_hct_kmv_setops(spark, sf_dir))
+        .union(_bmd_count(spark, sf_dir))
+        .union(_bmd_state(spark, sf_dir))
+        .union(_bmd_setops(spark, sf_dir))
     )
 
 

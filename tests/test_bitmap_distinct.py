@@ -105,3 +105,66 @@ def test_plan_is_two_codegen_hash_aggregates_no_python(spark):
     ).executedPlan().toString()
     assert "HashAggregate" in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_stream_bitmap_maintenance_equals_direct(spark, sf_small, tmp_path):
+    """LIVE incremental exact-distinct maintenance: two real
+    micro-batches folded into the stored bitmap state; the maintained
+    count equals the direct batch distinct over everything, and a
+    replayed run (fresh checkpoint, same files) yields the same counts
+    — BIT_OR idempotence makes double-folds structurally harmless."""
+    from impala_hashset_count_spark.sources.tables import load_table
+    from impala_hashset_count_spark.streaming.windows import (
+        read_snapshot,
+        stream_bitmap_distinct_maintenance,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "event_id", "event_type", "user_id"
+    ).limit(400).cache()
+    schema = "event_id bigint, event_type string, user_id bigint"
+    src = str(tmp_path / "bm_src")
+    snap = str(tmp_path / "bm_snap")
+    for half in ("event_id % 2 = 0", "event_id % 2 = 1"):
+        ev.filter(half).coalesce(1).write.mode("append").parquet(src)
+
+    def drain(ck):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_bitmap_distinct_maintenance(
+            stream, snap, ck, ["event_type"], "user_id"
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain(str(tmp_path / "bm_ckpt"))
+    got = sorted(
+        map(
+            tuple,
+            bitmap_count(
+                read_snapshot(spark, snap), ["event_type"]
+            ).collect(),
+        )
+    )
+    expect = sorted(
+        map(
+            tuple,
+            ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("distinct_count"))
+            .collect(),
+        )
+    )
+    assert got == expect
+
+    drain(str(tmp_path / "bm_ckpt2"))
+    replay = sorted(
+        map(
+            tuple,
+            bitmap_count(
+                read_snapshot(spark, snap), ["event_type"]
+            ).collect(),
+        )
+    )
+    assert replay == expect
+    ev.unpersist()

@@ -30,7 +30,13 @@ from .bitmap_distinct import (
     bitmap_merge,
     bitmap_set_counts,
 )
-from .substring_dedup import duplicated_spans, strip_duplicated_spans
+from .substring_dedup import (
+    duplicated_spans,
+    duplicated_spans_incremental,
+    gram_count_index,
+    strip_duplicated_spans,
+    update_gram_index,
+)
 from .hashset_count import (
     approx_distinct_count,
     distinct_sketch_table,

@@ -67,7 +67,7 @@ def _gram_id(gram: Column, hash_fn: str | None) -> Column:
     raise ValueError("hash_fn must be 'xxhash64', 'md5', or None")
 
 
-def _covered_positions(
+def _gram_frame(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -75,14 +75,17 @@ def _covered_positions(
     sep: str,
     hash_fn: str | None,
 ) -> DataFrame:
-    """(id_col, __pos) of every 1-based token position whose
-    ``min_tokens``-gram occurs >= 2 times corpus-wide."""
+    """(id_col, __pos, __gh): every 1-based gram-start position with
+    its gram id. The token array is staged as an attribute BEFORE the
+    explode — inlining it into the lambda re-splits the text once per
+    gram (the Generate re-evaluation hazard measured at 20x on the
+    bigram pass, corpus_stats.py)."""
     tk = F.split(F.col(text_col), F.lit(_regex_quote(sep)), -1)
     # stage the token array as an attribute BEFORE the explode —
     # inlining it into the lambda re-splits the text once per gram
     # (the Generate re-evaluation hazard measured at 20x on the
     # bigram pass, corpus_stats.py)
-    grams = (
+    return (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tk.alias("__tk"))
         .select(
@@ -111,6 +114,19 @@ def _covered_positions(
             _gram_id(F.col("__g"), hash_fn).alias("__gh"),
         )
     )
+
+
+def _covered_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    sep: str,
+    hash_fn: str | None,
+) -> DataFrame:
+    """(id_col, __pos) of every 1-based token position whose
+    ``min_tokens``-gram occurs >= 2 times corpus-wide."""
+    grams = _gram_frame(df, id_col, text_col, min_tokens, sep, hash_fn)
     dup = (
         grams.groupBy("__gh")
         .agg(F.count("*").alias("__n"))
@@ -209,3 +225,91 @@ def strip_duplicated_spans(
         .otherwise(F.coalesce("__text", F.lit("")))
         .alias(text_col),
     )
+
+
+def gram_count_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    sep: str = " ",
+    hash_fn: str | None = "xxhash64",
+) -> DataFrame:
+    """The STORED artifact of span dedup over a corpus:
+    ``(__gh, __n)`` gram-occurrence counts, SUM-mergeable — persist it
+    (parquet, bucketed by ``__gh`` for the probe join) and a
+    continuously-ingesting corpus never re-shingles history (see
+    ``duplicated_spans_incremental``). One word-count aggregate; the
+    index size is the corpus's distinct-gram count, not its row
+    count."""
+    return (
+        _gram_frame(df, id_col, text_col, min_tokens, sep, hash_fn)
+        .groupBy("__gh")
+        .agg(F.count("*").alias("__n"))
+    )
+
+
+def update_gram_index(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a batch's gram counts into the stored index: counts are
+    additive, so the merge is union + SUM — the same mergeable-state
+    convention as the drift/summary maintenance faces."""
+    return (
+        stored.unionByName(delta)
+        .groupBy("__gh")
+        .agg(F.sum("__n").alias("__n"))
+    )
+
+
+def duplicated_spans_incremental(
+    new_df: DataFrame,
+    stored_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    sep: str = " ",
+    hash_fn: str | None = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL span dedup: find every duplicated span in the NEW
+    batch — duplicated against history OR within the batch itself —
+    WITHOUT re-shingling the stored corpus (the production shape: a
+    daily crawl lands against a 100 TB history). The exact-key and
+    near-dup tiers of this story are ``exact_dedup_incremental`` and
+    ``minhash_lsh_pairs_incremental`` (`operators/dedup.py`); this is
+    the span tier.
+
+    A position is covered iff its gram's count over history + batch
+    is >= 2 — IDENTICAL to re-running ``duplicated_spans`` over the
+    full corpus and keeping the new batch's rows (property-tested):
+    history documents are immutable (their spans were emitted when
+    they were new), so only the batch is spanned and rewritten.
+
+    Returns ``(spans, batch_counts)``: spans as in
+    ``duplicated_spans`` (new-batch rows only), plus the batch's gram
+    counts for the caller to fold into the stored index with
+    ``update_gram_index``.
+
+    Shuffle budget: shingling and counting are O(new batch); history
+    participates only through the ``__gh`` probe join against the
+    stored index (bucket/broadcast by size), never re-read as text."""
+    grams = _gram_frame(new_df, id_col, text_col, min_tokens, sep, hash_fn)
+    batch_counts = grams.groupBy("__gh").agg(F.count("*").alias("__n"))
+    dup = (
+        batch_counts.join(
+            stored_index.withColumnRenamed("__n", "__n_hist"), "__gh", "left"
+        )
+        .where(F.col("__n") + F.coalesce(F.col("__n_hist"), F.lit(0)) >= 2)
+        .select("__gh")
+    )
+    cov = grams.join(dup, "__gh").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    isl = cov.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
+    spans = (
+        isl.groupBy(id_col, "__grp")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.count("*") + F.lit(min_tokens - 1)).alias("span_tokens"),
+            F.count("*").alias("n_grams"),
+        )
+        .drop("__grp")
+    )
+    return spans, batch_counts

@@ -151,3 +151,85 @@ def test_bad_hash_fn_raises(planted):
         duplicated_spans(planted, hash_fn="sha1")
     with pytest.raises(ValueError, match="document-unique"):
         strip_duplicated_spans(planted.select("text"))
+
+
+def test_incremental_spans_equal_full_recompute_on_new_batch(spark):
+    """The incremental contract: spans found for a new batch against a
+    stored gram index == full-corpus duplicated_spans restricted to the
+    new batch's ids — across history-only duplication, batch-internal
+    duplication, and history+batch cross duplication."""
+    from impala_hashset_count_spark.operators.substring_dedup import (
+        duplicated_spans,
+        duplicated_spans_incremental,
+        gram_count_index,
+        update_gram_index,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog today"
+    hist = spark.createDataFrame(
+        [
+            (1, f"alpha {passage} beta gamma delta"),
+            (2, "unique history text with nothing repeated at all here ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # cross: repeats the history passage
+            (10, f"intro words {passage} outro words"),
+            # batch-internal pair
+            (11, "zz shared batch run one two three four five six end a"),
+            (12, "qq shared batch run one two three four five six end b"),
+            # nothing duplicated
+            (13, "totally fresh material never seen anywhere else at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = gram_count_index(hist, min_tokens=8, hash_fn="md5")
+    spans, batch_counts = duplicated_spans_incremental(
+        batch, idx, min_tokens=8, hash_fn="md5"
+    )
+    got = sorted(map(tuple, spans.collect()))
+
+    full = duplicated_spans(
+        hist.unionByName(batch), min_tokens=8, hash_fn="md5"
+    ).filter("doc_id >= 10")
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+    assert any(d == 10 for d, *_ in got)  # cross-duplication fired
+    assert any(d == 11 for d, *_ in got)  # batch-internal fired
+    assert not any(d == 13 for d, *_ in got)
+
+    # folding the batch into the index makes a REPLAY of the same batch
+    # see its own grams as history (counts additive)
+    idx2 = update_gram_index(idx, batch_counts)
+    n_total = idx2.agg(F.sum("__n")).first()[0]
+    n_direct = gram_count_index(
+        hist.unionByName(batch), min_tokens=8, hash_fn="md5"
+    ).agg(F.sum("__n")).first()[0]
+    assert n_total == n_direct
+
+
+def test_incremental_empty_history_equals_batch_only(spark):
+    from impala_hashset_count_spark.operators.substring_dedup import (
+        duplicated_spans,
+        duplicated_spans_incremental,
+        gram_count_index,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh ii jj"),
+            (2, "xx aa bb cc dd ee ff gg hh ii jj yy"),
+        ],
+        ["doc_id", "text"],
+    )
+    empty_idx = gram_count_index(batch.limit(0), min_tokens=8, hash_fn="md5")
+    spans, _ = duplicated_spans_incremental(
+        batch, empty_idx, min_tokens=8, hash_fn="md5"
+    )
+    got = sorted(map(tuple, spans.collect()))
+    want = sorted(
+        map(tuple, duplicated_spans(batch, min_tokens=8, hash_fn="md5").collect())
+    )
+    assert got == want

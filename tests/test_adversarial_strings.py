@@ -160,3 +160,54 @@ def test_new_ops_survive_nul_and_unicode(spark):
     # tokens (café / 日本語 / emoji🙂 / mix) shared by both sides
     assert row.v == 6
     assert row.tv_num > 0
+
+
+def test_substring_spans_and_strip_survive_nul_and_multibyte(spark):
+    """Exact-substring span dedup over adversarial tokens: a repeated
+    8-token passage whose tokens carry NUL bytes and non-BMP emoji is
+    detected in both carriers, and the strip rebuilds surviving bytes
+    exactly (no NUL truncation, no mojibake)."""
+    from impala_hashset_count_spark.operators.substring_dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    passage = "a\x00x café 你好 \U0001f600 tail\x00y mid fin eight"
+    assert len(passage.split(" ")) == 8
+    docs = spark.createDataFrame(
+        [
+            (1, f"head {passage} uniq-one"),
+            (2, f"other {passage} uniq-two"),
+            (3, "plain unrepeated filler text of enough many words here"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_tokens"])
+        for r in duplicated_spans(docs, min_tokens=8, hash_fn="md5").collect()
+    }
+    # the repeated passage starts at token 2 in both carriers; a
+    # NUL-truncating hash would conflate "a\x00x" with a bare "a" gram
+    # and (worse) a byte-lossy rebuild would corrupt the kept tokens
+    assert spans == {1: (2, 8), 2: (2, 8)}
+
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicated_spans(
+            docs, min_tokens=8, hash_fn="md5"
+        ).collect()
+    }
+    assert stripped[1] == "head uniq-one"
+    assert stripped[2] == "other uniq-two"
+    assert stripped[3] == "plain unrepeated filler text of enough many words here"
+    assert stripped[4] is None
+
+    # xxhash64 production tier: identical spans on the same payload
+    spans_xx = {
+        r["doc_id"]: (r["span_start"], r["span_tokens"])
+        for r in duplicated_spans(
+            docs, min_tokens=8, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert spans_xx == spans

@@ -235,6 +235,40 @@ def assign_ivf_cells(
     return assigned, centroids
 
 
+def assign_ivf_cells_frozen(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Assign rows to FROZEN centroids — the incremental-index append
+    face: a stored IVF index grows by assigning each new batch against
+    the coarse quantizer fitted once (``assign_ivf_cells``), with no
+    re-fit, no ml model object, and no history re-read (the same
+    append-maintenance convention as ``minhash_lsh_pairs_incremental``
+    and ``update_gram_index``).
+
+    The assignment rule is the fitted k-means transform's own
+    (Euclidean argmin, ties to the lowest cell id), but the plan is a
+    pure whole-stage-codegen PROJECTION: the n_cells x dim centroid
+    matrix is inlined as literals and the argmin is
+    ``array_min`` over (distance², cell) structs — zero shuffle, zero
+    join, the map-only shape batch assignment should have at 100 TB.
+    Keep ``n_cells x dim`` to literal-friendly sizes (coarse
+    quantizers are; a 4096x1024 fine quantizer belongs in a broadcast
+    join instead)."""
+    v = F.col(vec_col).cast("array<double>")
+    opts = []
+    for ci, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        opts.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    return df.withColumn("cell", F.array_min(F.array(*opts))["cell"])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1332,3 +1332,46 @@ def test_jpeg_progressive_rejections():
             sampling=[(1, 1)] * 3,
             scans=[((0, 1, 2), 0, 0, 0, 0), ((0, 1), 1, 63, 0, 0)],
         )
+
+
+def test_frozen_cell_assignment_matches_fitted_model(spark, sf_small):
+    """The incremental IVF append face: assigning rows against the
+    FROZEN centroid matrix (pure projection, no ml model) reproduces
+    the fitted k-means transform's cells on the training rows, and a
+    held-out 'new batch' lands on its true Euclidean-argmin cell
+    (numpy ground truth) — so a stored index grows by appends without
+    re-fitting or re-reading history."""
+    import numpy as np
+
+    from impala_hashset_count_spark.operators.similarity import (
+        assign_ivf_cells,
+        assign_ivf_cells_frozen,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    hist = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+
+    assigned, centroids = assign_ivf_cells(hist, "embedding", n_cells=8)
+    model_cells = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+    frozen_cells = {
+        r.vec_id: r.cell
+        for r in assign_ivf_cells_frozen(hist, "embedding", centroids)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert frozen_cells == model_cells
+
+    cents = np.array(centroids)
+    got = assign_ivf_cells_frozen(batch, "embedding", centroids).select(
+        "vec_id", "embedding", "cell"
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        d2 = ((cents - np.array(r.embedding, dtype=float)) ** 2).sum(axis=1)
+        assert r.cell == int(np.argmin(d2)), r.vec_id
+
+    # the plan is map-only: no exchange, no python
+    plan = assign_ivf_cells_frozen(batch, "embedding", centroids)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

@@ -756,11 +756,14 @@ def test_jpeg_color_decode_and_rejections():
     good = encode_jpeg_baseline(8, 8, [[blocks[0]]], [JPEG_FIXTURE_QTABLE])
     with pytest.raises(ValueError):
         decode_jpeg(good[:40])  # truncated mid-segments
-    # progressive (SOF2) rejected: patch the SOF0 marker byte
-    sof2 = bytearray(good)
-    sof2[good.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(bytes(sof2))
+    # genuinely unsupported frame types rejected (SOF2 is SUPPORTED
+    # since the progressive decoder landed — its rejection probe moved
+    # to lossless SOF3 and arithmetic-coded SOF9)
+    for sof_marker in (0xC3, 0xC9):
+        bad = bytearray(good)
+        bad[good.index(b"\xff\xc0") + 1] = sof_marker
+        with pytest.raises(ValueError, match="SOF0.*SOF2"):
+            decode_jpeg(bytes(bad))
 
 
 def test_resize_images_jpeg_tier(spark):

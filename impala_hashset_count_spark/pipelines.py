@@ -45,6 +45,7 @@ from .operators.decontaminate import decontaminate
 from .operators.dedup import exact_dedup, near_dup_dedup
 from .operators.corpus_stats import unigram_logprob_scores
 from .operators.line_dedup import boilerplate_lines, strip_boilerplate_lines
+from .operators.substring_dedup import strip_duplicated_spans
 from .operators.packing import chunk_documents, pack_sequences_greedy
 from .sources.tables import load_table, write_clustered
 
@@ -65,6 +66,7 @@ def curate_corpus(
     max_dup_ngram_ratio: float | None = None,
     max_doc_chars: int | None = None,
     strip_boilerplate_min_docs: int | None = None,
+    strip_span_min_tokens: int | None = None,
     min_unigram_lp: float | None = None,
     quality_model_weights: dict | None = None,
     history_keys: DataFrame | None = None,
@@ -123,6 +125,16 @@ def curate_corpus(
     in the next stage. Adds one corpus shuffle (the document
     reassembly) when enabled.
 
+    ``strip_span_min_tokens`` enables EXACT-SUBSTRING span removal
+    after line stripping (``operators.substring_dedup``): any run of
+    tokens whose every ``strip_span_min_tokens``-gram occurs >= 2
+    times corpus-wide — a quoted article, a templated paragraph, in
+    the same or different documents — is cut from every occurrence,
+    the rung line-level removal cannot reach (no line boundary
+    needed). Documents the strip reduces to empty/whitespace are
+    dropped in the same stage (fully-duplicated content keeps
+    nothing). Adds the gram aggregate + one reassembly shuffle.
+
     Returns a stats dict: ``n_docs`` (input), ``n_boilerplate_lines``
     (None when stripping is disabled), ``n_after_dedup``,
     ``n_after_near_dedup`` (None when disabled),
@@ -152,6 +164,20 @@ def curate_corpus(
         n_boilerplate_lines = len(bp_rows)
         bp_local = spark.createDataFrame(bp_rows, bp.schema)
         docs = strip_boilerplate_lines(docs, "doc_id", "text", boilerplate=bp_local)
+
+    if strip_span_min_tokens is not None:
+        # exact-substring span removal AFTER line stripping: repeated
+        # passages with no line boundary (quoted articles, templated
+        # paragraphs) are cut from every occurrence, so docs differing
+        # only by such a passage dedup together below
+        # (operators/substring_dedup.py — gram aggregate + one
+        # doc-keyed reassembly shuffle, nothing all-pairs). Documents
+        # reduced to empty/whitespace — fully-duplicated content with
+        # nothing unique to keep — are dropped in the same stage
+        # (downstream ratio metrics are undefined on zero-length text).
+        docs = strip_duplicated_spans(
+            docs, "doc_id", "text", min_tokens=strip_span_min_tokens
+        ).filter(F.length(F.trim("text")) > 0)
 
     deduped = exact_dedup(
         docs.withColumn("__fp", fingerprint_md5("text")), ["__fp"], "doc_id"

@@ -89,6 +89,7 @@ def test_curate_corpus_all_options_compose(spark, sf_small, tmp_path):
         max_dup_ngram_ratio=0.9,
         scrub_pii=True,
         strip_boilerplate_min_docs=3,
+        strip_span_min_tokens=8,
     )
     chain = [
         stats["n_docs"],
@@ -264,3 +265,28 @@ def test_curate_corpus_history_gate_exact_and_bloom(spark, sf_small, tmp_path):
     with pytest.raises(ValueError):
         curate_corpus(spark, sf_small, str(tmp_path / "o3"),
                       history_keys=history, history_filter="nope")
+
+
+def test_curate_corpus_span_strip_removes_planted_passage(spark, tmp_path):
+    """strip_span_min_tokens cuts a passage repeated mid-document
+    across two otherwise-different documents, so they dedup together
+    afterwards (line stripping could never fire: no line boundary)."""
+    import os
+
+    passage = " ".join(f"tok{i}" for i in range(12))
+    rows = [
+        (1, f"{passage}", "en"),
+        (2, f"{passage}", "en"),
+        (3, "completely different content with plenty of words here now", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    src = str(tmp_path / "sf")
+    docs.write.parquet(os.path.join(src, "documents.parquet"))
+    stats = curate_corpus(
+        spark, src, str(tmp_path / "out"),
+        min_quality=0.0, strip_span_min_tokens=8,
+    )
+    # docs 1 and 2 are fully-duplicated passages: the strip empties
+    # them and the stage drops them; doc 3 survives untouched
+    assert stats["n_docs"] == 3
+    assert stats["n_after_dedup"] == 1

@@ -785,6 +785,77 @@ def stream_bitmap_distinct_maintenance(
     )
 
 
+def stream_span_dedup(
+    docs_stream: DataFrame,
+    spans_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+):
+    """Continuous exact-substring SPAN dedup over a document stream:
+    each micro-batch finds its duplicated spans against all history
+    plus itself (``duplicated_spans_incremental``,
+    `operators/substring_dedup.py`) using the maintained gram-count
+    index — history text is never re-shingled — then appends its spans
+    to ``spans_path`` and folds its gram counts into the versioned
+    index at ``index_path``.
+
+    Versioning/idempotence follow ``stream_summary_maintenance``
+    (index version ``v=<batch_id>`` built from the newest
+    strictly-older version, so a replayed batch rebuilds rather than
+    double-counts — counts are additive, making that the critical
+    property). Spans land in per-batch subdirectories
+    (``batch=<id>``, overwrite), so a replayed batch REWRITES its
+    spans instead of duplicating them.
+
+    Scale: per batch, O(batch) shingling + the gram probe join against
+    the stored index; the index size is the corpus's distinct-gram
+    count."""
+    import os
+
+    from ..operators.substring_dedup import (
+        duplicated_spans_incremental,
+        update_gram_index,
+    )
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(index_path):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(index_path)
+            if d.startswith("v=")
+        )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        prior = [v for v in _versions() if v < batch_id]
+        if prior:
+            stored = spark.read.parquet(
+                os.path.join(index_path, f"v={prior[-1]}")
+            )
+        else:
+            stored = spark.createDataFrame([], "__gh long, __n long")
+        spans, batch_counts = duplicated_spans_incremental(
+            bdf, stored, id_col, text_col, min_tokens
+        )
+        spans.write.mode("overwrite").parquet(
+            os.path.join(spans_path, f"batch={batch_id}")
+        )
+        update_gram_index(stored, batch_counts).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_path, f"v={batch_id}"))
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
 def stream_corpus_drift(
     docs_stream: DataFrame,
     reference: DataFrame,

@@ -233,3 +233,80 @@ def test_incremental_empty_history_equals_batch_only(spark):
         map(tuple, duplicated_spans(batch, min_tokens=8, hash_fn="md5").collect())
     )
     assert got == want
+
+
+def test_stream_span_dedup_equals_batch_recompute(spark, tmp_path):
+    """LIVE streaming span dedup: two micro-batches of documents; the
+    union of per-batch spans equals what each batch's full-corpus
+    recompute (history-so-far + batch) assigns to that batch's docs,
+    and a fresh-checkpoint replay rewrites identical spans with the
+    index not double-counted."""
+    import glob
+    import os
+
+    from impala_hashset_count_spark.operators.substring_dedup import (
+        duplicated_spans,
+        gram_count_index,
+    )
+    from impala_hashset_count_spark.streaming.windows import stream_span_dedup
+
+    passage = "the quick brown fox jumps over the lazy dog now"
+    b1 = [(1, f"alpha {passage} one"), (2, "nothing shared here at all in this document")]
+    b2 = [(10, f"beta {passage} two"), (11, "fresh unique content again nothing repeated")]
+    src = str(tmp_path / "sp_src")
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    spans_path = str(tmp_path / "sp_spans")
+    index_path = str(tmp_path / "sp_idx")
+
+    def drain(ck):
+        stream = spark.readStream.schema("doc_id bigint, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_span_dedup(
+            stream, spans_path, index_path, ck, min_tokens=8
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain(str(tmp_path / "sp_ck1"))
+    got = sorted(
+        map(tuple, spark.read.parquet(spans_path + "/batch=*").collect())
+    )
+
+    # ground truth: full recompute over everything; every span lands in
+    # whichever batch saw its gram count reach 2 — with one passage
+    # repeated across batches, the SECOND occurrence is spanned (the
+    # first batch saw count 1). doc 10 carries the span; doc 1 did not
+    # at its batch time.
+    all_docs = spark.createDataFrame(
+        b1 + b2, "doc_id bigint, text string"
+    )
+    full = {r.doc_id for r in duplicated_spans(all_docs, min_tokens=8).collect()}
+    got_docs = {d for d, *_ in got}
+    assert got_docs == {10}
+    assert full == {1, 10}  # retro-coverage of doc 1 is the batch-mode view
+
+    # the maintained index equals the direct gram count over everything
+    vs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(index_path) if d.startswith("v=")
+    )
+    idx = spark.read.parquet(os.path.join(index_path, f"v={vs[-1]}"))
+    n_live = idx.agg(F.sum("__n")).first()[0]
+    n_direct = gram_count_index(all_docs, min_tokens=8).agg(F.sum("__n")).first()[0]
+    assert n_live == n_direct
+
+    # fresh-checkpoint replay: identical spans, index not double-counted
+    drain(str(tmp_path / "sp_ck2"))
+    replay = sorted(
+        map(tuple, spark.read.parquet(spans_path + "/batch=*").collect())
+    )
+    assert replay == got
+    vs2 = sorted(
+        int(d.split("=")[1]) for d in os.listdir(index_path) if d.startswith("v=")
+    )
+    idx2 = spark.read.parquet(os.path.join(index_path, f"v={vs2[-1]}"))
+    assert idx2.agg(F.sum("__n")).first()[0] == n_direct

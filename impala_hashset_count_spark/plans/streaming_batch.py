@@ -272,15 +272,20 @@ def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming frequent-items sketch's batch twin — the SAME
     # operator code (groupBy + sketch agg + in-array ranking is
     # engine-agnostic) run on the batch table, hash-mirrored by the
-    # exact top-3; max_items=4000 keeps the sketch in its exact regime
-    # (distinct users per event_type approaches 1000 here, the
-    # operator's default capacity boundary). The live stream==batch
+    # exact top-3; max_items=65536 keeps the sketch in its exact
+    # regime with 10x headroom (distinct users per event_type are
+    # ~150/SF-0.01-unit: 1.5k at the bench SF, 15k at the sf1 stress —
+    # the r5 full-registry sf1 sweep caught the previous 4000-capacity
+    # sketch SATURATING there, where Spark's approx_top_k_estimate
+    # returns an EMPTY array; the operator now emits a sentinel row on
+    # saturation instead of silence, and this entry sizes capacity to
+    # stay exact through the stress SF). The live stream==batch
     # equality is tests/test_streaming.py::
     # test_stream_top_users_sketch_matches_batch_exact.
     from ..streaming.windows import stream_top_users_sketch
 
     tks = stream_top_users_sketch(
-        load_table(spark, sf_dir, "events"), k=3, max_items=4000
+        load_table(spark, sf_dir, "events"), k=3, max_items=65536
     ).select(
         F.lit("topk_sk").alias("kind"),
         F.col("user_id").cast("long").alias("user_id"),

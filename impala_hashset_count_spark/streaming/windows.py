@@ -443,13 +443,24 @@ def stream_top_users_sketch(
     key space. Exact while distinct users per group <= max_items
     (tested against the batch twin); complete-mode output.
 
+    SATURATION IS VISIBLE, never silent: Spark's
+    ``approx_top_k_estimate`` returns an EMPTY array once a group's
+    distinct items exceed ``maxItemsTracked`` (observed on Spark
+    4.1 — found by this repo's 10x scale sweep, where the sf0.1-sized
+    capacity silently emitted zero rows at sf1). A group that has rows
+    but an empty estimate emits one SENTINEL row
+    ``(event_type, rnk=0, user_id=NULL, n_events=NULL)`` so a
+    saturated sketch reads as "resize max_items", not "no active
+    users".
+
     Returns (event_type, rnk, user_id, n_events) — the estimate array
     exploded and deterministically ranked (count desc, user asc), so
     the live result compares row-for-row with a batch oracle."""
     agg = events.groupBy("event_type").agg(
         F.expr(
             f"approx_top_k_accumulate(CAST(user_id AS STRING), {int(max_items)})"
-        ).alias("sk")
+        ).alias("sk"),
+        F.count("*").alias("__n_rows"),
     )
     # rank INSIDE the array (array_sort with an explicit comparator +
     # head slice): row_number windows are not allowed on streaming
@@ -463,11 +474,25 @@ def stream_top_users_sketch(
                            WHEN l.item > r.item THEN 1
                            ELSE 0 END), 1, {int(k)})"""
     )
+    sentinel = F.expr(
+        "array(named_struct('item', CAST(NULL AS STRING),"
+        " 'count', CAST(NULL AS BIGINT)))"
+    )
+    # stage the ranked array as an attribute so the estimate+sort is
+    # evaluated once, not once per reference (the same Generate
+    # re-evaluation hazard staged everywhere else in this repo)
+    staged = agg.select("event_type", "__n_rows", ranked.alias("__arr"))
+    safe = F.when(
+        (F.size("__arr") == 0) & (F.col("__n_rows") > 0), sentinel
+    ).otherwise(F.col("__arr"))
     return (
-        agg.select("event_type", F.posexplode(ranked).alias("pos", "e"))
+        staged.select("event_type", F.posexplode(safe).alias("pos", "e"))
         .select(
             "event_type",
-            (F.col("pos") + 1).cast("int").alias("rnk"),
+            F.when(F.col("e.item").isNull(), F.lit(0))
+            .otherwise(F.col("pos") + 1)
+            .cast("int")
+            .alias("rnk"),
             F.col("e.item").alias("user_id"),
             F.col("e.count").cast("long").alias("n_events"),
         )

@@ -1048,3 +1048,34 @@ def test_snapshot_changes_recovers_net_log_between_versions(spark, tmp_path):
     # k=3 was inserted AND updated within the interval: nets to one
     # insert of the final value; k=1 deleted; k=2 updated
     assert ops[3] == ("I", "c2") and ops[1][0] == "D" and ops[2] == ("U", "b2")
+
+
+def test_top_users_sketch_saturation_emits_sentinel_not_silence(spark):
+    """Spark's approx_top_k_estimate returns an EMPTY array once a
+    group's distinct items exceed maxItemsTracked (observed on 4.1;
+    caught by the sf1 sweep when the 10x user space saturated the
+    bench-sized capacity). The operator must surface that as a sentinel
+    row (rnk=0, NULL user), never as silently-zero rows — and leave
+    unsaturated groups' output untouched."""
+    from impala_hashset_count_spark.streaming.windows import (
+        stream_top_users_sketch,
+    )
+
+    rows = (
+        # 'hot': 5000 distinct users > max_items=100 -> saturated
+        [("hot", i) for i in range(5000)]
+        # 'cold': 10 distinct users, user 3 most active -> exact
+        + [("cold", i % 10) for i in range(40)]
+        + [("cold", 3)] * 5
+    )
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    got = stream_top_users_sketch(ev, k=3, max_items=100).collect()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert len(by_type["hot"]) == 1
+    s = by_type["hot"][0]
+    assert s.rnk == 0 and s.user_id is None and s.n_events is None
+    cold = sorted(by_type["cold"], key=lambda r: r.rnk)
+    assert [r.rnk for r in cold] == [1, 2, 3]
+    assert cold[0].user_id == "3" and cold[0].n_events == 9

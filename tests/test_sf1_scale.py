@@ -207,3 +207,30 @@ def test_sf1_binned_join_wide_interval_leg_fires(spark):
     )
     n_g, n_u = guarded.count(), unguarded.count()
     assert n_g == n_u and n_g > 0
+
+
+def test_sf1_star_components_equal_min_label_at_volume(spark):
+    """The two connected-components engines agree at 10x volume. The
+    recursive-CTE DuckDB oracle goes OOM on the sf1 edge set (recorded
+    in SF1_SWEEP_r05.json), so the star variant's exactness at scale
+    is certified engine-internally: large-star/small-star (the
+    O(log^2 n) 100 TB path) must produce the identical (id, rep)
+    labeling as min-label propagation over the same real near-dup pair
+    list derived from sf1 documents."""
+    from impala_hashset_count_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_components,
+        near_dup_components_star,
+    )
+
+    docs = _t(spark, "documents").select("doc_id", "text").limit(50000)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_bucket_docs=200
+    ).select("id_1", "id_2").persist()
+    n_pairs = pairs.count()
+    assert n_pairs > 0, "sf1 corpus must contain near-dup structure"
+
+    a = sorted(map(tuple, near_dup_components(pairs).collect()))
+    b = sorted(map(tuple, near_dup_components_star(pairs).collect()))
+    assert a == b
+    pairs.unpersist()

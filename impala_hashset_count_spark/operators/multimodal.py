@@ -2173,3 +2173,187 @@ def jpeg_roundtrip_features(df: DataFrame, target: int = 8) -> DataFrame:
             yield out
 
     return df.select("doc_id").mapInPandas(batches, schema=JPEG_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Perceptual image dedup: dHash + banded Hamming near-dup
+# ---------------------------------------------------------------------
+
+#: dHash geometry: a 9x8 grayscale thumbnail yields 8 horizontal
+#: comparisons per row x 8 rows = 64 bits. Frozen — the banded join
+#: and any SQL mirror depend on the exact bit layout.
+DHASH_W, DHASH_H = 9, 8
+
+
+def dhash64(payload: bytes) -> int:
+    """Perceptual difference-hash of one encoded image, via the
+    dependency-free REAL decoders (BMP / PNG / baseline+progressive
+    JPEG — sniffed by magic bytes): decode -> integer luma
+    ((299R + 587G + 114B) // 1000) -> 9x8 nearest-neighbor thumbnail
+    (same index arithmetic as ``_nn_resize_rgb``) -> bit = left pixel
+    brighter than its right neighbor, row-major, MSB first. Returns a
+    SIGNED 64-bit int (Java long two's complement) so the value drops
+    straight into a Spark LongType column and JVM-side bit ops.
+
+    dHash is the standard first rung of image dedup in web-scale
+    training pipelines: re-encodes, format conversions, and mild
+    quality changes preserve the gradient signs, so near-identical
+    images land within a few Hamming bits of each other while the
+    hash is one long per image."""
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        w, h, rgb = decode_bmp(payload)
+    elif payload[:8] == _PNG_SIG:
+        w, h, rgb = decode_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        w, h, nc, rgb = decode_jpeg(payload)
+        if nc == 1:  # grayscale decode: expand like resize_images does
+            g = np.frombuffer(rgb, np.uint8)
+            rgb = np.repeat(g, 3).tobytes()
+    else:
+        raise ValueError("dhash64: unrecognized image payload (BMP/PNG/JPEG)")
+
+    a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.int64)
+    luma = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    ys = np.minimum(h - 1, np.arange(DHASH_H) * h // DHASH_H)
+    xs = np.minimum(w - 1, np.arange(DHASH_W) * w // DHASH_W)
+    g = luma[np.ix_(ys, xs)]
+    bits = (g[:, :-1] > g[:, 1:]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_dhashes(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """(id_col, dhash) for a binary image column — one Arrow-batched
+    pass, decode and hash fused in the same task (no intermediate
+    pixel shuffle; the only thing leaving the stage is 8 bytes per
+    image)."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "dhash": pd.Series(
+                        [dhash64(p) for p in pdf[content_col]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches, schema=f"{id_col} long, dhash long"
+    )
+
+
+def dhash_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_band_ids: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance —
+    (id_1, id_2, hamming) with id_1 < id_2 and
+    ``hamming <= max_hamming`` — WITHOUT an all-pairs comparison:
+    the 64-bit hash splits into ``bands`` equal bit-bands and
+    candidates come from an equi-join on (band index, band value).
+    By pigeonhole, recall is EXACT whenever
+    ``max_hamming < bands`` (<= 3 differing bits cannot touch all 4
+    16-bit bands, so some band matches exactly); verification is a
+    JVM-side ``bit_count(xor)``.
+
+    Scale shape: one explode to bands x rows (16-byte keys), one
+    equi-join, no pixel data anywhere near the shuffle — identical to
+    the MinHash-LSH band join (`operators/dedup.py`) and the SimHash
+    tier it complements (text simhash : documents :: dHash : images).
+    ``max_band_ids`` optionally drops degenerate bands shared by more
+    than that many images (flat-color thumbnails all hash to 0 —
+    the ``max_bucket_docs`` ubiquity guard of the LSH tier); capped
+    bands lose the pigeonhole guarantee for their members, which is
+    the same deliberate recall/scale trade the LSH guard makes."""
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole exactness needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
+    banded = h.select(
+        "__id",
+        "__h",
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("__b"),
+    ).withColumn(
+        "__bv",
+        F.expr(f"shiftright(__h, __b * {width}) & {mask}"),
+    )
+    if max_band_ids is not None:
+        ok = (
+            banded.groupBy("__b", "__bv")
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") <= max_band_ids)
+            .select("__b", "__bv")
+        )
+        banded = banded.join(ok, ["__b", "__bv"])
+    a = banded.select(
+        F.col("__id").alias("id_1"), F.col("__h").alias("__h1"), "__b", "__bv"
+    )
+    b = banded.select(
+        F.col("__id").alias("id_2"), F.col("__h").alias("__h2"), "__b", "__bv"
+    )
+    return (
+        a.join(b, ["__b", "__bv"])
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", F.expr("bit_count(__h1 ^ __h2)").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+DHASH_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, dhash_hi long, dhash_lo long"
+)
+
+
+def dhash_roundtrip_features(df: DataFrame) -> DataFrame:
+    """Perceptual-hash tier under the driver's hard signal: per doc,
+    deterministic ramp pixels (same dims as ``png_roundtrip_features``)
+    are encoded as a real BMP container, decoded back through the
+    magic-byte-sniffing path inside ``dhash64``, and hashed; the 64-bit
+    dHash is emitted as two non-negative 32-bit halves (``dhash_hi`` =
+    bits 63..32, ``dhash_lo`` = bits 31..0) so the SQL mirror never
+    touches the BIGINT sign bit. Every output is a pure function of
+    doc_id — the oracle recomputes luma, the 9x8 nearest-neighbor
+    sample, and each gradient-sign bit arithmetically, so any decode,
+    luma-weight, sampling, bit-order, or packing bug flips a half and
+    hash-fails. Input: (doc_id, payload); only doc_id is used."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w = 8 + did % 24
+                h = 8 + (did // 3) % 16
+                hv = dhash64(encode_bmp(w, h, ramp_rgb(did, w, h)))
+                u = hv & ((1 << 64) - 1)
+                rows.append((did, w, h, u >> 32, u & 0xFFFFFFFF))
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "dhash_hi", "dhash_lo"],
+            )
+            for c in ("width", "height"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return df.select("doc_id").mapInPandas(batches, schema=DHASH_FEATURE_SCHEMA)

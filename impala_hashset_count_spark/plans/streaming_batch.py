@@ -613,7 +613,38 @@ _JPEG420_ORACLE_CTES, _JPEG420_ORACLE_UNION = _jpeg420_oracle_sql()
             FROM oxy
         ),
         osum AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS out_sum
-                 FROM opix GROUP BY doc_id),"""
+                 FROM opix GROUP BY doc_id),
+        dh_cells AS (
+            SELECT doc_id, w, h, r, c,
+                   LEAST(h - 1, r * h // 8) AS y,
+                   LEAST(w - 1, c * w // 9) AS x1,
+                   LEAST(w - 1, (c + 1) * w // 9) AS x2
+            FROM (SELECT doc_id, w, h, UNNEST(RANGE(8)) AS r FROM dims),
+                 (SELECT UNNEST(RANGE(8)) AS c)
+        ),
+        dh_luma AS (
+            SELECT doc_id, r, c,
+                   (299 * ((doc_id * 7 + ((y * w + x1) * 3 + 0) * 13) % 256)
+                  + 587 * ((doc_id * 7 + ((y * w + x1) * 3 + 1) * 13) % 256)
+                  + 114 * ((doc_id * 7 + ((y * w + x1) * 3 + 2) * 13) % 256))
+                       // 1000 AS l1,
+                   (299 * ((doc_id * 7 + ((y * w + x2) * 3 + 0) * 13) % 256)
+                  + 587 * ((doc_id * 7 + ((y * w + x2) * 3 + 1) * 13) % 256)
+                  + 114 * ((doc_id * 7 + ((y * w + x2) * 3 + 2) * 13) % 256))
+                       // 1000 AS l2
+            FROM dh_cells
+        ),
+        dh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN r < 4 AND l1 > l2
+                                 THEN CAST(1 AS BIGINT) << (31 - (r * 8 + c))
+                                 ELSE 0 END) AS BIGINT) AS dhash_hi,
+                   CAST(SUM(CASE WHEN r >= 4 AND l1 > l2
+                                 THEN CAST(1 AS BIGINT)
+                                      << (31 - ((r - 4) * 8 + c))
+                                 ELSE 0 END) AS BIGINT) AS dhash_lo
+            FROM dh_luma GROUP BY doc_id
+        ),"""
     + _JPEG_ORACLE_CTES + ","
     + _JPEG420_ORACLE_CTES + """
         SELECT 'stub' AS tag, doc_id,
@@ -649,6 +680,21 @@ _JPEG420_ORACLE_CTES, _JPEG420_ORACLE_UNION = _jpeg420_oracle_sql()
                psum.pix_sum, osum.out_sum
         FROM od JOIN psum ON od.doc_id = psum.doc_id
                 JOIN osum ON od.doc_id = osum.doc_id
+        UNION ALL
+        SELECT 'dhash' AS tag, dims.doc_id,
+               CAST(dims.w * dims.h * 3 AS INTEGER) AS byte_len,
+               CAST(dims.w AS INTEGER) AS width,
+               CAST(dims.h AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(1 AS INTEGER) AS n_frames,
+               CAST(dims.w AS INTEGER) AS src_width,
+               CAST(dims.h AS INTEGER) AS src_height,
+               CAST(9 AS INTEGER) AS out_width,
+               CAST(8 AS INTEGER) AS out_height,
+               CAST(8 AS INTEGER) AS out_bytes,
+               dh.dhash_hi AS pix_sum,
+               dh.dhash_lo AS out_sum
+        FROM dims JOIN dh ON dims.doc_id = dh.doc_id
     """ + _JPEG_ORACLE_UNION + _JPEG420_ORACLE_UNION,
 )
 def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,8 +745,24 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       through the scan accumulator; progressive reconstruction is
       coefficient-exact, so the baseline tag's pixel oracle certifies
       this path too — a scan-assembly bug diverges from the
-      arithmetic recomputation and hash-fails."""
+      arithmetic recomputation and hash-fails.
+    - ``dhash`` (r5): the PERCEPTUAL-HASH dedup tier
+      (``dhash_roundtrip_features`` / ``operators.multimodal.dhash64``
+      — the image counterpart of text SimHash): ramp pixels through a
+      real BMP container, the magic-byte-sniffing decode, integer
+      luma, the 9x8 nearest-neighbor thumbnail, and the 64
+      gradient-sign bits, emitted as two 32-bit halves (pix_sum = hi,
+      out_sum = lo) recomputed bit-for-bit by the oracle — any
+      decode, luma-weight, sampling, bit-order, or packing bug
+      hash-fails. The banded Hamming near-dup join over these hashes
+      (``dhash_near_pairs`` — pigeonhole-exact at <= 3 bits with 4
+      bands, LSH-style ubiquity guard) is covered by planted-twin
+      tests; it is not in the hashed surface because the ramp corpus
+      is structurally self-similar by construction (every doc would
+      pair with every doc — the correct dHash answer, but a quadratic
+      row set)."""
     from ..operators.multimodal import (
+        dhash_roundtrip_features,
         jpeg420_roundtrip_features,
         jpeg_prog_roundtrip_features,
         jpeg_roundtrip_features,
@@ -782,11 +844,34 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pix_sum",
         "out_sum",
     )
-    return stub.select(
-        "tag", "doc_id", "byte_len", "width", "height", "channels", "n_frames",
-        "src_width", "src_height", "out_width", "out_height", "out_bytes",
-        "pix_sum", "out_sum",
-    ).unionByName(png).unionByName(jpeg).unionByName(jpeg_prog).unionByName(jpeg420)
+    dhash = dhash_roundtrip_features(payloads).select(
+        F.lit("dhash").alias("tag"),
+        "doc_id",
+        (F.col("width") * F.col("height") * 3).cast("int").alias("byte_len"),
+        "width",
+        "height",
+        F.lit(3).cast("int").alias("channels"),
+        F.lit(1).cast("int").alias("n_frames"),
+        F.col("width").alias("src_width"),
+        F.col("height").alias("src_height"),
+        F.lit(9).cast("int").alias("out_width"),
+        F.lit(8).cast("int").alias("out_height"),
+        F.lit(8).cast("int").alias("out_bytes"),
+        F.col("dhash_hi").alias("pix_sum"),
+        F.col("dhash_lo").alias("out_sum"),
+    )
+    return (
+        stub.select(
+            "tag", "doc_id", "byte_len", "width", "height", "channels",
+            "n_frames", "src_width", "src_height", "out_width", "out_height",
+            "out_bytes", "pix_sum", "out_sum",
+        )
+        .unionByName(png)
+        .unionByName(jpeg)
+        .unionByName(jpeg_prog)
+        .unionByName(jpeg420)
+        .unionByName(dhash)
+    )
 
 
 @register(

@@ -1378,3 +1378,151 @@ def test_frozen_cell_assignment_matches_fitted_model(spark, sf_small):
     plan = assign_ivf_cells_frozen(batch, "embedding", centroids)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------
+# Perceptual dHash image dedup
+# ---------------------------------------------------------------------
+
+
+def test_dhash_format_invariant_and_deterministic():
+    """The same pixels through BMP and PNG containers hash
+    identically (dHash sees decoded pixels, not bytes)."""
+    from impala_hashset_count_spark.operators.multimodal import (
+        dhash64,
+        encode_bmp,
+        encode_png,
+        ramp_rgb,
+    )
+
+    rgb = ramp_rgb(5, 20, 14)
+    hb = dhash64(encode_bmp(20, 14, rgb))
+    hp = dhash64(encode_png(20, 14, rgb))
+    assert hb == hp
+    assert dhash64(encode_bmp(20, 14, rgb)) == hb
+    assert -(2**63) <= hb < 2**63
+
+
+def test_dhash_small_perturbation_small_hamming():
+    """A few perturbed pixels move the hash a few bits at most; a
+    different image is far away."""
+    import numpy as np
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        dhash64,
+        encode_bmp,
+        ramp_rgb,
+    )
+
+    w, h = 36, 28
+    base = bytearray(ramp_rgb(1, w, h))
+    near = bytearray(base)
+    for off in (0, 100, 500):  # nudge a few channels slightly
+        near[off] = (near[off] + 6) % 256
+    # reversing the pixel stream flips every luma gradient sign — the
+    # structurally-opposite image (a phase-shifted ramp would be the
+    # SAME structure, which dHash correctly hashes nearby)
+    far = bytes(bytearray(base)[::-1])
+
+    h0 = dhash64(encode_bmp(w, h, bytes(base)))
+    h1 = dhash64(encode_bmp(w, h, bytes(near)))
+    h2 = dhash64(encode_bmp(w, h, far))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h0, h1) <= 3
+    assert ham(h0, h2) > 8  # measured 15: far outside any dedup radius
+
+
+def test_dhash_near_pairs_pigeonhole_exact(spark):
+    """With 4 bands and max_hamming=3, EVERY pair within 3 bits is
+    found (pigeonhole), none beyond the threshold survive — verified
+    against a brute-force python ground truth over synthetic hashes,
+    including sign-bit values."""
+    import itertools
+    import random
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        dhash_near_pairs,
+    )
+
+    rng = random.Random(7)
+    base = rng.getrandbits(64)
+    vals = [base]
+    for k in (1, 2, 3, 4, 9):  # flips incl. > threshold
+        v = base
+        for bit in rng.sample(range(64), k):
+            v ^= 1 << bit
+        vals.append(v)
+    vals.append(base ^ (1 << 63))  # sign-bit flip: hamming 1
+    signed = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
+    rows = list(enumerate(signed))
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    got = sorted(
+        (r.id_1, r.id_2, r.hamming)
+        for r in dhash_near_pairs(df, max_hamming=3).collect()
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = sorted(
+        (i, j, ham(signed[i], signed[j]))
+        for i, j in itertools.combinations(range(len(signed)), 2)
+        if ham(signed[i], signed[j]) <= 3
+    )
+    assert got == want and len(want) >= 3
+
+
+def test_image_dhashes_end_to_end_near_dup(spark):
+    """binaryFile-shaped frame -> fused decode+hash pass -> banded
+    join: the re-encoded twin (PNG of the same pixels) and the mildly
+    perturbed copy pair with the original; the unrelated image does
+    not."""
+    from impala_hashset_count_spark.operators.multimodal import (
+        dhash_near_pairs,
+        encode_bmp,
+        encode_png,
+        image_dhashes,
+        ramp_rgb,
+    )
+
+    w, h = 24, 18
+    base = ramp_rgb(3, w, h)
+    near = bytearray(base)
+    near[50] = (near[50] + 5) % 256
+    rows = [
+        (1, encode_bmp(w, h, base)),
+        (2, encode_png(w, h, base)),          # exact twin, other format
+        (3, encode_bmp(w, h, bytes(near))),   # near twin
+        (4, encode_bmp(w, h, ramp_rgb(9, w, h))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    hashes = image_dhashes(df)
+    pairs = {
+        (r.id_1, r.id_2): r.hamming
+        for r in dhash_near_pairs(hashes, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
+
+
+def test_dhash_band_ubiquity_guard(spark):
+    """max_band_ids drops a degenerate band value shared by a crowd
+    (flat thumbnails all hash 0) while distinctive bands still pair."""
+    from impala_hashset_count_spark.operators.multimodal import (
+        dhash_near_pairs,
+    )
+
+    # 30 docs all hash 0 (flat) + two near twins with distinctive bits
+    rows = [(i, 0) for i in range(30)]
+    twin = (0x1234_5678_9ABC_DEF0 - (1 << 64)) if 0x1234_5678_9ABC_DEF0 >= (1 << 63) else 0x1234_5678_9ABC_DEF0
+    rows += [(100, twin), (101, twin ^ 1)]
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    got = {(r.id_1, r.id_2) for r in dhash_near_pairs(
+        df, max_hamming=3, max_band_ids=5
+    ).collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)

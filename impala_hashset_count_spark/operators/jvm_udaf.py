@@ -150,7 +150,9 @@ def try_register_jvm_udaf(
 
 
 def hashset_count_jvm_agg(col: str | Column, name: str = DEFAULT_NAME) -> Column:
-    """Aggregate Column for a registered JVM tier (SQL-name based —
-    ``register_jvm_udaf`` first)."""
-    c = col if isinstance(col, str) else f"({col._jc.toString()})"
-    return F.expr(f"{name}({c})")
+    """Aggregate Column for a registered JVM tier (``register_jvm_udaf``
+    first). Column inputs go through ``F.call_udf`` — never through SQL
+    text reconstruction (``Column._jc.toString()`` is a debug string,
+    not guaranteed round-trippable SQL for aliased/complex columns)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.call_udf(name, c)

@@ -1172,6 +1172,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # spec-legal fill bytes: any run of 0xFF may pad before a marker
+        # (B.1.1.2) — skip to the last 0xFF of the run
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -1216,6 +1220,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = data[0]
+            if ns != len(comps):
+                raise ValueError(
+                    "multi-scan baseline not supported; use decode_image"
+                )
             for ci in range(ns):
                 _cid, tda = data[1 + 2 * ci : 3 + 2 * ci]
                 comp_huff.append((tda >> 4, tda & 0xF))

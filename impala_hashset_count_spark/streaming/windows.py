@@ -456,11 +456,20 @@ def stream_top_users_sketch(
     Returns (event_type, rnk, user_id, n_events) — the estimate array
     exploded and deterministically ranked (count desc, user asc), so
     the live result compares row-for-row with a batch oracle."""
-    agg = events.groupBy("event_type").agg(
-        F.expr(
-            f"approx_top_k_accumulate(CAST(user_id AS STRING), {int(max_items)})"
-        ).alias("sk"),
-        F.count("*").alias("__n_rows"),
+    # the NULL user is not a user: Spark's approx_top_k_accumulate
+    # tracks NULL as a regular item (it would surface as a top entry
+    # with item=NULL and collide with the sentinel encoding), and an
+    # all-NULL group would otherwise misfire the saturation sentinel —
+    # drop NULL user rows before the sketch sees them
+    agg = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"approx_top_k_accumulate(CAST(user_id AS STRING), {int(max_items)})"
+            ).alias("sk"),
+            F.count(F.col("user_id")).alias("__n_rows"),
+        )
     )
     # rank INSIDE the array (array_sort with an explicit comparator +
     # head slice): row_number windows are not allowed on streaming

@@ -119,3 +119,29 @@ def test_survives_repartitioning_and_reuse_in_sql(spark):
         ).first().c
         == "13"
     )
+
+
+def test_accepts_complex_column_expression(spark):
+    """Column inputs route through F.call_udf, never through SQL-text
+    reconstruction of Column._jc.toString() (a debug string that is
+    not round-trippable for aliased/complex expressions)."""
+    from pyspark.sql import functions as F
+
+    from impala_hashset_count_spark.operators.jvm_udaf import (
+        hashset_count_jvm_agg,
+        try_register_jvm_udaf,
+    )
+
+    if not try_register_jvm_udaf(spark):
+        import pytest
+
+        pytest.skip("JVM tier unavailable")
+    df = spark.createDataFrame(
+        [("a", "x"), ("A", "x"), ("b", "x"), (None, "x")], "s string, g string"
+    )
+    # aliased + nested expression — the _jc.toString() path rendered
+    # these as non-parseable SQL inside F.expr
+    got = df.groupBy("g").agg(
+        hashset_count_jvm_agg(F.upper(F.col("s")).alias("u")).alias("n")
+    ).collect()
+    assert got[0]["n"] == "2"

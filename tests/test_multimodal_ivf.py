@@ -1526,3 +1526,37 @@ def test_dhash_band_ubiquity_guard(spark):
     ).collect()}
     assert (100, 101) in got
     assert not any(a < 100 and b < 100 for a, b in got)
+
+
+def test_jpeg_fill_bytes_and_multiscan_rejection():
+    """Spec-legal 0xFF fill bytes may pad before any marker (B.1.1.2)
+    — the walk must skip them, not raise 'marker expected'. A baseline
+    multi-scan file (SOS ns < frame component count) is out of scope
+    and must fail with a CLEAR unsupported-format error, not an
+    IndexError deep in comp_huff."""
+    import pytest
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        JPEG_FIXTURE_QTABLE,
+        decode_jpeg,
+        encode_jpeg_baseline,
+        jpeg_fixture_blocks,
+    )
+
+    blocks = jpeg_fixture_blocks(5)
+    jpg = encode_jpeg_baseline(8, 8, [[blocks[0]]], [JPEG_FIXTURE_QTABLE])
+    # inject a run of fill bytes immediately after SOI, before the
+    # first real segment's 0xFF lead-in
+    padded = jpg[:2] + b"\xff\xff" + jpg[2:]
+    assert decode_jpeg(padded)[3] == decode_jpeg(jpg)[3]
+
+    color = encode_jpeg_baseline(
+        8, 8, [[blocks[0]], [blocks[0]], [blocks[0]]],
+        [JPEG_FIXTURE_QTABLE, JPEG_FIXTURE_QTABLE],
+    )
+    sos = color.find(b"\xff\xda")
+    assert sos > 0
+    multiscan = bytearray(color)
+    multiscan[sos + 4] = 1  # ns=1 of 3 frame components
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(bytes(multiscan))

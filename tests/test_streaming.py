@@ -1079,3 +1079,26 @@ def test_top_users_sketch_saturation_emits_sentinel_not_silence(spark):
     cold = sorted(by_type["cold"], key=lambda r: r.rnk)
     assert [r.rnk for r in cold] == [1, 2, 3]
     assert cold[0].user_id == "3" and cold[0].n_events == 9
+
+
+def test_top_users_sketch_all_null_group_is_empty_not_sentinel(spark):
+    """A group whose rows are all user_id=NULL has an EMPTY sketch
+    (the aggregate skips NULLs), not a saturated one — it must emit
+    zero rows, never the rnk=0 saturation sentinel (which would
+    misread as 'resize max_items')."""
+    from impala_hashset_count_spark.streaming.windows import (
+        stream_top_users_sketch,
+    )
+
+    rows = [("nulls", None)] * 20 + [("live", 1)] * 3 + [("live", 2)]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    got = stream_top_users_sketch(ev, k=3, max_items=100).collect()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert "nulls" not in by_type  # no rows at all — not a sentinel
+    live = sorted(by_type["live"], key=lambda r: r.rnk)
+    assert [(r.rnk, r.user_id, r.n_events) for r in live] == [
+        (1, "1", 3),
+        (2, "2", 1),
+    ]

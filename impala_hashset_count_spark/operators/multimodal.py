@@ -2365,3 +2365,84 @@ def dhash_roundtrip_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.select("doc_id").mapInPandas(batches, schema=DHASH_FEATURE_SCHEMA)
+
+
+def planted_dhash_sig(doc_id: int) -> tuple[int, int | None]:
+    """Arithmetic ground-truth signature for the PLANTED dHash pair
+    corpus (the non-degenerate fixture the near-pair join is
+    driver-hash-proven on — the ramp corpus is structurally
+    self-similar, so all-pairs would be the correct but quadratic
+    answer there).
+
+    Construction (mirrored term-for-term by the SQL oracle of
+    ``multimodal_image_pipeline``'s ``dhash_pairs`` tag):
+
+    - group = doc_id % 256; the 8 group bits each REPEAT 8x across the
+      64 signature bits (bit j of the signature = bit (7 - j//8) of
+      the group id) — an 8x repetition code, so distinct groups sit
+      >= 8 Hamming bits apart;
+    - each doc then flips AT MOST one bit: position
+      ``(doc_id * 7) % 64`` unless ``doc_id % 3 == 0`` (no flip).
+
+    Within a group every pair is therefore <= 2 bits apart (symmetric
+    difference of two <=1-bit flip sets); across groups >= 8 - 2 = 6
+    bits. With ``max_hamming=3`` the TRUE near-pair set is exactly
+    {within-group pairs} with a closed-form per-pair Hamming distance
+    — small, exact, and SQL-enumerable without an all-pairs scan.
+
+    Returns (unsigned 64-bit signature, flipped bit position or None);
+    bit j counts from the MSB (j=0 -> weight 2^63), matching
+    ``dhash64``'s row-major MSB-first packing."""
+    grp = doc_id % 256
+    base = 0
+    for j in range(64):
+        if (grp >> (7 - j // 8)) & 1:
+            base |= 1 << (63 - j)
+    fp = None if doc_id % 3 == 0 else (doc_id * 7) % 64
+    sig = base ^ (1 << (63 - fp)) if fp is not None else base
+    return sig, fp
+
+
+def planted_dhash_bmp(doc_id: int) -> bytes:
+    """Encode ``planted_dhash_sig(doc_id)`` as a REAL 9x8 BMP whose
+    dHash is exactly the signature: at 9x8 the thumbnail sampling is
+    the identity, grayscale (v,v,v) luma is v, and each row walks
+    +-1 from 128 so that bit (r*8+c) == (pixel[c] > pixel[c+1]).
+    Values stay in [120, 136] — no clamping anywhere."""
+    sig, _ = planted_dhash_sig(doc_id)
+    pix = bytearray()
+    for r in range(DHASH_H):
+        g = [128]
+        for c in range(DHASH_W - 1):
+            bit = (sig >> (63 - (r * 8 + c))) & 1
+            g.append(g[-1] - 1 if bit else g[-1] + 1)
+        for v in g:
+            pix += bytes((v, v, v))
+    return encode_bmp(DHASH_W, DHASH_H, bytes(pix))
+
+
+def dhash_planted_features(df: DataFrame) -> DataFrame:
+    """(doc_id, dhash, dhash_hi, dhash_lo) for the planted corpus,
+    through the REAL pipeline: BMP container encode -> magic-byte
+    sniff -> real decode -> luma -> thumbnail -> gradient bits
+    (``dhash64``). ``dhash`` is the signed 64-bit value the banded
+    near-pair join consumes; the hi/lo halves are the non-negative
+    32-bit surface the SQL oracle recomputes bit-for-bit (any planting
+    or decode bug diverges from the arithmetic mirror and hash-fails
+    BEFORE the pair set is even compared)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                hv = dhash64(planted_dhash_bmp(did))
+                u = hv & ((1 << 64) - 1)
+                rows.append((did, hv, u >> 32, u & 0xFFFFFFFF))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "dhash", "dhash_hi", "dhash_lo"]
+            )
+
+    return df.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, dhash long, dhash_hi long, dhash_lo long"
+    )

@@ -644,6 +644,36 @@ _JPEG420_ORACLE_CTES, _JPEG420_ORACLE_UNION = _jpeg420_oracle_sql()
                                       << (31 - ((r - 4) * 8 + c))
                                  ELSE 0 END) AS BIGINT) AS dhash_lo
             FROM dh_luma GROUP BY doc_id
+        ),
+        dhp AS (
+            SELECT doc_id, doc_id % 256 AS grp,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE (doc_id * 7) % 64 END AS fp
+            FROM documents
+        ),
+        dhp_bits AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN j < 32 AND bit
+                                 THEN CAST(1 AS BIGINT) << (31 - j)
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN j >= 32 AND bit
+                                 THEN CAST(1 AS BIGINT) << (63 - j)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM (
+                SELECT d.doc_id, js.j,
+                       ((((d.grp >> (7 - js.j // 8)) & 1) = 1)
+                        <> (d.fp IS NOT NULL AND js.j = d.fp)) AS bit
+                FROM dhp d, (SELECT UNNEST(RANGE(64)) AS j) js
+            ) GROUP BY doc_id
+        ),
+        dhp_pairs AS (
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                   CASE WHEN a.fp IS NULL AND b.fp IS NULL THEN 0
+                        WHEN a.fp IS NULL OR b.fp IS NULL THEN 1
+                        WHEN a.fp = b.fp THEN 0
+                        ELSE 2 END AS hamming
+            FROM dhp a JOIN dhp b
+              ON a.grp = b.grp AND a.doc_id < b.doc_id
         ),"""
     + _JPEG_ORACLE_CTES + ","
     + _JPEG420_ORACLE_CTES + """
@@ -695,6 +725,34 @@ _JPEG420_ORACLE_CTES, _JPEG420_ORACLE_UNION = _jpeg420_oracle_sql()
                dh.dhash_hi AS pix_sum,
                dh.dhash_lo AS out_sum
         FROM dims JOIN dh ON dims.doc_id = dh.doc_id
+        UNION ALL
+        SELECT 'dhash_sig' AS tag, b.doc_id,
+               CAST(216 AS INTEGER) AS byte_len,
+               CAST(9 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(1 AS INTEGER) AS n_frames,
+               CAST(9 AS INTEGER) AS src_width,
+               CAST(8 AS INTEGER) AS src_height,
+               CAST(9 AS INTEGER) AS out_width,
+               CAST(8 AS INTEGER) AS out_height,
+               CAST(8 AS INTEGER) AS out_bytes,
+               b.hi AS pix_sum, b.lo AS out_sum
+        FROM dhp_bits b
+        UNION ALL
+        SELECT 'dhash_pairs' AS tag, p.id_1 AS doc_id,
+               CAST(NULL AS INTEGER) AS byte_len,
+               CAST(NULL AS INTEGER) AS width,
+               CAST(NULL AS INTEGER) AS height,
+               CAST(NULL AS INTEGER) AS channels,
+               CAST(NULL AS INTEGER) AS n_frames,
+               CAST(NULL AS INTEGER) AS src_width,
+               CAST(NULL AS INTEGER) AS src_height,
+               CAST(NULL AS INTEGER) AS out_width,
+               CAST(NULL AS INTEGER) AS out_height,
+               CAST(NULL AS INTEGER) AS out_bytes,
+               p.id_2 AS pix_sum, CAST(p.hamming AS BIGINT) AS out_sum
+        FROM dhp_pairs p
     """ + _JPEG_ORACLE_UNION + _JPEG420_ORACLE_UNION,
 )
 def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,12 +814,27 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       decode, luma-weight, sampling, bit-order, or packing bug
       hash-fails. The banded Hamming near-dup join over these hashes
       (``dhash_near_pairs`` — pigeonhole-exact at <= 3 bits with 4
-      bands, LSH-style ubiquity guard) is covered by planted-twin
-      tests; it is not in the hashed surface because the ramp corpus
-      is structurally self-similar by construction (every doc would
-      pair with every doc — the correct dHash answer, but a quadratic
-      row set)."""
+      bands, LSH-style ubiquity guard) is hashed on the PLANTED corpus
+      below, not on the ramp corpus (which is structurally self-similar
+      by construction — every doc would pair with every doc, the
+      correct dHash answer but a quadratic row set).
+    - ``dhash_sig`` / ``dhash_pairs`` (r6): the banded Hamming
+      NEAR-PAIR JOIN under the driver hash, on a planted
+      NON-degenerate corpus (``planted_dhash_sig``: an 8x-repetition
+      group code puts distinct groups >= 8 bits apart; each doc flips
+      <= 1 bit, so the TRUE <=3-bit pair set is exactly the
+      within-group pairs, each with a closed-form Hamming distance).
+      Per doc, the signature round-trips a REAL 9x8 BMP through the
+      real decode inside ``dhash64`` and its hi/lo halves sit under
+      the hash (``dhash_sig`` — a planting or decode bug fails here
+      first); then ``dhash_near_pairs`` (4-band equi-join,
+      pigeonhole-exact at <= 3 bits, bit_count verification) must
+      reproduce the oracle's arithmetic pair enumeration EXACTLY —
+      ids and per-pair Hamming distance both under the hash
+      (``dhash_pairs``)."""
     from ..operators.multimodal import (
+        dhash_near_pairs,
+        dhash_planted_features,
         dhash_roundtrip_features,
         jpeg420_roundtrip_features,
         jpeg_prog_roundtrip_features,
@@ -860,6 +933,42 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dhash_hi").alias("pix_sum"),
         F.col("dhash_lo").alias("out_sum"),
     )
+    planted = dhash_planted_features(d)
+    nulli = F.lit(None).cast("int")
+    dsig = planted.select(
+        F.lit("dhash_sig").alias("tag"),
+        "doc_id",
+        F.lit(216).cast("int").alias("byte_len"),
+        F.lit(9).cast("int").alias("width"),
+        F.lit(8).cast("int").alias("height"),
+        F.lit(3).cast("int").alias("channels"),
+        F.lit(1).cast("int").alias("n_frames"),
+        F.lit(9).cast("int").alias("src_width"),
+        F.lit(8).cast("int").alias("src_height"),
+        F.lit(9).cast("int").alias("out_width"),
+        F.lit(8).cast("int").alias("out_height"),
+        F.lit(8).cast("int").alias("out_bytes"),
+        F.col("dhash_hi").alias("pix_sum"),
+        F.col("dhash_lo").alias("out_sum"),
+    )
+    dpairs = dhash_near_pairs(
+        planted.select("doc_id", "dhash"), max_hamming=3, bands=4
+    ).select(
+        F.lit("dhash_pairs").alias("tag"),
+        F.col("id_1").alias("doc_id"),
+        nulli.alias("byte_len"),
+        nulli.alias("width"),
+        nulli.alias("height"),
+        nulli.alias("channels"),
+        nulli.alias("n_frames"),
+        nulli.alias("src_width"),
+        nulli.alias("src_height"),
+        nulli.alias("out_width"),
+        nulli.alias("out_height"),
+        nulli.alias("out_bytes"),
+        F.col("id_2").alias("pix_sum"),
+        F.col("hamming").cast("long").alias("out_sum"),
+    )
     return (
         stub.select(
             "tag", "doc_id", "byte_len", "width", "height", "channels",
@@ -871,6 +980,8 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpeg_prog)
         .unionByName(jpeg420)
         .unionByName(dhash)
+        .unionByName(dsig)
+        .unionByName(dpairs)
     )
 
 

@@ -1560,3 +1560,51 @@ def test_jpeg_fill_bytes_and_multiscan_rejection():
     multiscan[sos + 4] = 1  # ns=1 of 3 frame components
     with pytest.raises(ValueError, match="multi-scan"):
         decode_jpeg(bytes(multiscan))
+
+
+def test_planted_dhash_corpus_properties(spark):
+    """The planted dHash corpus (the non-degenerate fixture that puts
+    dhash_near_pairs under the driver hash): the 8x-repetition group
+    code keeps distinct groups >= 6 bits apart after the <=1-bit
+    per-doc flips, so the TRUE <=3-bit pair set is exactly the
+    within-group pairs — and the banded join reproduces it, Hamming
+    distances included, on a 400-doc slice."""
+    from impala_hashset_count_spark.operators.multimodal import (
+        dhash_near_pairs,
+        planted_dhash_bmp,
+        planted_dhash_sig,
+        dhash64,
+    )
+
+    n = 400  # covers >1 doc in many of the 256 groups
+    sigs = {}
+    for did in range(n):
+        sig, fp = planted_dhash_sig(did)
+        # BMP round-trip through the REAL decode is exact
+        assert (dhash64(planted_dhash_bmp(did)) & ((1 << 64) - 1)) == sig
+        sigs[did] = sig
+
+    # closed-form expected pair set: within-group only
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    expected = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            d = ham(sigs[a], sigs[b])
+            if a % 256 == b % 256:
+                assert d <= 2
+                expected[(a, b)] = d
+            else:
+                assert d >= 6  # never inside max_hamming=3
+
+    rows = [
+        (did, s - (1 << 64) if s >= (1 << 63) else s)
+        for did, s in sigs.items()
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    got = {
+        (r.id_1, r.id_2): r.hamming
+        for r in dhash_near_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    assert got == expected

@@ -42,13 +42,71 @@ _INDEX_SCHEMA = (
 )
 
 
-def _list_parquet_files(path: str) -> list[str]:
+def _list_parquet_entries(
+    spark: SparkSession, path: str
+) -> list[tuple[str, int, int]]:
+    """(file, size, mtime_ns) per parquet file under ``path``. A
+    scheme'd path (``file://``/``s3a://``/``hdfs://`` ...) lists
+    through the session's Hadoop FileSystem
+    (`sources/hadoopfs.list_files`); scheme-less paths keep the
+    driver-local ``os.walk`` fast path.
+
+    The listing is the SINGLE SOURCE of each file's
+    (size, mtime_ns) version identity: footer tasks receive these
+    values through the plan instead of re-stat'ing, so
+    ``update_file_index``'s version keys compare listing-to-listing —
+    exact regardless of the store's timestamp granularity (Hadoop
+    reports ms, ``os.stat`` ns)."""
+    from ..sources import hadoopfs
+
+    if hadoopfs.is_uri(path):
+        return [
+            (e.path, e.size, e.mtime_ns)
+            for e in hadoopfs.list_files(
+                spark, path, suffix=".parquet", recursive=True
+            )
+        ]
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                out.append((fp, st.st_size, st.st_mtime_ns))
+    return sorted(out)
+
+
+def _list_parquet_files(path: str, spark: SparkSession | None = None) -> list[str]:
+    if spark is not None:
+        return [f for f, _sz, _mt in _list_parquet_entries(spark, path)]
     out = []
     for root, _dirs, files in os.walk(path):
         for f in files:
             if f.endswith(".parquet"):
                 out.append(os.path.join(root, f))
     return sorted(out)
+
+
+def _arrow_parquet_file(fname: str):
+    """Executor-side open that works on plain paths AND URIs:
+    ``file:`` URIs strip to the local path (same bytes, no extra
+    layer); other schemes resolve through
+    ``pyarrow.fs.FileSystem.from_uri`` (S3/GCS/HDFS when the pyarrow
+    build carries the filesystem). Import stays inside the function —
+    executor tasks pickle the closure, not the module."""
+    import pyarrow.parquet as pq
+
+    if fname.startswith("file:"):
+        rest = fname[5:]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return pq.ParquetFile(rest)
+    if "://" in fname:
+        from pyarrow import fs as pafs
+
+        fsys, rel = pafs.FileSystem.from_uri(fname)
+        return pq.ParquetFile(fsys.open_input_file(rel))
+    return pq.ParquetFile(fname)
 
 
 def build_file_index(
@@ -65,13 +123,18 @@ def build_file_index(
     accumulating (files x columns) rows for the whole slice before the
     first yield is the only unbounded buffer in the build — chunking
     caps it at (footer_batch_files x columns) rows regardless of how
-    many files land in one task."""
-    files = _list_parquet_files(path)
-    if not files:
+    many files land in one task.
+
+    Scheme'd paths (``file://``/``s3a://``/...) list through the
+    session's Hadoop FileSystem and footer-read via pyarrow's
+    URI-resolved filesystems — see ``_list_parquet_entries`` /
+    ``_arrow_parquet_file``."""
+    entries = _list_parquet_entries(spark, path)
+    if not entries:
         raise FileNotFoundError(f"no parquet files under {path}")
-    file_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
-        min(len(files), 64)
-    )
+    file_df = spark.createDataFrame(
+        entries, "file string, file_size long, file_mtime_ns long"
+    ).repartition(min(len(entries), 64))
     return _footer_stats_frame(file_df, cols, footer_batch_files)
 
 
@@ -79,28 +142,30 @@ def _footer_stats_frame(
     file_df: DataFrame, cols: list[str], footer_batch_files: int
 ) -> DataFrame:
     """Footer-read core of ``build_file_index``/``update_file_index``:
-    per-(file, column) stats for every file in ``file_df``."""
+    per-(file, column) stats for every file in ``file_df``
+    (``file string, file_size long, file_mtime_ns long`` — the
+    listing's version identity rides the plan so footer rows and
+    listings always agree, whatever the store's mtime granularity)."""
     want = list(cols)
     chunk = max(1, int(footer_batch_files))
 
     def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
-
         cols_out = [
             "file", "n_rows", "file_size", "file_mtime_ns", "column",
             "min_num", "max_num", "min_str", "max_str",
         ]
         for pdf in batches:
             rows = []
-            for fname in pdf["file"]:
+            for fname, f_size, f_mtime in zip(
+                pdf["file"], pdf["file_size"], pdf["file_mtime_ns"]
+            ):
                 if len(rows) >= chunk * len(want):
                     yield pd.DataFrame(rows, columns=cols_out)
                     rows = []
                 # size+mtime identify the file VERSION: an in-place
                 # rewrite under the same path must invalidate the
                 # stored stats (see ``update_file_index``)
-                st_f = os.stat(fname)
-                md = pq.ParquetFile(fname).metadata
+                md = _arrow_parquet_file(fname).metadata
                 stats: dict[str, list] = {c: [None, None] for c in want}
                 for rg in range(md.num_row_groups):
                     row_group = md.row_group(rg)
@@ -122,8 +187,8 @@ def _footer_stats_frame(
                         {
                             "file": fname,
                             "n_rows": md.num_rows,
-                            "file_size": st_f.st_size,
-                            "file_mtime_ns": st_f.st_mtime_ns,
+                            "file_size": int(f_size),
+                            "file_mtime_ns": int(f_mtime),
                             "column": c,
                             "min_num": float(lo) if numeric and lo is not None else None,
                             "max_num": float(hi) if numeric and hi is not None else None,
@@ -241,11 +306,9 @@ def read_pruned(
     plan_df = prune_files_df(index, ranges).repartition(64)
 
     def read_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
-
         for pdf in batches:
             for fname in pdf["file"]:
-                pf = pq.ParquetFile(fname)
+                pf = _arrow_parquet_file(fname)
                 for batch in pf.iter_batches(columns=need):
                     yield batch.to_pandas()[need]
 
@@ -264,8 +327,7 @@ def compact_small_files(
     within the merged groups' concatenation order). Returns the file
     count written. Re-cluster with ``cluster_write`` instead when the
     layout itself should change."""
-    files = _list_parquet_files(src)
-    total = sum(os.path.getsize(f) for f in files)
+    total = sum(sz for _f, sz, _mt in _list_parquet_entries(spark, src))
     n = max(1, -(-total // target_file_bytes))
     spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
     return n
@@ -293,16 +355,16 @@ def build_rowgroup_index(
     (which files, which byte ranges) into one metadata filter, the way
     a table format's manifest does, and within a kept multi-GB file it
     names exactly the surviving groups. Index size: files x row-groups
-    x columns rows — still metadata-tiny."""
-    files = _list_parquet_files(path)
+    x columns rows — still metadata-tiny. Scheme'd paths take the
+    Hadoop-listing + pyarrow-URI route (``_list_parquet_entries`` /
+    ``_arrow_parquet_file``)."""
+    files = _list_parquet_files(path, spark)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
     want = list(cols)
     chunk = max(1, int(footer_batch_files))
 
     def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
-
         cols_out = [
             "file", "rg", "rg_rows", "column",
             "min_num", "max_num", "min_str", "max_str",
@@ -313,7 +375,7 @@ def build_rowgroup_index(
                 if len(rows) >= chunk * len(want):
                     yield pd.DataFrame(rows, columns=cols_out)
                     rows = []
-                md = pq.ParquetFile(fname).metadata
+                md = _arrow_parquet_file(fname).metadata
                 for rg in range(md.num_row_groups):
                     row_group = md.row_group(rg)
                     stats: dict[str, list] = {c: [None, None] for c in want}
@@ -433,11 +495,9 @@ def read_pruned_rowgroups(
     plan_df = prune_rowgroups_df(index, ranges).repartition(64)
 
     def read_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
-
         for pdf in batches:
             for fname, grp in pdf.groupby("file"):
-                pf = pq.ParquetFile(fname)
+                pf = _arrow_parquet_file(fname)
                 for rg in sorted(grp["rg"]):
                     tbl = pf.read_row_group(int(rg), columns=need)
                     yield tbl.to_pandas()[need]
@@ -465,15 +525,13 @@ def update_file_index(
     anti for arrivals) — no driver-side path list ever enters a plan,
     so the plan size is independent of the file count.
 
-    The current file LISTING still comes from the driver-side walk —
-    the same driver-bounded metadata operation as ``prune_files``; at
+    The current file LISTING still comes from the driver side — the
+    same driver-bounded metadata operation as ``prune_files``
+    (Hadoop FileSystem for scheme'd paths, ``os.walk`` locally); at
     extreme file counts, list per partition directory. Returns the
     refreshed index (same schema as ``build_file_index``); persist it
     wherever the stored index lives."""
-    listing = []
-    for f in _list_parquet_files(path):
-        st = os.stat(f)
-        listing.append((f, st.st_size, st.st_mtime_ns))
+    listing = _list_parquet_entries(spark, path)
     if not listing:
         raise FileNotFoundError(f"no parquet files under {path}")
     on_disk = spark.createDataFrame(
@@ -489,7 +547,7 @@ def update_file_index(
     # genuinely new files AND rewritten ones
     new_files = on_disk.join(
         index.select(*version_key).distinct(), version_key, "left_anti"
-    ).select("file")
+    ).select(*version_key)
     if new_files.isEmpty():
         return kept
     fresh = _footer_stats_frame(

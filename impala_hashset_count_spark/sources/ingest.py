@@ -142,24 +142,43 @@ def write_training_shards(
     reproduces identical shard CONTENTS, boundaries, and counts (the
     physical file names carry the write's task UUIDs and differ).
 
-    LOCAL-FILESYSTEM PATHS ONLY: the parquet write itself goes through
-    Spark (any Hadoop-supported scheme), but the manifest step lists
-    the directory and reads footers via driver-local ``os``/``open`` —
-    an ``s3://``/``hdfs://`` path fails at manifest time. Route the
-    listing through the Hadoop FileSystem API (or write the manifest
-    from a downstream job) before pointing this at object storage."""
+    Works on ANY Hadoop-supported scheme: the parquet write goes
+    through Spark, and when ``path`` carries a scheme
+    (``file://``/``s3a://``/``hdfs://`` ...) the manifest step lists
+    the directory and reads FOOTERS through the session's Hadoop
+    FileSystem (`sources/hadoopfs.py` — footer-only positioned reads,
+    no data pages, no local-disk assumption). Scheme-less paths keep
+    the driver-local ``os``/``open`` fast path."""
     from ..operators.sampling import shuffle_rows
+    from . import hadoopfs
 
     ordered = shuffle_rows(df, key_col, seed=seed, n_shards=n_shards, keep_key=True)
     ordered.write.mode("overwrite").parquet(path)
 
     import pyarrow.parquet as pq
 
+    spark = df.sparkSession
+    use_hadoop = hadoopfs.is_uri(path)
+    if use_hadoop:
+        listing = [
+            (e.path.rsplit("/", 1)[1], e.path)
+            for e in hadoopfs.list_files(
+                spark, path, suffix=".parquet", recursive=False
+            )
+        ]
+    else:
+        listing = [
+            (fname, os.path.join(path, fname))
+            for fname in sorted(os.listdir(path))
+            if fname.endswith(".parquet")
+        ]
     shards = []
-    for fname in sorted(os.listdir(path)):
-        if not fname.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+    for fname, full in listing:
+        md = (
+            hadoopfs.read_parquet_metadata(spark, full)
+            if use_hadoop
+            else pq.ParquetFile(full).metadata
+        )
         lo = hi = None
         key_idx = None
         for ci in range(md.row_group(0).num_columns if md.num_row_groups else 0):
@@ -184,8 +203,12 @@ def write_training_shards(
         "n_rows": sum(s["n_rows"] for s in shards),
         "shards": shards,
     }
-    with open(os.path.join(path, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1)
+    payload = json.dumps(manifest, indent=1).encode()
+    if use_hadoop:
+        hadoopfs.write_bytes(spark, path.rstrip("/") + "/manifest.json", payload)
+    else:
+        with open(os.path.join(path, "manifest.json"), "wb") as fh:
+            fh.write(payload)
     return manifest
 
 
@@ -195,18 +218,28 @@ def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
     returned frame carries ``__shard_id`` (manifest position) and
     ``__shuffle_key``, so ``orderBy(__shard_id, __shuffle_key)``
     reproduces the global order inside Spark; a plain data loader just
-    streams the files sequentially. Same LOCAL-FS restriction as
-    ``write_training_shards``: the manifest is opened with driver-local
-    ``open``, so object-store paths need the manifest fetched/listed
-    through the Hadoop FileSystem API first."""
-    with open(os.path.join(path, "manifest.json")) as fh:
-        manifest = json.load(fh)
+    streams the files sequentially. Scheme'd paths
+    (``file://``/``s3a://``/...) fetch the manifest through the
+    session's Hadoop FileSystem (`sources/hadoopfs.py`); scheme-less
+    paths keep the driver-local ``open`` fast path — same routing as
+    ``write_training_shards``."""
+    from . import hadoopfs
+
+    if hadoopfs.is_uri(path):
+        manifest = json.loads(
+            hadoopfs.read_bytes(spark, path.rstrip("/") + "/manifest.json")
+        )
+        join = lambda f: path.rstrip("/") + "/" + f  # noqa: E731
+    else:
+        with open(os.path.join(path, "manifest.json")) as fh:
+            manifest = json.load(fh)
+        join = lambda f: os.path.join(path, f)  # noqa: E731
     parts = []
     for i, s in enumerate(manifest["shards"]):
         if s["n_rows"] == 0:
             continue
         parts.append(
-            spark.read.parquet(os.path.join(path, s["file"])).withColumn(
+            spark.read.parquet(join(s["file"])).withColumn(
                 "__shard_id", F.lit(i)
             )
         )

@@ -1,7 +1,5 @@
 package ihc;
 
-import java.util.HashSet;
-
 import org.apache.spark.sql.Encoder;
 import org.apache.spark.sql.Encoders;
 import org.apache.spark.sql.expressions.Aggregator;
@@ -28,23 +26,24 @@ import org.apache.spark.sql.expressions.Aggregator;
  *
  * Spark plans this as partial ObjectHashAggregate -> Exchange ->
  * final merge — structurally identical to the Impala partial/final
- * split the reference plugs into. State is a per-group HashSet
- * (mutated in place; Aggregator permits buffer reuse), so reduce is
- * O(1) per row and serialization happens only at the partial/final
- * boundary, exactly where the reference serializes.
+ * split the reference plugs into. State is a per-group
+ * {@link StringSetBuffer}: a plain in-memory HashSet (reduce is O(1)
+ * per row; Aggregator permits buffer reuse) that serializes itself as
+ * a front-coded sorted block at the partial/final boundary — compact
+ * bytes exactly where the reference serializes, nowhere else.
  */
 public final class HashSetCountAggregator
-    extends Aggregator<String, HashSet<String>, String> {
+    extends Aggregator<String, StringSetBuffer, String> {
 
-  private static final long serialVersionUID = 1L;
+  private static final long serialVersionUID = 2L;
 
   @Override
-  public HashSet<String> zero() {
-    return new HashSet<>();
+  public StringSetBuffer zero() {
+    return new StringSetBuffer();
   }
 
   @Override
-  public HashSet<String> reduce(HashSet<String> buf, String value) {
+  public StringSetBuffer reduce(StringSetBuffer buf, String value) {
     if (value != null) {
       buf.add(value);
     }
@@ -52,27 +51,22 @@ public final class HashSetCountAggregator
   }
 
   @Override
-  public HashSet<String> merge(HashSet<String> a, HashSet<String> b) {
-    if (a.size() < b.size()) { // union into the larger side
-      b.addAll(a);
-      return b;
-    }
-    a.addAll(b);
-    return a;
+  public StringSetBuffer merge(StringSetBuffer a, StringSetBuffer b) {
+    return a.union(b);
   }
 
   @Override
-  public String finish(HashSet<String> buf) {
+  public String finish(StringSetBuffer buf) {
     return buf.isEmpty() ? null : Long.toString(buf.size());
   }
 
-  @SuppressWarnings("unchecked")
   @Override
-  public Encoder<HashSet<String>> bufferEncoder() {
+  public Encoder<StringSetBuffer> bufferEncoder() {
     // the Serialize boundary: partial state -> bytes across the
-    // Exchange (kryo keeps it compact; the contract is the split
-    // itself, not the wire format)
-    return Encoders.kryo((Class<HashSet<String>>) (Class<?>) HashSet.class);
+    // Exchange. StringSetBuffer is KryoSerializable, so kryo
+    // delegates to its front-coded writer (StringSetBuffer.write)
+    // instead of the stock CollectionSerializer.
+    return Encoders.kryo(StringSetBuffer.class);
   }
 
   @Override

@@ -38,10 +38,20 @@ def main() -> None:
     spark = get_spark("ihc-spark-bench")
 
     queries = {n: q for n, q in all_queries().items() if q.headline}
+    # SPARK_GRAFT_QUERIES=a,b,c restricts the run to a named subset —
+    # used for scale-stress runs (sf10) on the cheap-query set; the
+    # driver contract (unset -> full headline set) is unchanged
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        want = {s.strip() for s in subset.split(",") if s.strip()}
+        queries = {
+            n: q for n, q in all_queries().items() if n in want
+        }
 
     # Warm-up: session, codegen, parquet footer caches.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    materialize(queries["multi_distinct_lineitem"].fn(spark, sf_dir))
+    warm = queries.get("multi_distinct_lineitem") or next(iter(queries.values()))
+    materialize(warm.fn(spark, sf_dir))
 
     def time_min2(build) -> float:
         best = float("inf")
@@ -66,7 +76,8 @@ def main() -> None:
     # SPARK_GRAFT_ARMS=0 skips them (used for long scale-stress runs
     # at sf1+ where only the headline set is being scaled-checked).
     if os.environ.get("SPARK_GRAFT_ARMS", "1") != "0":
-        for name, q in sorted(all_queries().items()):
+        arm_source = all_queries() if not subset else queries
+        for name, q in sorted(arm_source.items()):
             for arm_name, arm_fn in (q.arms or {}).items():
                 arm_timings[f"{name}/{arm_name}"] = time_min2(arm_fn)
 

@@ -25,7 +25,15 @@ scaled table, built so per-query WORK scales LINEARLY (the property
 - embeddings perturb by +i*1e-3 per component: cluster geometry is
   preserved per copy without cross-copy exact ties.
 
-Usage: python tools/gen_sf1.py [dst_dir]   (default .localdata/sf1)
+Usage: python tools/gen_sf1.py [dst_dir] [copies]
+       (defaults: .localdata/sf1, 10)
+
+``copies`` scales the output: 10 -> sf1 (the r5 volume surface),
+100 -> sf10 (~60M lineitem rows — the second decade of the scaling
+curve the r5 verdict asked for). The construction is identical at any
+copy count; at 100 copies the per-copy transforms are driven by a
+copy-index column (one crossJoin with ``spark.range(copies)``) so the
+physical plan stays one branch instead of a 100-way union.
 """
 
 from __future__ import annotations
@@ -35,7 +43,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, functions as F  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from impala_hashset_count_spark.session import get_spark  # noqa: E402
 
@@ -85,6 +93,7 @@ def main() -> None:
             "sf1",
         )
     )
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
     os.makedirs(dst, exist_ok=True)
     spark = get_spark("gen-sf1")
 
@@ -114,46 +123,58 @@ def main() -> None:
 
     for table, key_cols in KEYS.items():
         base = src[table]
-        parts: list[DataFrame] = []
-        for i in range(COPIES):
-            df = base
-            for kc in key_cols:
-                df = df.withColumn(
-                    kc, F.col(kc) + F.lit(i * offsets[OWNER[kc]])
-                )
-            for tc in TS_COLS.get(table, []):
-                shift = i * spans[(table, tc)]
-                df = df.withColumn(
-                    tc,
-                    (
-                        F.col(tc).cast("timestamp").cast("long") + F.lit(shift)
-                    ).cast("timestamp").cast(dict(base.dtypes)[tc]),
-                )
-            if table == "documents" and i > 0:
-                suffixed = F.array_join(
-                    F.transform(
-                        F.split(F.col("text"), " "),
-                        lambda w: F.when(w == "", w).otherwise(
-                            F.concat(w, F.lit(f"wx{i}"))
-                        ),
+        # one copy-index crossJoin drives every per-copy transform:
+        # identical rows to the union-of-copies form, but the plan is
+        # ONE branch — essential at 100 copies (sf10)
+        ci = F.col("__copy")
+        df = base.crossJoin(
+            F.broadcast(
+                spark.range(copies).select(F.col("id").alias("__copy"))
+            )
+        )
+        for kc in key_cols:
+            df = df.withColumn(
+                kc, F.col(kc) + ci * F.lit(offsets[OWNER[kc]])
+            )
+        for tc in TS_COLS.get(table, []):
+            df = df.withColumn(
+                tc,
+                (
+                    F.col(tc).cast("timestamp").cast("long")
+                    + ci * F.lit(spans[(table, tc)])
+                ).cast("timestamp").cast(dict(base.dtypes)[tc]),
+            )
+        if table == "documents":
+            suffixed = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.when(w == "", w).otherwise(
+                        F.concat(w, F.lit("wx"), ci.cast("string"))
                     ),
-                    " ",
-                )
-                df = df.withColumn("text", suffixed).withColumn(
-                    "n_chars", F.length("text").cast("long")
-                )
-            if table == "embeddings" and i > 0:
-                df = df.withColumn(
-                    "embedding",
+                ),
+                " ",
+            )
+            df = df.withColumn(
+                "text", F.when(ci == 0, F.col("text")).otherwise(suffixed)
+            ).withColumn(
+                "n_chars",
+                F.when(ci == 0, F.col("n_chars")).otherwise(
+                    F.length("text").cast("long")
+                ),
+            )
+        if table == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(ci == 0, F.col("embedding")).otherwise(
                     F.transform(
                         F.col("embedding"),
-                        lambda x: (x + F.lit(i * 1e-3)).cast("float"),
-                    ),
-                )
-            parts.append(df)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+                        lambda x: (x + ci.cast("double") * F.lit(1e-3)).cast(
+                            "float"
+                        ),
+                    )
+                ),
+            )
+        out = df.drop("__copy")
         out.repartition(32).write.mode("overwrite").parquet(
             f"{dst}/{table}.parquet"
         )

@@ -234,3 +234,125 @@ def test_sf1_star_components_equal_min_label_at_volume(spark):
     b = sorted(map(tuple, near_dup_components_star(pairs).collect()))
     assert a == b
     pairs.unpersist()
+
+
+def test_sf1_stream_bitmap_maintenance_at_volume(spark, tmp_path):
+    """The exact-distinct bitmap maintenance face at 10x volume
+    (r5 verdict #7): sf1 events streamed as two real micro-batches
+    fold into the stored word-state; the maintained count must equal
+    the direct countDistinct over all 3M rows, and a fresh-checkpoint
+    replay must reproduce it exactly — BIT_OR idempotence observed
+    structural at volume, not just on the 400-row fixture."""
+    from impala_hashset_count_spark.operators.bitmap_distinct import (
+        bitmap_count,
+    )
+    from impala_hashset_count_spark.streaming.windows import (
+        read_snapshot,
+        stream_bitmap_distinct_maintenance,
+    )
+
+    ev = _t(spark, "events").select("event_id", "event_type", "user_id")
+    src = str(tmp_path / "bm_src")
+    for half in ("event_id % 2 = 0", "event_id % 2 = 1"):
+        ev.filter(half).coalesce(4).write.mode("append").parquet(src)
+    snap = str(tmp_path / "bm_snap")
+    schema = "event_id bigint, event_type string, user_id bigint"
+
+    def drain(ck):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "4"
+        ).parquet(src)
+        q = stream_bitmap_distinct_maintenance(
+            stream, snap, ck, ["event_type"], "user_id"
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain(str(tmp_path / "bm_ck1"))
+    got = sorted(
+        map(
+            tuple,
+            bitmap_count(read_snapshot(spark, snap), ["event_type"]).collect(),
+        )
+    )
+    expect = sorted(
+        map(
+            tuple,
+            ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("distinct_count"))
+            .collect(),
+        )
+    )
+    assert got == expect
+    assert sum(n for _g, n in got) > 100_000  # really at volume
+
+    drain(str(tmp_path / "bm_ck2"))
+    replay = sorted(
+        map(
+            tuple,
+            bitmap_count(read_snapshot(spark, snap), ["event_type"]).collect(),
+        )
+    )
+    assert replay == expect
+
+
+def test_sf1_stream_span_dedup_at_volume(spark, tmp_path):
+    """The streaming exact-substring span face at 10x volume
+    (r5 verdict #7): sf1 documents streamed as two real micro-batches.
+    Second-occurrence semantics make the ground truth sharp: a batch-2
+    doc sees history (batch 1) + itself = the full corpus, so its
+    streamed spans must equal the full batch recompute EXACTLY for
+    those docs; batch-1 docs must equal the batch-1-only recompute.
+    The maintained gram index must equal the direct gram count over
+    everything."""
+    from impala_hashset_count_spark.operators.substring_dedup import (
+        duplicated_spans,
+        gram_count_index,
+    )
+    from impala_hashset_count_spark.streaming.windows import stream_span_dedup
+
+    docs = _t(spark, "documents").select("doc_id", "text")
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    src = str(tmp_path / "sp_src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    spans_path = str(tmp_path / "sp_spans")
+    index_path = str(tmp_path / "sp_idx")
+
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = stream_span_dedup(
+        stream, spans_path, index_path, str(tmp_path / "sp_ck"),
+        min_tokens=20,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = spark.read.parquet(spans_path + "/batch=*")
+    full = duplicated_spans(docs, min_tokens=20)
+    b1_only = duplicated_spans(b1, min_tokens=20)
+
+    got_b2 = sorted(map(tuple, streamed.filter("doc_id % 2 = 1").collect()))
+    exp_b2 = sorted(map(tuple, full.filter("doc_id % 2 = 1").collect()))
+    assert got_b2 == exp_b2
+    assert len(got_b2) > 0  # the sf1 corpus really has cross-half dups
+
+    got_b1 = sorted(map(tuple, streamed.filter("doc_id % 2 = 0").collect()))
+    exp_b1 = sorted(map(tuple, b1_only.collect()))
+    assert got_b1 == exp_b1
+
+    import os as _os
+
+    vs = sorted(
+        int(d.split("=")[1])
+        for d in _os.listdir(index_path)
+        if d.startswith("v=")
+    )
+    idx = spark.read.parquet(_os.path.join(index_path, f"v={vs[-1]}"))
+    direct = gram_count_index(docs, min_tokens=20)
+    assert idx.agg(F.sum("__n")).first()[0] == direct.agg(
+        F.sum("__n")
+    ).first()[0]
+    assert idx.count() == direct.count()

@@ -1391,9 +1391,11 @@ _SIMHASH_ORACLE = r"""
         SELECT DISTINCT doc_id, UNNEST(LIST_DISTINCT(wmins)) AS fp FROM w2
     ),
     wsz AS (SELECT doc_id, COUNT(*) AS sz FROM wfp GROUP BY doc_id),
+    wrare AS (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) <= 128),
+    wg AS (SELECT w.doc_id, w.fp FROM wfp w JOIN wrare USING (fp)),
     wp AS (
         SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_shared
-        FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        FROM wg a JOIN wg b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 3
     )
     SELECT 'simhash' AS tag, id_1, id_2,
@@ -1448,6 +1450,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-document similarity is negligible). The fingerprint values
     are exact mod-2^31-1 int64 arithmetic, so the oracle recomputes
     signature -> inverted index -> pair counts value-for-value.
+
+    Round-6: the winnow arm runs with ``max_fp_docs=128`` — the
+    ubiquity guard that drops corpus-wide boilerplate fingerprints
+    BEFORE the inverted-index self-join — and the oracle mirrors the
+    guard (``wrare`` CTE), so the guard's exact semantics (pairing
+    universe pruned, signature sizes stay full) sit UNDER the driver
+    hash. This is the production posture: at the sf1 sweep volume the
+    unguarded join materializes 5.6e9 intermediate rows (top
+    fingerprints reach 35k docs — measured r6), which is the quadratic
+    blowup the guard exists to prevent; guarded it is 8.5e6 rows.
     Output: (tag, id_1, id_2, n1, n2, n3) — simhash rows carry
     hamming in n1; winnow rows carry n_shared / sz_1 / sz_2."""
     from ..operators.dedup import winnow_shared_passages
@@ -1462,7 +1474,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n3"),
     )
     win = winnow_shared_passages(
-        d, "doc_id", "text", window=8, stride=4, min_shared=3
+        d, "doc_id", "text", window=8, stride=4, min_shared=3,
+        max_fp_docs=128,
     ).select(
         F.lit("winnow").alias("tag"),
         "id_1",

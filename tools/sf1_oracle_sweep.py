@@ -118,10 +118,68 @@ def _cc_iterative_oracle_fn(oracle_sql: str):
     return run
 
 
+def _pack_greedy_oracle_fn(oracle_sql: str):
+    """Volume-safe oracle for `train_pack_greedy`: the entry's sf0.01
+    oracle replays the greedy scan as a linear recursive CTE, which
+    DuckDB executes as one join (and one working-table hash build) PER
+    DOCUMENT — ~10k-deep recursion per lang at sf1 took 810 s and then
+    OOMed during fetch (SF1_SWEEP_r06 first pass). The packing scan is
+    inherently sequential per group, so at volume the sweep keeps the
+    entry's own token-count derivation (the `t` CTE, verbatim) in
+    DuckDB and replays ONLY the O(n) greedy fold in a Python loop over
+    the ordered (lang, rn) stream — same ground truth, linear time,
+    O(1) state per lang — then surfaces the result as a DuckDB temp
+    table so the folded compare consumes it like any other cursor."""
+    t_sql, _ = oracle_sql.split(",\n        p AS (", 1)
+    t_sql = t_sql.split("WITH RECURSIVE t AS (", 1)[1].rsplit(")", 1)[0]
+
+    def run(con: duckdb.DuckDBPyConnection):
+        cur = con.execute(
+            f"SELECT lang, doc_id, n_tokens FROM ({t_sql}) ORDER BY lang, rn"
+        )
+        out = []
+        state: dict = {}
+        while True:
+            rows = cur.fetchmany(65536)
+            if not rows:
+                break
+            for lang, doc_id, n_tokens in rows:
+                bin_id, fill = state.get(lang, (None, None))
+                if bin_id is None:
+                    bin_id, fill, off = 1, n_tokens, 0
+                elif fill + n_tokens > 512:
+                    bin_id, fill, off = bin_id + 1, n_tokens, 0
+                else:
+                    off = fill
+                    fill = fill + n_tokens
+                state[lang] = (bin_id, fill)
+                out.append((lang, doc_id, n_tokens, bin_id, off))
+        con.execute(
+            "CREATE TEMP TABLE __packed ("
+            "lang VARCHAR, doc_id BIGINT, n_tokens INTEGER, "
+            "bin_id BIGINT, seq_offset BIGINT)"
+        )
+        con.executemany(
+            "INSERT INTO __packed VALUES (?, ?, ?, ?, ?)", out
+        )
+        return con.execute(
+            "SELECT lang, doc_id, n_tokens, bin_id, seq_offset FROM __packed"
+        )
+
+    return run
+
+
 def _duckdb_connection_dirs(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """gen_sf1.py writes Spark directory tables; register views over
-    the part files (the sf0.x harness reads single-file tables)."""
+    the part files (the sf0.x harness reads single-file tables).
+    Memory/temp limits are explicit: DuckDB's default budget (80% of
+    RAM) ignores the 24g Spark JVM sharing the box — the r6 first
+    pass lost `train_pack_greedy` to exactly that co-tenancy OOM — and
+    an explicit temp_directory keeps heavy oracles spilling to a
+    volume with known headroom instead of dying."""
     con = duckdb.connect()
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_sweep_tmp'")
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "
@@ -161,6 +219,12 @@ def main() -> None:
                     oracle_fn=_cc_iterative_oracle_fn(q.oracle),
                 )
                 status = {"status": "MATCH", "mode": "folded+iterative-cc"}
+            elif name == "train_pack_greedy":
+                oh.compare_query_folded(
+                    spark, sf_dir, name, q.fn, q.oracle,
+                    oracle_fn=_pack_greedy_oracle_fn(q.oracle),
+                )
+                status = {"status": "MATCH", "mode": "folded+linear-pack"}
             else:
                 oh.compare_query_folded(spark, sf_dir, name, q.fn, q.oracle)
                 status = {"status": "MATCH", "mode": "folded"}

@@ -240,7 +240,7 @@ def test_sf1_stream_bitmap_maintenance_at_volume(spark, tmp_path):
     """The exact-distinct bitmap maintenance face at 10x volume
     (r5 verdict #7): sf1 events streamed as two real micro-batches
     fold into the stored word-state; the maintained count must equal
-    the direct countDistinct over all 3M rows, and a fresh-checkpoint
+    the direct countDistinct over all 1M rows, and a fresh-checkpoint
     replay must reproduce it exactly — BIT_OR idempotence observed
     structural at volume, not just on the 400-row fixture."""
     from impala_hashset_count_spark.operators.bitmap_distinct import (
@@ -284,7 +284,10 @@ def test_sf1_stream_bitmap_maintenance_at_volume(spark, tmp_path):
         )
     )
     assert got == expect
-    assert sum(n for _g, n in got) > 100_000  # really at volume
+    # really at volume: the maintained state folded >= 1M input rows
+    # (the distinct-user sum itself is only 75k — 25k offset users x 3
+    # event types — so row count, not NDV, is the volume witness)
+    assert ev.count() >= 1_000_000
 
     drain(str(tmp_path / "bm_ck2"))
     replay = sorted(

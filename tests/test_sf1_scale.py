@@ -59,7 +59,9 @@ def test_sf1_guarded_udaf_routes_hot_group_and_stays_exact(spark):
     ship_package(spark)
     li = _t(spark, "documents")
     total = li.count()
-    assert total == 50_000
+    # 5,000 docs per sf0.1 copy: 50k at sf1, 500k at sf10 — the test is
+    # scale-agnostic so the same suite re-runs at any gen_sf1.py SF
+    assert total >= 50_000 and total % 5_000 == 0
     out = hashset_count_df_guarded(
         li, ["lang"], "text", max_group_rows=int(0.3 * total)
     )
@@ -163,7 +165,7 @@ def test_sf1_gap_fill_degrades_to_pinned_merge_join(spark):
     # the fill join is NOT broadcast (the spine/counts legs degrade)
     assert "BroadcastHashJoin" not in plan.split("SortMergeJoin")[0]
     total = out.agg(F.sum("n_events")).first()[0]
-    assert total == 1_000_000
+    assert total == ev.count()  # every event accounted, at any SF
 
 
 def test_sf1_binned_join_wide_interval_leg_fires(spark):

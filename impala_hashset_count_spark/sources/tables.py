@@ -14,6 +14,7 @@ is the primary path (TESTDATA.md).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,8 +42,22 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Per-session memo of loaded tables: ``spark.read.parquet`` pays a
+# driver-side file listing + footer schema read (~0.1 s of py4j and
+# FileIndex work) on EVERY call, and the registry entries re-load the
+# same static tables for each query. DataFrames are immutable logical
+# plans, so reusing one per (session, dir, table) is semantics-free;
+# the WeakKeyDictionary lets a stopped session's plans be collected.
+# The star-schema dirs are static by contract (TESTDATA.md) — paths
+# whose contents change mid-session must not go through load_table.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar scan of one star-schema table.
+    """Columnar scan of one star-schema table (memoized per session —
+    see ``_TABLE_MEMO``).
 
     ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects; we read nanos as long and convert to a
@@ -51,6 +66,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    if key in memo:
+        return memo[key]
+    memo[key] = df = _load_table_uncached(spark, sf_dir, name)
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))

@@ -25,8 +25,10 @@ scaled table, built so per-query WORK scales LINEARLY (the property
 - embeddings perturb by +i*1e-3 per component: cluster geometry is
   preserved per copy without cross-copy exact ties.
 
-Usage: python tools/gen_sf1.py [dst_dir] [copies]
-       (defaults: .localdata/sf1, 10)
+Usage: python tools/gen_sf1.py [dst_dir] [copies] [tables]
+       (defaults: .localdata/sf1, 10, all tables;
+        `tables` is a comma-separated subset — region/nation are
+        always copied — for e.g. a TPC-H-only sf100)
 
 ``copies`` scales the output: 10 -> sf1 (the r5 volume surface),
 100 -> sf10 (~60M lineitem rows — the second decade of the scaling
@@ -94,6 +96,11 @@ def main() -> None:
         )
     )
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
+    # optional 4th arg: comma-separated table subset (plus region/nation,
+    # always copied) — at copies=1000 (sf100, a ~600M-row lineitem) only
+    # the TPC-H-shaped tables are needed for the third-decade bench and
+    # the text/embedding tables would dominate generation time and disk
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(dst, exist_ok=True)
     spark = get_spark("gen-sf1")
 
@@ -122,10 +129,18 @@ def main() -> None:
             spans[(table, col)] = int((hi - lo).total_seconds()) + 86400
 
     for table, key_cols in KEYS.items():
+        if only is not None and table not in only:
+            print(f"{table}: skipped (subset)")
+            continue
         base = src[table]
         # one copy-index crossJoin drives every per-copy transform:
         # identical rows to the union-of-copies form, but the plan is
         # ONE branch — essential at 100 copies (sf10)
+        # repartition BEFORE the explode: shuffling the base rows is
+        # O(source), shuffling the exploded output is O(source*copies)
+        # — at copies=1000 that is the difference between a 17 MB and
+        # a ~20 GB exchange for the same 32-way write parallelism
+        base = base.repartition(32)
         ci = F.col("__copy")
         df = base.crossJoin(
             F.broadcast(
@@ -175,7 +190,7 @@ def main() -> None:
                 ),
             )
         out = df.drop("__copy")
-        out.repartition(32).write.mode("overwrite").parquet(
+        out.write.mode("overwrite").parquet(
             f"{dst}/{table}.parquet"
         )
         n = spark.read.parquet(f"{dst}/{table}.parquet").count()

@@ -156,3 +156,61 @@ def hashset_count_jvm_agg(col: str | Column, name: str = DEFAULT_NAME) -> Column
     not guaranteed round-trippable SQL for aliased/complex columns)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.call_udf(name, c)
+
+
+def hashset_count_jvm_guarded(
+    df,
+    group_cols,
+    value_col: str,
+    max_group_ndv: int = 300_000,
+    rsd: float = 0.05,
+    name: str = DEFAULT_NAME,
+):
+    """The JVM tier with its OWN production guard — routed by per-group
+    DISTINCT cardinality, not row count.
+
+    The pandas tier's hazard is whole-group colocation, so
+    ``hashset_count_df_guarded`` routes by group SIZE. The JVM
+    Aggregator has a real partial/merge split (no colocation), so size
+    is harmless — its degradation zone is the one the reference
+    documents for itself (`/root/reference/README.md:10-11`: built for
+    "moderate" cardinalities, ~300k per group; beyond that the hash-set
+    state and its serialized exchange buffer grow with NDV, measured
+    at sf10 where per-group NDV is 100x sf0.1's and the jvm arm is the
+    family's heaviest ratio). Groups whose ESTIMATED distinct count
+    (``approx_count_distinct``, one partial-aggregated pass, default
+    rsd 5%) exceeds ``max_group_ndv`` route to tier a — Spark's
+    codegen'd count(DISTINCT) with spillable UnsafeRow partial state
+    and the IDENTICAL output contract (decimal-string count, NULL on
+    all-NULL) — while moderate-NDV groups keep the faithful
+    zero/reduce/serialize/merge/finish lifecycle. Default threshold =
+    the reference's own sweet spot. The estimator pass is the
+    documented guard prerequisite; pipelines that know their NDV
+    histogram pass the hot-key list directly (same two-groupBy shape).
+
+    NULL-safe on group keys (``eqNullSafe`` against the broadcast
+    hot-key list) for the same reason as ``_route_by_group_size``: the
+    NULL group is the canonical hot key."""
+    from .hashset_count import hashset_count_agg
+
+    ndv = df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(value_col, rsd).alias("__ndv")
+    )
+    big_keys = F.broadcast(
+        ndv.filter(F.col("__ndv") > max_group_ndv).select(
+            *[F.col(c).alias(f"__k_{c}") for c in group_cols]
+        )
+    )
+    cond = None
+    for c in group_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+        cond = eq if cond is None else cond & eq
+    small = df.join(big_keys, cond, "left_anti")
+    big = df.join(big_keys, cond, "left_semi")
+    small_out = small.groupBy(*group_cols).agg(
+        hashset_count_jvm_agg(value_col, name).alias("hashset_count")
+    )
+    big_out = big.groupBy(*group_cols).agg(
+        hashset_count_agg(value_col, faithful=True).alias("hashset_count")
+    )
+    return small_out.unionByName(big_out)

@@ -191,3 +191,46 @@ def test_front_coded_buffer_wire_format(spark):
     sz_fc, _ = serialize(fc)
     # measured ~0.19x at n=30k; assert a conservative bound
     assert sz_fc < 0.5 * sz_hs, (sz_fc, sz_hs)
+
+
+def test_jvm_guarded_routes_by_group_ndv_and_stays_exact(spark):
+    """The JVM tier's production guard routes by per-group DISTINCT
+    cardinality (the reference's own degradation axis — README.md:10-11
+    — not group size, which the partial/merge split already handles):
+    one high-NDV group must take the tier-a codegen route, the
+    moderate-NDV groups the JVM lifecycle, and the merged output must
+    equal exact distinct counts under the reference's string/NULL
+    contract. A NULL group key rides the hot route (eqNullSafe)."""
+    from impala_hashset_count_spark.operators.jvm_udaf import (
+        hashset_count_jvm_guarded,
+    )
+
+    register_jvm_udaf(spark)
+    rows = (
+        [("hot", str(i)) for i in range(5000)]          # NDV 5000
+        + [("warm", str(i % 40)) for i in range(400)]   # NDV 40
+        + [(None, str(i)) for i in range(3000)]         # NULL key, NDV 3000
+        + [("allnull", None)] * 10                      # all-NULL -> NULL
+    )
+    df = spark.createDataFrame(rows, "g string, v string").repartition(8)
+    out = hashset_count_jvm_guarded(
+        df, ["g"], "v", max_group_ndv=1000, rsd=0.02
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both routes in one plan: the JVM Aggregator leg and the
+    # codegen'd count(distinct) leg
+    assert "partial_hashset_count_jvm" in plan
+    assert "count(distinct" in plan or "count(DISTINCT" in plan
+    got = {r.g: r.hashset_count for r in out.collect()}
+    assert got == {"hot": "5000", "warm": "40", None: "3000",
+                   "allnull": None}
+    # the routing had work on both sides: hot+NULL groups exceeded the
+    # threshold, warm/allnull stayed under it
+    ndv = {
+        r.g: r.d
+        for r in df.groupBy("g")
+        .agg(F.count_distinct("v").alias("d"))
+        .collect()
+    }
+    assert sum(1 for v in ndv.values() if v > 1000) == 2
+    assert sum(1 for v in ndv.values() if v <= 1000) == 2

@@ -1126,6 +1126,12 @@ def winnow_shared_passages(
 
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
+    # persist the inverted index: it feeds BOTH join sides, the sizes
+    # aggregate, and (under the guard) the rare-fp filter — without
+    # this Catalyst re-derives the Arrow fingerprint projection (the
+    # dominant per-row cost: one corpus scan through Python per
+    # consumer) up to four times, visible as four ArrowEvalPython
+    # scans in the physical plan
     fps = df.select(
         F.col(id_col),
         F.explode(
@@ -1133,7 +1139,7 @@ def winnow_shared_passages(
                 winnowing_fingerprint_poly(text_col, window, stride)
             )
         ).alias("fp"),
-    ).distinct()
+    ).distinct().persist()
     sizes = fps.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_fp_docs is not None:
         rare = (

@@ -9,10 +9,12 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Each query is materialized with the noop sink (full execution, no
 driver-side collect cost). A tiny warm-up query first amortizes JVM/
 codegen startup out of the per-query numbers; each query then runs
-twice and reports the min — the first run pays one-off Janino
-compilation of its generated code (seconds for the wide signature
-expressions), which is plan-compile cost, not per-byte execution cost,
-and would dominate tiny-SF timings while being irrelevant at 100 TB.
+SPARK_GRAFT_REPS times (default 3) and reports the min — the first
+run pays one-off Janino compilation of its generated code (seconds
+for the wide signature expressions), which is plan-compile cost, not
+per-byte execution cost, and would dominate tiny-SF timings while
+being irrelevant at 100 TB; the extra repetition damps the ~25%
+inter-run variance this box shows at sub-second query sizes.
 """
 
 from __future__ import annotations
@@ -53,9 +55,17 @@ def main() -> None:
     warm = queries.get("multi_distinct_lineitem") or next(iter(queries.values()))
     materialize(warm.fn(spark, sf_dir))
 
-    def time_min2(build) -> float:
+    # Repetitions per query: min-of-3 by default (this box shows ~25%
+    # inter-run variance at sub-second query sizes, and the round-6
+    # floors are tight enough that one slow pass of a 0.3 s query reads
+    # as a 1.5x ratio). Scale-stress runs (sf1+) set SPARK_GRAFT_REPS=2
+    # or 1 — at tens of seconds per query the variance is already
+    # amortized and a third pass only costs wall-clock.
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+
+    def time_best(build) -> float:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             materialize(build(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -68,7 +78,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     arm_timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
-        timings[name] = time_min2(q.fn)
+        timings[name] = time_best(q.fn)
     # Per-arm attribution for multi-arm entries — ALL of them, headline
     # or not: each arm is a standalone plan (shared sub-plans rebuilt),
     # so arm times attribute growth to a family; they need not sum to
@@ -79,7 +89,7 @@ def main() -> None:
         arm_source = all_queries() if not subset else queries
         for name, q in sorted(arm_source.items()):
             for arm_name, arm_fn in (q.arms or {}).items():
-                arm_timings[f"{name}/{arm_name}"] = time_min2(arm_fn)
+                arm_timings[f"{name}/{arm_name}"] = time_best(arm_fn)
 
     total = round(sum(timings.values()), 3)
     out = {

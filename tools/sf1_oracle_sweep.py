@@ -169,6 +169,46 @@ def _pack_greedy_oracle_fn(oracle_sql: str):
     return run
 
 
+class _SequentialBranches:
+    """Cursor-shaped adapter that executes each top-level UNION ALL
+    branch of a multi-branch oracle as its OWN DuckDB query and streams
+    the results in sequence. The folded compare is an order-insensitive
+    modular sum, so branch-at-a-time folding is bit-identical to one
+    cursor over the whole UNION — but peak DuckDB memory drops from the
+    SUM of every branch's working set (shared CTEs, the xrm window and
+    ordered STRING_AGG states all live at once) to the MAX of one
+    branch's. The r6 sf10 probe lost `dedup_exact_stats` to exactly
+    that compounding: every branch measured individually fits well
+    under the 48GB limit (worst 71 s / xsub_fp), while the single-query
+    form peaks near the limit and died under Spark JVM co-tenancy.
+    The SQL text itself is the entry's own oracle, unchanged."""
+
+    def __init__(self, con: duckdb.DuckDBPyConnection, oracle_sql: str):
+        # WITH-prefix ends at the first top-level branch; top-level
+        # branch separators are exactly "\n    UNION ALL\n" (the inline
+        # "UNION ALL SELECT ..." forms inside bloom/drift subqueries
+        # don't match the newline-bracketed pattern)
+        first = oracle_sql.index("\n    SELECT ")
+        self._with = oracle_sql[:first]
+        self._branches = oracle_sql[first:].split("\n    UNION ALL\n")
+        self._con = con
+        self._cur = con.execute(self._with + self._branches[0])
+        self._next = 1
+        self.description = self._cur.description
+
+    def fetchmany(self, n: int):
+        while True:
+            rows = self._cur.fetchmany(n)
+            if rows:
+                return rows
+            if self._next >= len(self._branches):
+                return []
+            self._cur = self._con.execute(
+                self._with + self._branches[self._next]
+            )
+            self._next += 1
+
+
 def _duckdb_connection_dirs(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """gen_sf1.py writes Spark directory tables; register views over
     the part files (the sf0.x harness reads single-file tables).
@@ -219,6 +259,14 @@ def main() -> None:
                     oracle_fn=_cc_iterative_oracle_fn(q.oracle),
                 )
                 status = {"status": "MATCH", "mode": "folded+iterative-cc"}
+            elif name == "dedup_exact_stats":
+                oh.compare_query_folded(
+                    spark, sf_dir, name, q.fn, q.oracle,
+                    oracle_fn=lambda con, _sql=q.oracle: _SequentialBranches(
+                        con, _sql
+                    ),
+                )
+                status = {"status": "MATCH", "mode": "folded+branch-split"}
             elif name == "train_pack_greedy":
                 oh.compare_query_folded(
                     spark, sf_dir, name, q.fn, q.oracle,

@@ -71,6 +71,55 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # The reference's own operator family (SURVEY.md §2.1)
 # =====================================================================
 
+def multi_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state twin of ``multi_distinct_lineitem`` — same result,
+    Expand-free physical plan for the regime the sf100 measurement
+    exposed (ROUND6_NOTES §8): Catalyst's multi-distinct rewrite dedups
+    (group, value) pairs in the MAP-side partial aggregate, whose hash
+    state is input-split-determined — at 600M rows / ~45M distinct
+    pairs every scan task carries a near-full shard of the pair
+    universe on one heap (GC pressure in local mode; on a cluster,
+    executor-memory sizing pressure).
+
+    This variant chooses the other side of the classic trade: shuffle
+    RAW (group, column_id, value) rows first — ``stack`` is the manual
+    Expand, the explicit ``repartition`` on the full dedup key moves
+    the Exchange BELOW both aggregates — so the dedup hash state any
+    single task holds is exactly one shuffle partition's shard
+    (total_pairs / spark.sql.shuffle.partitions), tunable at submit
+    time, at the cost of shuffling 3x raw rows instead of partially
+    deduped pairs. At high per-group NDV the map-side dedup buys
+    little compression anyway (most pairs are unique within a split),
+    so the extra shuffle volume is near-free while the state cap is
+    real. NULL handling matches COUNT(DISTINCT ...): NULL values ride
+    the shuffle but are excluded from the distinct counts; ``n_rows``
+    is the SUM of the cid=0 branch's pre-dedup multiplicities, NULLs
+    included."""
+    li = _t(spark, sf_dir, "lineitem")
+    ex = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 0, l_partkey, 1, l_suppkey, 2, l_orderkey)"
+        ).alias("cid", "v"),
+    )
+    ded = (
+        ex.repartition("l_returnflag", "cid", "v")
+        .groupBy("l_returnflag", "cid", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    return ded.groupBy("l_returnflag").agg(
+        F.count(F.when((F.col("cid") == 0) & F.col("v").isNotNull(), True))
+        .alias("distinct_parts"),
+        F.count(F.when((F.col("cid") == 1) & F.col("v").isNotNull(), True))
+        .alias("distinct_supps"),
+        F.count(F.when((F.col("cid") == 2) & F.col("v").isNotNull(), True))
+        .alias("distinct_orders"),
+        F.sum(F.when(F.col("cid") == 0, F.col("c")))
+        .cast("long")
+        .alias("n_rows"),
+    )
+
+
 @register(
     "multi_distinct_lineitem",
     oracle="""
@@ -83,6 +132,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         GROUP BY l_returnflag
     """,
     headline=True,
+    arms={"twophase": multi_distinct_twophase},
 )
 def multi_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP — the reference's motivating workload: multiple exact

@@ -126,3 +126,24 @@ def test_tolerant_compare_accepts_float_noise_rejects_real_drift(
             spark, sf_small, "q1", noisy(1e-4), q.oracle, rel=1e-9
         )
     assert math.isclose(1.0, 1.0 + 1e-12, rel_tol=1e-9)
+
+
+def test_branch_split_oracle_is_fold_identical(spark, sf_small):
+    """The sf10 sweep executes multi-branch oracles branch-at-a-time
+    (tools/sf1_oracle_sweep._SequentialBranches) so DuckDB's peak is
+    one branch's working set, not all of them at once. The fold is an
+    order-insensitive modular sum, so the branch-split cursor must
+    produce the exact signal of the single-cursor oracle — proven here
+    by running the full folded compare through the adapter on the
+    9-branch hygiene oracle."""
+    from tools.sf1_oracle_sweep import _SequentialBranches
+
+    q = all_queries()["dedup_exact_stats"]
+    compare_query_folded(
+        spark,
+        sf_small,
+        "dedup_exact_stats",
+        q.fn,
+        q.oracle,
+        oracle_fn=lambda con: _SequentialBranches(con, q.oracle),
+    )

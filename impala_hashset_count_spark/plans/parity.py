@@ -466,6 +466,58 @@ def _bmd_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hct_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 'auto[<route>]_*' rows — ADAPTIVE tier routing
+    # (operators/auto_route.py): the engine picks the physical tier
+    # (bitmap / spillable codegen distinct / faithful UDAF) from ONE
+    # deterministic stats job, the way AQE picks join strategies — the
+    # executable form of the reference's prose capacity advice
+    # (`README.md:10-11`). The chosen route is BAKED INTO the tier
+    # string, so the driver hash certifies the routing DECISION (the
+    # oracle recomputes the stats and the branch arithmetic verbatim)
+    # as well as the routed counts. Three inputs exercise the decision
+    # space: a dense integer id (bitmap), a string key under a low
+    # threshold (spillable at bench SFs), and document text under the
+    # reference's own 300k boundary (faithful at bench SFs) — at
+    # larger SFs a route may legitimately flip, and the oracle flips
+    # with it, because both sides compute the same arithmetic.
+    from ..operators.auto_route import hashset_count_auto
+
+    def tag(pair, name, gcol):
+        df, route = pair
+        return df.select(
+            F.lit(f"auto[{route}]_{name}").alias("tier"),
+            F.col(gcol).alias("group_key"),
+            "hashset_count",
+        )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_linestatus", "l_partkey")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+    return (
+        tag(
+            hashset_count_auto(li, ["l_linestatus"], "l_partkey"),
+            "lineitem", "l_linestatus",
+        )
+        .union(
+            tag(
+                hashset_count_auto(
+                    ev, ["event_type"], "uid", ndv_threshold=200
+                ),
+                "events", "event_type",
+            )
+        )
+        .union(
+            tag(
+                hashset_count_auto(d, ["lang"], "text"),
+                "documents", "lang",
+            )
+        )
+    )
+
+
 _HCT_ARMS = {
     "idiomatic": _hct_idiomatic,
     "rdd": _hct_rdd,
@@ -477,6 +529,7 @@ _HCT_ARMS = {
     "bitmap_count": _bmd_count,
     "bitmap_state": _bmd_state,
     "bitmap_setops": _bmd_setops,
+    "auto": _hct_auto,
 }
 
 
@@ -670,6 +723,86 @@ _HCT_ARMS = {
             UNION ALL
             SELECT 'bitmap_only_b', rf, CAST(ob AS VARCHAR) FROM st
         )
+        UNION ALL
+        SELECT 'auto[' || CASE WHEN st.nnz = 0 THEN 'faithful_udaf'
+                               WHEN st.vmax - st.vmin < 67108864
+                                    THEN 'bitmap'
+                               WHEN st.smax * 64 > 300000
+                                    THEN 'spillable_distinct'
+                               ELSE 'faithful_udaf' END
+               || ']_lineitem' AS tier,
+               cnt.group_key, cnt.hashset_count
+        FROM (
+            SELECT COALESCE(SUM(nn), 0) AS nnz, COALESCE(MAX(s), 0) AS smax,
+                   MIN(lo) AS vmin, MAX(hi) AS vmax
+            FROM (
+                SELECT l_linestatus, COUNT(l_partkey) AS nn,
+                       COUNT(DISTINCT CASE
+                           WHEN CAST('0x' || substr(
+                                md5(CAST(l_partkey AS VARCHAR)), 1, 13)
+                                AS BIGINT) < 70368744177664
+                           THEN l_partkey END) AS s,
+                       MIN(CAST(l_partkey AS BIGINT)) AS lo,
+                       MAX(CAST(l_partkey AS BIGINT)) AS hi
+                FROM lineitem GROUP BY l_linestatus)
+        ) st
+        CROSS JOIN (
+            SELECT l_linestatus AS group_key,
+                   CASE WHEN COUNT(l_partkey) = 0 THEN NULL
+                        ELSE CAST(COUNT(DISTINCT l_partkey) AS VARCHAR)
+                   END AS hashset_count
+            FROM lineitem GROUP BY l_linestatus
+        ) cnt
+        UNION ALL
+        SELECT 'auto[' || CASE WHEN st.nnz = 0 THEN 'faithful_udaf'
+                               WHEN st.smax * 64 > 200
+                                    THEN 'spillable_distinct'
+                               ELSE 'faithful_udaf' END
+               || ']_events' AS tier,
+               cnt.group_key, cnt.hashset_count
+        FROM (
+            SELECT COALESCE(SUM(nn), 0) AS nnz, COALESCE(MAX(s), 0) AS smax
+            FROM (
+                SELECT event_type, COUNT(user_id) AS nn,
+                       COUNT(DISTINCT CASE
+                           WHEN CAST('0x' || substr(
+                                md5(CAST(user_id AS VARCHAR)), 1, 13)
+                                AS BIGINT) < 70368744177664
+                           THEN CAST(user_id AS VARCHAR) END) AS s
+                FROM events GROUP BY event_type)
+        ) st
+        CROSS JOIN (
+            SELECT event_type AS group_key,
+                   CASE WHEN COUNT(user_id) = 0 THEN NULL
+                        ELSE CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR))
+                                  AS VARCHAR)
+                   END AS hashset_count
+            FROM events GROUP BY event_type
+        ) cnt
+        UNION ALL
+        SELECT 'auto[' || CASE WHEN st.nnz = 0 THEN 'faithful_udaf'
+                               WHEN st.smax * 64 > 300000
+                                    THEN 'spillable_distinct'
+                               ELSE 'faithful_udaf' END
+               || ']_documents' AS tier,
+               cnt.group_key, cnt.hashset_count
+        FROM (
+            SELECT COALESCE(SUM(nn), 0) AS nnz, COALESCE(MAX(s), 0) AS smax
+            FROM (
+                SELECT lang, COUNT(text) AS nn,
+                       COUNT(DISTINCT CASE
+                           WHEN CAST('0x' || substr(md5(text), 1, 13)
+                                AS BIGINT) < 70368744177664
+                           THEN text END) AS s
+                FROM documents GROUP BY lang)
+        ) st
+        CROSS JOIN (
+            SELECT lang AS group_key,
+                   CASE WHEN COUNT(text) = 0 THEN NULL
+                        ELSE CAST(COUNT(DISTINCT text) AS VARCHAR)
+                   END AS hashset_count
+            FROM documents GROUP BY lang
+        ) cnt
     """,
 )
 def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,6 +869,17 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     no estimate), the exact counterpart of the kmv_* estimate rows and
     the operation the reference's union-only merge cannot express.
 
+    The 'auto[<route>]_*' rows (r7) are the ADAPTIVE tier router
+    (``operators/auto_route.py``): the engine itself picks the physical
+    tier — bitmap / spillable codegen distinct / faithful UDAF — from
+    one deterministic stats job (exact count/min/max plus a seedless
+    hash-sampled per-group NDV estimate), the executable form of the
+    reference's prose capacity advice (`README.md:10-11`, the 300k
+    boundary of `hashset-count.cc:67`). The chosen route is baked into
+    the tier tag and the oracle recomputes the stats and the branch
+    arithmetic verbatim, so the driver hash certifies the routing
+    DECISION, not just the routed counts.
+
     Each tier is built by its own ``_hct_*`` / ``_bmd_*`` helper — the
     same builders serve as the entry's bench ARMS, so BENCH per-round
     records attribute the entry's cost tier by tier."""
@@ -750,6 +894,7 @@ def hashset_count_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(_bmd_count(spark, sf_dir))
         .union(_bmd_state(spark, sf_dir))
         .union(_bmd_setops(spark, sf_dir))
+        .union(_hct_auto(spark, sf_dir))
     )
 
 

@@ -165,6 +165,7 @@ def hashset_count_auto(
     bitmap_max_range: int = 1 << 26,
     ndv_threshold: int = 300_000,
     sample_shift: int = 6,
+    stats: RouteStats | None = None,
 ) -> tuple[DataFrame, str]:
     """Grouped exact distinct count with ENGINE-CHOSEN physical tier.
 
@@ -174,9 +175,19 @@ def hashset_count_auto(
     NULL-not-0 contract) — and ``route`` names the tier the stats
     selected. Exactly one tier is planned; the stats job is the only
     extra work.
+
+    ``stats``: pass a previously computed :class:`RouteStats` to skip
+    the stats pass entirely — the production path at corpus scale,
+    where the numbers come from a maintained catalog (ANALYZE-style
+    table stats, or the repo's own stored sketch/state tables) rather
+    than a fresh full-table scan per query. Every field is exact and
+    content-derived, so a cached row stays valid until the data
+    changes — and a STALE row can only mis-route, never mis-count:
+    all three tiers return identical values.
     """
     group_cols = list(group_cols)
-    stats = auto_route_stats(df, group_cols, value_col, sample_shift)
+    if stats is None:
+        stats = auto_route_stats(df, group_cols, value_col, sample_shift)
     route = choose_route(stats, bitmap_max_range, ndv_threshold)
     if route == ROUTE_BITMAP:
         out = bitmap_distinct_count(df, group_cols, value_col)

@@ -154,6 +154,31 @@ def test_route_decision_mirrored_by_duckdb(spark, tmp_path):
     assert sql_route == route
 
 
+def test_precomputed_stats_skip_the_stats_pass(spark):
+    """The catalog path: a cached RouteStats routes without touching
+    the data, and a STALE row mis-routes but never mis-counts."""
+    from impala_hashset_count_spark.operators.auto_route import RouteStats
+
+    df = spark.range(4_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 500).alias("v"),
+    )
+    fresh = auto_route_stats(df, ["g"], "v")
+    out, route = hashset_count_auto(df, ["g"], "v", stats=fresh)
+    assert route == ROUTE_BITMAP
+    assert _counts(out) == _direct(df, "g", "v")
+
+    # a stale/cross-table stats row forcing the spillable tier still
+    # returns the identical exact answer
+    stale = RouteStats(
+        nnz=10**9, smax=10**7, vmin=None, vmax=None,
+        integral=False, sample_shift=6,
+    )
+    out2, route2 = hashset_count_auto(df, ["g"], "v", stats=stale)
+    assert route2 == ROUTE_SPILLABLE
+    assert _counts(out2) == _direct(df, "g", "v")
+
+
 @pytest.mark.parametrize("shift", [4, 6, 10])
 def test_sample_shift_changes_estimate_not_counts(spark, shift):
     df = spark.range(6_000).select(

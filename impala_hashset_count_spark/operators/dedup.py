@@ -976,25 +976,95 @@ def embedding_near_dup_pairs(
     vec_col: str,
     threshold: float,
     block_col: str | None = None,
+    lsh_bands: int | None = None,
+    lsh_rows: int = 8,
+    lsh_dim: int = 64,
+    lsh_seed: int = 42,
 ) -> DataFrame:
     """Pairs with round(cosine,6) >= threshold. ``block_col`` restricts
-    pairing to equal blocking keys (label, LSH bucket, IVF cell...) —
-    the knob that keeps this sub-quadratic at scale. Thresholding on the
-    ROUNDED cosine keeps the boundary decision engine-deterministic."""
-    cols = [F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1")]
-    cols2 = [F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2")]
-    on = [F.col("id_1") < F.col("id_2")]
-    if block_col is not None:
-        cols.append(F.col(block_col).alias("blk_1"))
-        cols2.append(F.col(block_col).alias("blk_2"))
-        on.append(F.col("blk_1") == F.col("blk_2"))
-    a, b = df.select(*cols), df.select(*cols2)
-    cond = on[0]
-    for extra in on[1:]:
-        cond = cond & extra
+    pairing to equal blocking keys (label, LSH bucket, IVF cell...).
+    Thresholding on the ROUNDED cosine keeps the boundary decision
+    engine-deterministic.
+
+    ``lsh_bands``: REQUIRED for scale when the block key's cardinality
+    is bounded (a label/language/source column). A bounded key means
+    block SIZE grows linearly with the corpus, so within-block
+    all-pairs candidates grow QUADRATICALLY — measured at the r7 sf10
+    sweep: 2e9 candidate pairs, each evaluating an interpreted 64-dim
+    ``aggregate`` cosine inside the join condition, wedging 32 cores
+    for an hour on data that takes 50 s at sf1. With ``lsh_bands``
+    set, each vector gets ``lsh_bands`` sign-bit band values from
+    integer-quantized fixed hyperplanes (the SAME deterministic
+    machinery as ``similarity.lsh_topk`` — Arrow numpy matmul,
+    bit-identical to the SQL mirror), candidates are pairs agreeing
+    on ANY band within the block, and only candidates pay the exact
+    cosine. The pair DEFINITION becomes "banded-LSH candidate AND
+    cosine >= threshold" — the standard sub-quadratic semantics of
+    production semantic dedup (candidates come from the index; the
+    minhash-LSH text tier works the same way), deterministic and
+    exactly SQL-mirrorable. Recall for genuine near-dups is high and
+    rises with bands (cos 0.95 -> ~0.93/bit, ~0.43/8-bit band,
+    ~0.99 for >=1 of 8 bands); candidate volume per block falls
+    ~2^rows-fold. Size ``lsh_rows`` so blocks/2^rows stays O(100)
+    at the target corpus."""
+    blk = [F.col(block_col).alias("__blk")] if block_col is not None else []
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), *blk
+    )
+    if lsh_bands is not None:
+        from .similarity import _int_hyperplanes, _signature_bands_arrow
+
+        planes = _int_hyperplanes(lsh_dim, lsh_bands * lsh_rows, lsh_seed)
+        sig = _signature_bands_arrow(base, "__v", planes, lsh_bands, lsh_rows)
+        a = sig.select(
+            F.col("__id").alias("id_1"), F.col("__v").alias("v1"),
+            *[F.col("__blk").alias("blk_1")] if block_col else [],
+            F.col("band_id").alias("bid_1"), F.col("band_val").alias("bv_1"),
+        )
+        b = sig.select(
+            F.col("__id").alias("id_2"), F.col("__v").alias("v2"),
+            *[F.col("__blk").alias("blk_2")] if block_col else [],
+            F.col("band_id").alias("bid_2"), F.col("band_val").alias("bv_2"),
+        )
+        cond = (
+            (F.col("id_1") < F.col("id_2"))
+            & (F.col("bid_1") == F.col("bid_2"))
+            & (F.col("bv_1") == F.col("bv_2"))
+        )
+        if block_col is not None:
+            cond = cond & (F.col("blk_1") == F.col("blk_2"))
+        # Score AT the band match and dedup AFTER the threshold: a
+        # pair matching in k bands is scored k times (k <= bands, and
+        # the rounded cosine is identical each time, so the pair-dedup
+        # is value-stable) — but the dropDuplicates SHUFFLE then
+        # carries only the SURVIVING (id, id, cos) rows. The first
+        # r7 form deduped candidates BEFORE scoring, which shipped
+        # both 64-double vectors with every candidate pair through
+        # the exchange: ~60 GB of shuffle at sf10 (6e7 candidates x
+        # ~1 KB) — it filled the disk. Order of operations is the
+        # scale decision here, not the operator set.
+        return (
+            a.join(b, cond)
+            .withColumn("cos_sim", F.round(cosine("v1", "v2"), 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_1", "id_2", "cos_sim")
+            .dropDuplicates(["id_1", "id_2"])
+        )
+    else:
+        cols = [F.col("__id").alias("id_1"), F.col("__v").alias("v1")]
+        cols2 = [F.col("__id").alias("id_2"), F.col("__v").alias("v2")]
+        on = [F.col("id_1") < F.col("id_2")]
+        if block_col is not None:
+            cols.append(F.col("__blk").alias("blk_1"))
+            cols2.append(F.col("__blk").alias("blk_2"))
+            on.append(F.col("blk_1") == F.col("blk_2"))
+        aa, bb = base.select(*cols), base.select(*cols2)
+        cond = on[0]
+        for extra in on[1:]:
+            cond = cond & extra
+        cand = aa.join(bb, cond).select("id_1", "id_2", "v1", "v2")
     return (
-        a.join(b, cond)
-        .withColumn("cos_sim", F.round(cosine("v1", "v2"), 6))
+        cand.withColumn("cos_sim", F.round(cosine("v1", "v2"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_1", "id_2", "cos_sim")
     )

@@ -1487,32 +1487,104 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.unionByName(win)
 
 
-_COS_PAIR_ORACLE = """
+def _cos_band_oracle(
+    dim: int = 64, bands: int = 8, rows: int = 8, seed: int = 42
+) -> str:
+    """DuckDB mirror of the BANDED embedding near-dup pipeline: the
+    SAME integer hyperplane literals the entry's Arrow signature
+    matmul uses (both from ``_int_hyperplanes(dim, bands*rows,
+    seed)``), the same floor-based int64 vector quantization and band
+    bit-packing (the `_lsh_oracle_ctes` discipline — integer sums are
+    summation-order independent, so the mirror is bit-identical to
+    the numpy matmul), then DISTINCT same-(label, band) candidate
+    pairs and the exact rounded-cosine threshold."""
+    from ..operators.similarity import VEC_QUANT_SCALE, _int_hyperplanes
+
+    planes = _int_hyperplanes(dim, bands * rows, seed)
+
+    def bit(j: int) -> str:
+        lits = ", ".join(str(x) for x in planes[j])
+        return (
+            f"CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v, [{lits}]), "
+            f"x -> CAST(FLOOR(CAST(x[1] AS DOUBLE) * {VEC_QUANT_SCALE!r}"
+            f" + 0.5) AS BIGINT) * x[2])) > 0 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    bit_cols = ",\n               ".join(
+        f"{bit(j)} AS b{j}" for j in range(bands * rows)
+    )
+    band_vals = ", ".join(
+        "({}, {})".format(
+            b, " + ".join(f"(b{b * rows + r} << {r})" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    cos = (
+        "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(x.v, y.v), z -> z[1] * z[2]))"
+        " / (SQRT(LIST_SUM(LIST_TRANSFORM(x.v, t -> t * t)))"
+        " * SQRT(LIST_SUM(LIST_TRANSFORM(y.v, t -> t * t))))"
+    )
+    return f"""
     WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
+    ),
+    ebits AS (
+        SELECT vec_id, label, v,
+               {bit_cols}
+        FROM e
+    ),
+    ebands AS (
+        SELECT vec_id, label, f.band_id, f.band_val
+        FROM ebits, LATERAL (VALUES {band_vals}) AS f(band_id, band_val)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+        FROM ebands a
+        JOIN ebands b
+          ON a.label = b.label AND a.band_id = b.band_id
+         AND a.band_val = b.band_val AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
-           ROUND(
-             LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.v, b.v), x -> x[1] * x[2]))
-             / (SQRT(LIST_SUM(LIST_TRANSFORM(a.v, x -> x * x)))
-                * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> x * x)))), 6) AS cos_sim
-    FROM e a
-    JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(
-             LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.v, b.v), x -> x[1] * x[2]))
-             / (SQRT(LIST_SUM(LIST_TRANSFORM(a.v, x -> x * x)))
-                * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> x * x)))), 6) >= 0.4
+    SELECT c.id_1, c.id_2, ROUND({cos}, 6) AS cos_sim
+    FROM cand c
+    JOIN e x ON x.vec_id = c.id_1
+    JOIN e y ON y.vec_id = c.id_2
+    WHERE ROUND({cos}, 6) >= 0.4
 """
 
 
-@register("dedup_embedding_cosine", oracle=_COS_PAIR_ORACLE)
+@register("dedup_embedding_cosine", oracle=_cos_band_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.4) blocked on label —
-    blocking is what keeps semantic dedup sub-quadratic at scale."""
+    """Embedding near-dup pairs: banded hyperplane-LSH candidates
+    within each label block, verified by the exact rounded cosine
+    (>= 0.4).
+
+    Round 7 changed this entry from within-label ALL-PAIRS to
+    banded-LSH candidates + exact verification — the same
+    candidate/verify shape as the minhash-LSH text tier. The sf10
+    sweep caught the all-pairs form wedging 32 cores: `label` is a
+    BOUNDED-cardinality block key, so block size grows linearly with
+    the corpus and the within-block candidate set quadratically —
+    2e9 candidate pairs at sf10, each evaluating an interpreted
+    64-dim `aggregate` cosine inside the join condition (50 s at sf1,
+    over an hour at sf10; the same bounded-key blowup class as the
+    r6 winnow-arm finding, `dedup_simhash`). With 8 bands x 8 sign
+    bits from the integer-quantized fixed hyperplanes
+    (`operators/similarity._int_hyperplanes`, seed 42 — the proven
+    SQL-mirrorable signature machinery of the `lsh` ANN tier),
+    candidates are pairs agreeing on ANY band within the label, so
+    per-block candidates shrink ~2^8-fold while genuine near-dups
+    (cos >= 0.9, per-bit agreement ~0.9) survive with p ~= 0.99.
+    The oracle recomputes quantization, 64 sign bits, band packing,
+    the DISTINCT candidate join, and the exact cosine verbatim —
+    candidate GENERATION and verification both sit under the driver
+    hash; recall vs all-pairs is asserted in
+    tests/test_dedup_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.4, block_col="label"
+        e, "vec_id", "embedding", threshold=0.4, block_col="label",
+        lsh_bands=8, lsh_rows=8,
     )
 
 

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from impala_hashset_count_spark.operators.dedup import (
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -946,3 +947,55 @@ def test_star_components_hypothesis_equals_union_find(spark):
         assert got == model
 
     run()
+
+
+def test_banded_embedding_near_dup_recall_and_subset(spark):
+    """The r7 banded form of `embedding_near_dup_pairs`: candidates
+    from 8x8-bit hyperplane bands within the block. On a planted
+    corpus of near-dup clusters (the structure volume data actually
+    has — gen_sf1 makes perturbed copies), the banded pair set must be
+    a SUBSET of the all-pairs ground truth (verification is exact) and
+    keep >= 95% of the genuine near-dups (cos >= 0.9); and it must be
+    deterministic across partitionings (fixed planes, exact integer
+    signatures)."""
+    import math
+
+    # 60 deterministic base vectors, 5 near-copies each (tiny relative
+    # perturbation on two coordinates), labels split into 3 blocks
+    rows = []
+    for base in range(60):
+        v = [math.sin(0.1 * base * (i + 1)) + 2.0 for i in range(64)]
+        for c in range(5):
+            w = list(v)
+            w[c] *= 1.0 + 0.001 * (c + 1)
+            w[(c + 7) % 64] *= 1.0 - 0.001 * (c + 1)
+            rows.append((base * 10 + c, f"blk{base % 3}", w))
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+
+    allp = {
+        (r.id_1, r.id_2): r.cos_sim
+        for r in embedding_near_dup_pairs(
+            df, "vec_id", "embedding", 0.9, block_col="label"
+        ).collect()
+    }
+    band = {
+        (r.id_1, r.id_2): r.cos_sim
+        for r in embedding_near_dup_pairs(
+            df, "vec_id", "embedding", 0.9, block_col="label",
+            lsh_bands=8, lsh_rows=8,
+        ).collect()
+    }
+    assert set(band) <= set(allp)
+    assert all(band[k] == allp[k] for k in band)  # exact verification
+    # every cluster contributes C(5,2)=10 true near-dup pairs
+    assert len(allp) >= 60 * 10
+    assert len(band) >= 0.95 * len(allp)
+
+    band2 = {
+        (r.id_1, r.id_2)
+        for r in embedding_near_dup_pairs(
+            df.repartition(17), "vec_id", "embedding", 0.9,
+            block_col="label", lsh_bands=8, lsh_rows=8,
+        ).collect()
+    }
+    assert band2 == set(band)

@@ -134,16 +134,20 @@ def test_branch_split_oracle_is_fold_identical(spark, sf_small):
     one branch's working set, not all of them at once. The fold is an
     order-insensitive modular sum, so the branch-split cursor must
     produce the exact signal of the single-cursor oracle — proven here
-    by running the full folded compare through the adapter on the
-    9-branch hygiene oracle."""
-    from tools.sf1_oracle_sweep import _SequentialBranches
+    by running the full folded compare through the adapter on every
+    entry the sweep routes this way (the 9-branch hygiene oracle and
+    the 3-branch Jaccard oracle)."""
+    from tools.sf1_oracle_sweep import BRANCH_SPLIT, _SequentialBranches
 
-    q = all_queries()["dedup_exact_stats"]
-    compare_query_folded(
-        spark,
-        sf_small,
-        "dedup_exact_stats",
-        q.fn,
-        q.oracle,
-        oracle_fn=lambda con: _SequentialBranches(con, q.oracle),
-    )
+    for name in sorted(BRANCH_SPLIT):
+        q = all_queries()[name]
+        compare_query_folded(
+            spark,
+            sf_small,
+            name,
+            q.fn,
+            q.oracle,
+            oracle_fn=lambda con, _sql=q.oracle: _SequentialBranches(
+                con, _sql
+            ),
+        )

@@ -57,6 +57,16 @@ import tests.oracle_harness as oh  # noqa: E402
 # rel-tolerance at volume where IEEE summation order diverges
 TOLERANT_FLOAT = {"tpch_q1_pricing_summary": 1e-9, "join_star_revenue": 1e-9}
 
+# multi-branch oracles whose branches each fit the DuckDB memory limit
+# but whose single-cursor UNION compounds the working sets past it —
+# executed branch-at-a-time via _SequentialBranches (bit-identical
+# under the order-insensitive fold). dedup_exact_stats: the r6 sf10
+# probe's OOM. dedup_ngram_jaccard: same class found at the r7 sf10
+# sweep (exact + minhash + edit branches each verified standalone —
+# worst 388 s mcommon / 191 s mcand — while the one-cursor form died
+# at 45.5 GiB).
+BRANCH_SPLIT = {"dedup_exact_stats", "dedup_ngram_jaccard"}
+
 
 def _cc_iterative_oracle_fn(oracle_sql: str):
     """Build an oracle_fn for `dedup_transitive_components` that
@@ -259,7 +269,7 @@ def main() -> None:
                     oracle_fn=_cc_iterative_oracle_fn(q.oracle),
                 )
                 status = {"status": "MATCH", "mode": "folded+iterative-cc"}
-            elif name == "dedup_exact_stats":
+            elif name in BRANCH_SPLIT:
                 oh.compare_query_folded(
                     spark, sf_dir, name, q.fn, q.oracle,
                     oracle_fn=lambda con, _sql=q.oracle: _SequentialBranches(

@@ -1488,27 +1488,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cos_band_oracle(
-    dim: int = 64, bands: int = 8, rows: int = 8, seed: int = 42
+    dim: int = 64, bands: int = 8, rows: int = 10, seed: int = 42
 ) -> str:
     """DuckDB mirror of the BANDED embedding near-dup pipeline: the
     SAME integer hyperplane literals the entry's Arrow signature
     matmul uses (both from ``_int_hyperplanes(dim, bands*rows,
-    seed)``), the same floor-based int64 vector quantization and band
-    bit-packing (the `_lsh_oracle_ctes` discipline — integer sums are
-    summation-order independent, so the mirror is bit-identical to
-    the numpy matmul), then DISTINCT same-(label, band) candidate
-    pairs and the exact rounded-cosine threshold."""
+    seed)``), the same floor-based vector quantization and band
+    bit-packing, then DISTINCT same-(label, band) candidate pairs and
+    the exact rounded-cosine threshold.
+
+    The sign dots run through DuckDB's NATIVE ``list_dot_product``
+    kernel over the once-quantized vector (the first r7 form built a
+    64-struct ``LIST_ZIP`` per (row, plane) — 8e8 transient structs
+    at sf10, a 40-minute oracle). Exactness is unchanged: the
+    quantized components (<2^17) and plane coefficients (<2^14) are
+    integer-valued doubles whose 64-term dot (<2^38) is exactly
+    representable, so ANY summation order — numpy matmul, the
+    Catalyst fold, this kernel — yields the identical integer and
+    the identical sign bit."""
     from ..operators.similarity import VEC_QUANT_SCALE, _int_hyperplanes
 
     planes = _int_hyperplanes(dim, bands * rows, seed)
 
     def bit(j: int) -> str:
-        lits = ", ".join(str(x) for x in planes[j])
+        lits = ", ".join(f"{x}.0" for x in planes[j])
         return (
-            f"CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v, [{lits}]), "
-            f"x -> CAST(FLOOR(CAST(x[1] AS DOUBLE) * {VEC_QUANT_SCALE!r}"
-            f" + 0.5) AS BIGINT) * x[2])) > 0 THEN CAST(1 AS BIGINT) "
-            f"ELSE CAST(0 AS BIGINT) END"
+            f"CASE WHEN LIST_DOT_PRODUCT(q, [{lits}]) > 0 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
 
     bit_cols = ",\n               ".join(
@@ -1530,10 +1536,16 @@ def _cos_band_oracle(
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
     ),
-    ebits AS (
-        SELECT vec_id, label, v,
-               {bit_cols}
+    eq AS (
+        SELECT vec_id, label,
+               LIST_TRANSFORM(v, x -> FLOOR(x * {VEC_QUANT_SCALE!r} + 0.5))
+                   AS q
         FROM e
+    ),
+    ebits AS (
+        SELECT vec_id, label,
+               {bit_cols}
+        FROM eq
     ),
     ebands AS (
         SELECT vec_id, label, f.band_id, f.band_val
@@ -1580,11 +1592,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DISTINCT candidate join, and the exact cosine verbatim —
     candidate GENERATION and verification both sit under the driver
     hash; recall vs all-pairs is asserted in
-    tests/test_dedup_similarity.py."""
+    tests/test_dedup_similarity.py. (Band width is 10 bits — 1024
+    cells per band: at sf10's 200k vectors the 8-bit form still
+    produced ~6e7 candidate pairs, pushing the oracle's per-pair
+    cosine to tens of minutes; 10 bits cuts candidates ~6x while
+    keeping >=1-of-8-band recall ~1.0 for the >=0.99-cosine
+    perturbation clusters volume data actually contains.)"""
     e = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
         e, "vec_id", "embedding", threshold=0.4, block_col="label",
-        lsh_bands=8, lsh_rows=8,
+        lsh_bands=8, lsh_rows=10,
     )
 
 

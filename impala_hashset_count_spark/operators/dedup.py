@@ -493,14 +493,41 @@ def minhash_lsh_pairs(
         .select("id_1", "id_2")
         .distinct()
     )
-    # Exact verification of candidates only, against the per-doc arrays.
-    d1 = docs.select(F.col(id_col).alias("id_1"), F.col("shs").alias("shs_1"))
-    d2 = docs.select(F.col(id_col).alias("id_2"), F.col("shs").alias("shs_2"))
-    common = F.size(F.array_intersect("shs_1", "shs_2"))
-    jac = common / (F.size("shs_1") + F.size("shs_2") - common)
+    # Exact verification via the INVERTED-INDEX pair count, not by
+    # joining each candidate pair to both per-doc arrays: the r7 sf10
+    # sweep showed the array form ships every pair's two shingle-hash
+    # arrays (~1.5 KB each) through the second join's exchange —
+    # ~37 GB of shuffle for 2.5e7 within-cluster candidates, a
+    # disk-filling cost the narrow form does not have. Here the
+    # exploded (id, h) stream self-joins on h with the map-side
+    # partial count collapsing each task's output to distinct (id_1,
+    # id_2) partials (24-byte rows), and candidates inner-join the
+    # counts — a candidate sharing zero shingles (possible only via a
+    # permutation-hash collision) has jaccard 0 and was dropped by the
+    # threshold before, so the inner join preserves the output
+    # exactly. This is the mcommon shape of the entry's own DuckDB
+    # oracle, so plan and mirror now agree structurally too.
+    ex = docs.select(F.col(id_col), F.explode("shs").alias("__h"))
+    e1 = ex.select(F.col(id_col).alias("id_1"), "__h")
+    e2 = ex.select(F.col(id_col).alias("id_2"), "__h")
+    pair_common = (
+        e1.join(e2, "__h")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("__common"))
+    )
+    sizes = docs.select(
+        F.col(id_col), F.size("shs").alias("__sz")
+    )
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("__sz").alias("sz_1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("__sz").alias("sz_2"))
+    jac = F.col("__common") / (
+        F.col("sz_1") + F.col("sz_2") - F.col("__common")
+    )
     return (
-        candidates.join(d1, "id_1")
-        .join(d2, "id_2")
+        candidates.join(pair_common, ["id_1", "id_2"])
+        .join(s1, "id_1")
+        .join(s2, "id_2")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))

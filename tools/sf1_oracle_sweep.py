@@ -54,8 +54,18 @@ from impala_hashset_count_spark.sources.tables import TABLES  # noqa: E402
 import tests.oracle_harness as oh  # noqa: E402
 
 # plain-SQL float-SUM class: exact at the driver gate (sf0.01),
-# rel-tolerance at volume where IEEE summation order diverges
-TOLERANT_FLOAT = {"tpch_q1_pricing_summary": 1e-9, "join_star_revenue": 1e-9}
+# rel-tolerance at volume where IEEE summation order diverges.
+# grouping_analytics joined the class at the r7 sf10 sweep: its
+# ROLLUP/CUBE branches are deliberately STOCK SQL (`ROUND(SUM(qty),2)`
+# runs as one text on both engines), so at 60M rows the 2nd decimal
+# sits on the same summation-order boundary tpch_q1 documented at sf1.
+TOLERANT_FLOAT = {
+    "tpch_q1_pricing_summary": 1e-9,
+    "join_star_revenue": 1e-9,
+    "grouping_analytics": 1e-9,
+    "join_left_customer_orders": 1e-9,
+    "join_salted_skew": 1e-9,
+}
 
 # multi-branch oracles whose branches each fit the DuckDB memory limit
 # but whose single-cursor UNION compounds the working sets past it —
@@ -298,6 +308,15 @@ def main() -> None:
         results[name] = status
         print(json.dumps({"entry": name, **status}), flush=True)
         spark.catalog.clearCache()
+        # Shuffle files from completed entries are deleted by Spark's
+        # ContextCleaner only when the owning shuffle objects are
+        # GC'd; over a 50-entry sweep they otherwise ACCUMULATE on
+        # /tmp until the heaviest entry hits ENOSPC mid-shuffle (the
+        # r7 third-pass cascade: dedup_ngram_jaccard filled the disk,
+        # DuckDB temp writes failed two entries later, the JVM's
+        # Arrow allocator failed two after that, then the gateway
+        # died). One System.gc() per entry keeps the floor clean.
+        spark._jvm.System.gc()
 
     n_match = sum(1 for r in results.values() if r["status"] == "MATCH")
     print(

@@ -165,6 +165,23 @@ def compare_query_folded(
     sdf = fn(spark, sf_dir)
     s_cols, s_n, s_h = _fold_spark(sdf)
 
+    # The Spark side is DONE — release its shuffle files BEFORE the
+    # DuckDB side starts spilling, or the two sides' disk peaks stack
+    # (r7 sf10 sweep: the Jaccard entry's ~40 GB of shuffle residue
+    # was still on /tmp while its oracle needed ~30 GB of spill —
+    # ENOSPC, then a poisoned JVM). Python gc first so py4j's object
+    # registry drops the JVM-side plan references; then a JVM GC so
+    # ContextCleaner actually deletes the files.
+    import gc
+
+    del sdf
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark._jvm.System.gc()
+    except Exception:  # pragma: no cover - non-py4j sessions
+        pass
+
     con = duckdb_connection(sf_dir)
     try:
         res = oracle_fn(con) if oracle_fn is not None else con.execute(oracle)

@@ -37,6 +37,7 @@ end."""
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -315,7 +316,12 @@ def main() -> None:
         # r7 third-pass cascade: dedup_ngram_jaccard filled the disk,
         # DuckDB temp writes failed two entries later, the JVM's
         # Arrow allocator failed two after that, then the gateway
-        # died). One System.gc() per entry keeps the floor clean.
+        # died). PYTHON gc first — an errored entry's DataFrame stays
+        # pinned through py4j's object registry until Python collects
+        # (the fourth-pass lesson: ngram's residue outlived its entry
+        # and took hashset_count_tiers' oracle down) — then the JVM GC
+        # lets ContextCleaner delete the files.
+        gc.collect()
         spark._jvm.System.gc()
 
     n_match = sum(1 for r in results.values() if r["status"] == "MATCH")

@@ -1488,14 +1488,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cos_band_oracle(
-    dim: int = 64, bands: int = 8, rows: int = 10, seed: int = 42
+    dim: int = 64,
+    bands: int = 8,
+    rows: int = 10,
+    seed: int = 42,
+    k: int = 8,
+    iters: int = 3,
+    sd_threshold: float = 0.9,
 ) -> str:
-    """DuckDB mirror of the BANDED embedding near-dup pipeline: the
-    SAME integer hyperplane literals the entry's Arrow signature
-    matmul uses (both from ``_int_hyperplanes(dim, bands*rows,
-    seed)``), the same floor-based vector quantization and band
-    bit-packing, then DISTINCT same-(label, band) candidate pairs and
-    the exact rounded-cosine threshold.
+    """DuckDB mirror of the TAGGED embedding-dedup surface.
+
+    `pairs` tag — the banded near-dup pipeline: the SAME integer
+    hyperplane literals the entry's Arrow signature matmul uses (both
+    from ``_int_hyperplanes(dim, bands*rows, seed)``), the same
+    floor-based vector quantization and band bit-packing, then
+    DISTINCT same-(label, band) candidate pairs and the exact
+    rounded-cosine threshold.
 
     The sign dots run through DuckDB's NATIVE ``list_dot_product``
     kernel over the once-quantized vector (the first r7 form built a
@@ -1505,7 +1513,19 @@ def _cos_band_oracle(
     integer-valued doubles whose 64-term dot (<2^38) is exactly
     representable, so ANY summation order — numpy matmul, the
     Catalyst fold, this kernel — yields the identical integer and
-    the identical sign bit."""
+    the identical sign bit.
+
+    `sd_*` tags — the SemDeDup composition: the unrolled
+    `clustering.kmeans_oracle_ctes` chain recomputes the quantized
+    Lloyd iterations value-for-value (seeds by md5 rank, integer
+    distances, floor-div centroid updates), then the ebands index is
+    re-blocked by the FINAL CLUSTER instead of the label for the
+    within-cluster drop rule (drop id_2 iff some smaller id in the
+    same cluster has round(cos,6) >= ``sd_threshold``). Assignments
+    (with exact integer distances), final centroid components and
+    dropped ids all sit under the driver hash — the clustering
+    DECISION is certified, not just its row counts."""
+    from ..operators.clustering import kmeans_oracle_ctes
     from ..operators.similarity import VEC_QUANT_SCALE, _int_hyperplanes
 
     planes = _int_hyperplanes(dim, bands * rows, seed)
@@ -1530,6 +1550,10 @@ def _cos_band_oracle(
         "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(x.v, y.v), z -> z[1] * z[2]))"
         " / (SQRT(LIST_SUM(LIST_TRANSFORM(x.v, t -> t * t)))"
         " * SQRT(LIST_SUM(LIST_TRANSFORM(y.v, t -> t * t))))"
+    )
+    km_ctes, km_final = kmeans_oracle_ctes(
+        table="embeddings", id_col="vec_id", vec_col="embedding",
+        k=k, iters=iters, dim=dim,
     )
     return f"""
     WITH e AS (
@@ -1557,12 +1581,41 @@ def _cos_band_oracle(
         JOIN ebands b
           ON a.label = b.label AND a.band_id = b.band_id
          AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+    ),
+    {km_ctes},
+    sd_cand AS (
+        SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+        FROM ebands a
+        JOIN {km_final} ca ON ca.vec_id = a.vec_id
+        JOIN ebands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.vec_id < b.vec_id
+        JOIN {km_final} cb ON cb.vec_id = b.vec_id AND cb.c = ca.c
+    ),
+    sd_drop AS (
+        SELECT DISTINCT c.id_2
+        FROM sd_cand c
+        JOIN e x ON x.vec_id = c.id_1
+        JOIN e y ON y.vec_id = c.id_2
+        WHERE ROUND({cos}, 6) >= {sd_threshold!r}
     )
-    SELECT c.id_1, c.id_2, ROUND({cos}, 6) AS cos_sim
+    SELECT 'pairs' AS tag, c.id_1, c.id_2, CAST(NULL AS BIGINT) AS n,
+           ROUND({cos}, 6) AS cos_sim
     FROM cand c
     JOIN e x ON x.vec_id = c.id_1
     JOIN e y ON y.vec_id = c.id_2
     WHERE ROUND({cos}, 6) >= 0.4
+    UNION ALL
+    SELECT 'sd_assign', vec_id, c, CAST(dist AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM {km_final}
+    UNION ALL
+    SELECT 'sd_centroid', c, d, v, CAST(NULL AS DOUBLE)
+    FROM __km_cent{iters}
+    UNION ALL
+    SELECT 'sd_drop', id_2, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM sd_drop
 """
 
 
@@ -1597,11 +1650,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced ~6e7 candidate pairs, pushing the oracle's per-pair
     cosine to tens of minutes; 10 bits cuts candidates ~6x while
     keeping >=1-of-8-band recall ~1.0 for the >=0.99-cosine
-    perturbation clusters volume data actually contains.)"""
+    perturbation clusters volume data actually contains.)
+
+    Round-8 `sd_*` arms — the SemDeDup composition (cluster the
+    embedding space, prune near-dups WITHIN clusters): deterministic
+    quantized Lloyd k-means (`operators/clustering.kmeans_quantized` —
+    exact integer arithmetic, md5-rank seeding, fixed 3 iterations,
+    floor-div centroid updates; assignment is a zero-shuffle codegen
+    projection and each update is one map-side-combined groupBy to k
+    rows) feeds the SAME banded near-dup machinery with the CLUSTER as
+    the block key. Emitted under the driver hash: every final
+    assignment with its exact integer distance (`sd_assign`), all
+    k x dim final centroid components (`sd_centroid`), and the greedy
+    keep-smallest-id drop set at cos >= 0.9 (`sd_drop`) — the
+    clustering decision itself is oracle-certified, the first
+    iterative-ML operator in the repo with a full value hash."""
+    from ..operators.clustering import kmeans_quantized, semdedup_drops
+
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(
+    nul_n = F.lit(None).cast("long").alias("n")
+    nul_cos = F.lit(None).cast("double").alias("cos_sim")
+    pairs = embedding_near_dup_pairs(
         e, "vec_id", "embedding", threshold=0.4, block_col="label",
         lsh_bands=8, lsh_rows=10,
+    ).select(
+        F.lit("pairs").alias("tag"), "id_1", "id_2", nul_n, "cos_sim"
+    )
+    assign, cents = kmeans_quantized(e, "vec_id", "embedding", k=8, iters=3)
+    sd_assign = assign.select(
+        F.lit("sd_assign").alias("tag"),
+        F.col("vec_id").alias("id_1"),
+        F.col("cluster").alias("id_2"),
+        F.col("dist").alias("n"),
+        nul_cos,
+    )
+    sd_centroid = spark.createDataFrame(
+        [(c, d + 1, int(cents[c][d])) for c in range(len(cents))
+         for d in range(len(cents[0]))],
+        "id_1 long, id_2 long, n long",
+    ).select(F.lit("sd_centroid").alias("tag"), "id_1", "id_2", "n", nul_cos)
+    sd_drop = semdedup_drops(
+        e, "vec_id", "embedding", cents, threshold=0.9,
+        lsh_bands=8, lsh_rows=10,
+    ).select(
+        F.lit("sd_drop").alias("tag"),
+        F.col("vec_id").alias("id_1"),
+        F.lit(None).cast("long").alias("id_2"),
+        nul_n,
+        nul_cos,
+    )
+    return (
+        pairs.unionByName(sd_assign)
+        .unionByName(sd_centroid)
+        .unionByName(sd_drop)
     )
 
 

@@ -559,20 +559,37 @@ def resize_images(df: DataFrame, target: int = 224, decode: str = "stub") -> Dat
         "real": real_resize,
     }[decode]
 
+    # OUTPUT batches must be byte-bounded, not record-bounded: each
+    # resized row carries up to 3*target^2 payload bytes (~150 KB at
+    # 224), so yielding one frame per 10k-record INPUT batch builds
+    # ~1.5 GB Arrow buffers per task — at the sf10 sweep (500k docs,
+    # 32 tasks x >=10k-row partitions) the JVM's netty direct-memory
+    # pool blew up reading them (OutOfMemoryException in
+    # PythonArrowOutput), while smaller SFs squeaked through only
+    # because their partitions held fewer rows than one max batch.
+    # Chunking the YIELDS bounds every Arrow output batch to
+    # ~64 MB regardless of corpus size or partitioning.
+    out_row_bytes = max(3 * target * target, 1)
+    chunk_rows = max(1, (64 << 20) // out_row_bytes)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            res = pdf["payload"].map(lambda p: resize_fn(bytes(p), target))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "src_width": res.map(lambda r: r[0]).astype("int32"),
-                    "src_height": res.map(lambda r: r[1]).astype("int32"),
-                    "out_width": res.map(lambda r: r[2]).astype("int32"),
-                    "out_height": res.map(lambda r: r[3]).astype("int32"),
-                    "out_bytes": res.map(lambda r: len(r[4])).astype("int32"),
-                    "payload": res.map(lambda r: r[4]),
-                }
-            )
+            for s in range(0, len(pdf), chunk_rows):
+                sub = pdf.iloc[s : s + chunk_rows]
+                res = sub["payload"].map(
+                    lambda p: resize_fn(bytes(p), target)
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": sub["doc_id"],
+                        "src_width": res.map(lambda r: r[0]).astype("int32"),
+                        "src_height": res.map(lambda r: r[1]).astype("int32"),
+                        "out_width": res.map(lambda r: r[2]).astype("int32"),
+                        "out_height": res.map(lambda r: r[3]).astype("int32"),
+                        "out_bytes": res.map(lambda r: len(r[4])).astype("int32"),
+                        "payload": res.map(lambda r: r[4]),
+                    }
+                )
 
     return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
 

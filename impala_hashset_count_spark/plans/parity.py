@@ -1686,6 +1686,17 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _max_orderkey(orders: DataFrame) -> int:
+    """MAX(o_orderkey) — the data-derived offset base for the ivm
+    arm's synthetic insert keys (one scalar, bounded collect). A fixed
+    10M offset COLLIDED with real orderkeys at the sf10 sweep (the
+    volume generator's key-offsetting pushes max o_orderkey past any
+    fixed constant eventually): the oracle's UNION ALL kept both rows
+    where the keyed upsert replaced one — the engines were both
+    behaving correctly on two different intended inputs."""
+    return int(orders.agg(F.max("o_orderkey")).first()[0])
+
+
 @register(
     "join_left_customer_orders",
     oracle="""
@@ -1701,7 +1712,8 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE o_totalprice END AS o_totalprice
             FROM orders WHERE o_orderkey % 7 <> 2
             UNION ALL
-            SELECT o_orderkey + 10000000, o_custkey, 100.0
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+                   o_custkey, 100.0
             FROM orders WHERE o_orderkey % 7 = 3
         )
         SELECT 'left' AS tier, c.c_mktsegment,
@@ -1775,7 +1787,7 @@ def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             b.filter(F.col("o_orderkey") % 7 == 3).select(
-                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                (F.col("o_orderkey") + F.lit(_max_orderkey(orders) + 1)).alias("o_orderkey"),
                 "o_custkey",
                 F.lit(100.0).alias("o_totalprice"),
                 F.lit("U").alias("op"),

@@ -76,7 +76,22 @@ TOLERANT_FLOAT = {
 # sweep (exact + minhash + edit branches each verified standalone —
 # worst 388 s mcommon / 191 s mcand — while the one-cursor form died
 # at 45.5 GiB).
-BRANCH_SPLIT = {"dedup_exact_stats", "dedup_ngram_jaccard"}
+BRANCH_SPLIT = {
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard",
+    # r8: the tagged embedding entry gained the kmeans CTE chain and
+    # the within-cluster sd branches; the one-cursor form compounds
+    # the banded pairs join, the unrolled Lloyd chain AND the sd
+    # candidate DISTINCT into one working set (>76 GB of DuckDB temp
+    # at sf10 — ENOSPC running SOLO). Each of its four branches fits
+    # comfortably; the pairs branch alone passed at 827 s pre-change.
+    "dedup_embedding_cosine",
+    # r8: the 13-arm tier UNION spilled ~80 GB of temp at sf10 solo —
+    # the kmv/bitmap/auto recomputations each rebuild wide
+    # (group, hash/word) intermediates, and one cursor holds all of
+    # them; per-branch it is the max of one tier.
+    "hashset_count_tiers",
+}
 
 
 def _cc_iterative_oracle_fn(oracle_sql: str):
@@ -202,16 +217,72 @@ class _SequentialBranches:
     that compounding: every branch measured individually fits well
     under the 48GB limit (worst 71 s / xsub_fp), while the single-query
     form peaks near the limit and died under Spark JVM co-tenancy.
-    The SQL text itself is the entry's own oracle, unchanged."""
+    The SQL text itself is the entry's own oracle, unchanged.
 
-    def __init__(self, con: duckdb.DuckDBPyConnection, oracle_sql: str):
-        # WITH-prefix ends at the first top-level branch; top-level
-        # branch separators are exactly "\n    UNION ALL\n" (the inline
-        # "UNION ALL SELECT ..." forms inside bloom/drift subqueries
-        # don't match the newline-bracketed pattern)
-        first = oracle_sql.index("\n    SELECT ")
-        self._with = oracle_sql[:first]
-        self._branches = oracle_sql[first:].split("\n    UNION ALL\n")
+    ``factory`` (r8): a zero-arg connection builder. When given, each
+    branch runs on a FRESH connection and the previous one is CLOSED
+    first — releasing its spill files. Memory splitting per branch is
+    not enough on its own: DuckDB only frees temp storage when the
+    connection goes, so a heavy multi-branch oracle otherwise
+    accumulates the SUM of its branches' spills on disk even though
+    only one branch is live (the r8 sf10 rerun of
+    `dedup_ngram_jaccard` ENOSPC'd SOLO this way — ~70 GB of
+    accumulated temp under the 48 GB memory limit)."""
+
+    @staticmethod
+    def _split(oracle_sql: str) -> tuple[str, list[str]]:
+        """(shared WITH prefix, top-level UNION ALL branches) by PAREN
+        DEPTH, not indentation: a seam is a ``UNION ALL`` token at
+        depth 0 outside string literals, and the prefix ends at the
+        first depth-0 ``SELECT``. Subsumes the r7 4-space-indent
+        heuristic (those seams are depth-0 too) and handles oracles
+        with other indentation or no WITH clause at all
+        (`hashset_count_tiers`); inline UNION ALLs inside bloom/drift
+        subqueries sit at depth > 0 and are correctly skipped."""
+        depth = 0
+        first_select = -1
+        seams: list[int] = []
+        i, n = 0, len(oracle_sql)
+        while i < n:
+            ch = oracle_sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "'":
+                i += 1
+                while i < n and oracle_sql[i] != "'":
+                    i += 1
+            elif ch == "-" and oracle_sql.startswith("--", i):
+                # line comments may contain apostrophes/parens
+                while i < n and oracle_sql[i] != "\n":
+                    i += 1
+            elif depth == 0:
+                if first_select < 0 and oracle_sql.startswith("SELECT", i):
+                    first_select = i
+                elif oracle_sql.startswith("UNION ALL", i):
+                    seams.append(i)
+                    i += 8
+            i += 1
+        assert first_select >= 0, "oracle has no top-level SELECT"
+        prefix = oracle_sql[:first_select]
+        bounds = [first_select, *seams, n]
+        branches = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            body = oracle_sql[a:b]
+            if body.startswith("UNION ALL"):
+                body = body[len("UNION ALL"):]
+            branches.append(body)
+        return prefix, branches
+
+    def __init__(
+        self,
+        con: duckdb.DuckDBPyConnection,
+        oracle_sql: str,
+        factory=None,
+    ):
+        self._factory = factory
+        self._with, self._branches = self._split(oracle_sql)
         self._con = con
         self._cur = con.execute(self._with + self._branches[0])
         self._next = 1
@@ -223,7 +294,12 @@ class _SequentialBranches:
             if rows:
                 return rows
             if self._next >= len(self._branches):
+                if self._factory is not None:
+                    self._con.close()  # idempotent; harness re-closes
                 return []
+            if self._factory is not None:
+                self._con.close()  # release the finished branch's spill
+                self._con = self._factory()
             self._cur = self._con.execute(
                 self._with + self._branches[self._next]
             )
@@ -239,7 +315,15 @@ def _duckdb_connection_dirs(sf_dir: str) -> duckdb.DuckDBPyConnection:
     an explicit temp_directory keeps heavy oracles spilling to a
     volume with known headroom instead of dying."""
     con = duckdb.connect()
-    con.execute("SET memory_limit='48GB'")
+    # 48GB leaves room for the 24g Spark JVM; SPARK_GRAFT_SWEEP_DUCK_MEM
+    # raises it for solo reruns of spill-heavy oracles (less memory ->
+    # MORE spill: the ngram mcommon branch writes ~70 GB of temp under
+    # 48GB but runs nearly spill-free at 80GB on this 125G box).
+    con.execute(
+        "SET memory_limit='"
+        + os.environ.get("SPARK_GRAFT_SWEEP_DUCK_MEM", "48GB")
+        + "'"
+    )
     con.execute("SET temp_directory='/tmp/duckdb_sweep_tmp'")
     for name in TABLES:
         con.execute(
@@ -284,7 +368,8 @@ def main() -> None:
                 oh.compare_query_folded(
                     spark, sf_dir, name, q.fn, q.oracle,
                     oracle_fn=lambda con, _sql=q.oracle: _SequentialBranches(
-                        con, _sql
+                        con, _sql,
+                        factory=lambda: _duckdb_connection_dirs(sf_dir),
                     ),
                 )
                 status = {"status": "MATCH", "mode": "folded+branch-split"}

@@ -1583,14 +1583,24 @@ def _cos_band_oracle(
          AND a.band_val = b.band_val AND a.vec_id < b.vec_id
     ),
     {km_ctes},
+    sd_sig AS (
+        -- fold the cluster INTO the band signature before the
+        -- self-join so (c, band_id, band_val) is one equi-join key —
+        -- the Spark side's exact join shape. Writing the cluster as
+        -- a post-join filter instead lets the optimizer materialize
+        -- band-matched pairs ACROSS clusters first (~8x deeper
+        -- cells), which at the sf10 sweep meant joining two 64-double
+        -- vectors onto >100M candidate rows: >76 GB of temp, ENOSPC
+        -- even branch-at-a-time.
+        SELECT b.vec_id, a.c, b.band_id, b.band_val
+        FROM ebands b JOIN {km_final} a ON a.vec_id = b.vec_id
+    ),
     sd_cand AS (
         SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
-        FROM ebands a
-        JOIN {km_final} ca ON ca.vec_id = a.vec_id
-        JOIN ebands b
-          ON a.band_id = b.band_id AND a.band_val = b.band_val
-         AND a.vec_id < b.vec_id
-        JOIN {km_final} cb ON cb.vec_id = b.vec_id AND cb.c = ca.c
+        FROM sd_sig a
+        JOIN sd_sig b
+          ON a.c = b.c AND a.band_id = b.band_id
+         AND a.band_val = b.band_val AND a.vec_id < b.vec_id
     ),
     sd_drop AS (
         SELECT DISTINCT c.id_2

@@ -231,6 +231,26 @@ def distinct_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM events GROUP BY 1, 2
             )
         ) WHERE rnk <= 3
+          AND event_type IN (
+              SELECT event_type FROM events WHERE user_id IS NOT NULL
+              GROUP BY event_type
+              HAVING COUNT(DISTINCT CAST(user_id AS VARCHAR)) <= 65536
+          )
+        UNION ALL
+        -- the saturation sentinel, mirrored: a group whose EXACT
+        -- distinct-user count exceeds the sketch capacity emits
+        -- (rnk=0, NULL user, NULL count) instead of approximation
+        -- content — the ndv saturation_guard's contract, exact at
+        -- every SF (fires at the sf10 sweep: 150k users vs 65536)
+        SELECT 'topk_sk' AS kind, CAST(NULL AS BIGINT) AS user_id,
+               event_type,
+               CAST(NULL AS BIGINT) AS first_event_id,
+               CAST(0 AS BIGINT) AS n_sessions,
+               CAST(NULL AS BIGINT) AS n_events,
+               CAST(NULL AS VARCHAR) AS hashset_count
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY event_type
+        HAVING COUNT(DISTINCT CAST(user_id AS VARCHAR)) > 65536
     """,
 )
 def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,20 +292,22 @@ def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming frequent-items sketch's batch twin — the SAME
     # operator code (groupBy + sketch agg + in-array ranking is
     # engine-agnostic) run on the batch table, hash-mirrored by the
-    # exact top-3; max_items=65536 keeps the sketch in its exact
-    # regime with 10x headroom (distinct users per event_type are
-    # ~150/SF-0.01-unit: 1.5k at the bench SF, 15k at the sf1 stress —
-    # the r5 full-registry sf1 sweep caught the previous 4000-capacity
-    # sketch SATURATING there, where Spark's approx_top_k_estimate
-    # returns an EMPTY array; the operator now emits a sentinel row on
-    # saturation instead of silence, and this entry sizes capacity to
-    # stay exact through the stress SF). The live stream==batch
-    # equality is tests/test_streaming.py::
+    # exact top-3 WITHIN capacity and by the saturation sentinel
+    # beyond it (saturation_guard='ndv': distinct users per
+    # event_type are ~150/SF-0.01-unit — 1.5k at the bench SF, 15k at
+    # sf1, 150k at sf10, where 65536 slots saturate BY DESIGN and the
+    # r8 sweep caught the in-between regime: the estimate is neither
+    # exact nor empty but a shrunken eviction-defined array no oracle
+    # can reproduce; the ndv guard suppresses approximation content
+    # and the sentinel itself sits under the driver hash at every
+    # SF — capacity sizing is no longer a per-SF treadmill). The live
+    # stream==batch equality is tests/test_streaming.py::
     # test_stream_top_users_sketch_matches_batch_exact.
     from ..streaming.windows import stream_top_users_sketch
 
     tks = stream_top_users_sketch(
-        load_table(spark, sf_dir, "events"), k=3, max_items=65536
+        load_table(spark, sf_dir, "events"), k=3, max_items=65536,
+        saturation_guard="ndv",
     ).select(
         F.lit("topk_sk").alias("kind"),
         F.col("user_id").cast("long").alias("user_id"),

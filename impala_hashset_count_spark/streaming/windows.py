@@ -432,7 +432,10 @@ def stream_interval_join_full_outer(
 
 
 def stream_top_users_sketch(
-    events: DataFrame, k: int = 3, max_items: int = 1000
+    events: DataFrame,
+    k: int = 3,
+    max_items: int = 1000,
+    saturation_guard: str = "empty",
 ) -> DataFrame:
     """Streaming frequent-items: per event_type, the top-k most active
     users via the mergeable ``approx_top_k`` sketch — the frequency
@@ -453,23 +456,55 @@ def stream_top_users_sketch(
     saturated sketch reads as "resize max_items", not "no active
     users".
 
+    ``saturation_guard`` picks how saturation is DETECTED:
+
+    - ``"empty"`` (default, stream-safe): sentinel when the estimate
+      array comes back empty for a group that has rows — the only
+      signal available inside a streaming aggregation, where distinct
+      aggregates are disallowed. Beyond capacity but before emptiness
+      the sketch serves its approximation (the sketch's actual
+      production contract).
+    - ``"ndv"`` (batch twin): ONE extra ``count_distinct`` in the same
+      groupBy; any group whose EXACT distinct-user count exceeds
+      ``max_items`` emits the sentinel and its (no-longer-exact)
+      estimate is suppressed. This makes the twin's output
+      deterministic and oracle-expressible at EVERY scale: within
+      capacity the sketch is provably exact (tested), beyond it the
+      output is the saturation signal, never approximation content.
+      Added after the r8 sf10 sweep caught the in-between regime:
+      at 150k distinct users against 65536 slots the estimate is
+      neither exact nor empty — it returns a SHRUNKEN array whose
+      content is eviction-order-defined (measured on Spark 4.1:
+      5 distinct at capacity 4 -> 4 items, 8 distinct -> 1 item) and
+      no SQL oracle can reproduce it.
+
     Returns (event_type, rnk, user_id, n_events) — the estimate array
     exploded and deterministically ranked (count desc, user asc), so
     the live result compares row-for-row with a batch oracle."""
+    if saturation_guard not in ("empty", "ndv"):
+        raise ValueError(
+            f"saturation_guard must be 'empty' or 'ndv', got "
+            f"{saturation_guard!r}"
+        )
     # the NULL user is not a user: Spark's approx_top_k_accumulate
     # tracks NULL as a regular item (it would surface as a top entry
     # with item=NULL and collide with the sentinel encoding), and an
     # all-NULL group would otherwise misfire the saturation sentinel —
     # drop NULL user rows before the sketch sees them
+    aggs = [
+        F.expr(
+            f"approx_top_k_accumulate(CAST(user_id AS STRING), {int(max_items)})"
+        ).alias("sk"),
+        F.count(F.col("user_id")).alias("__n_rows"),
+    ]
+    if saturation_guard == "ndv":
+        aggs.append(
+            F.count_distinct(F.col("user_id").cast("string")).alias("__ndv")
+        )
     agg = (
         events.where(F.col("user_id").isNotNull())
         .groupBy("event_type")
-        .agg(
-            F.expr(
-                f"approx_top_k_accumulate(CAST(user_id AS STRING), {int(max_items)})"
-            ).alias("sk"),
-            F.count(F.col("user_id")).alias("__n_rows"),
-        )
+        .agg(*aggs)
     )
     # rank INSIDE the array (array_sort with an explicit comparator +
     # head slice): row_number windows are not allowed on streaming
@@ -490,10 +525,14 @@ def stream_top_users_sketch(
     # stage the ranked array as an attribute so the estimate+sort is
     # evaluated once, not once per reference (the same Generate
     # re-evaluation hazard staged everywhere else in this repo)
-    staged = agg.select("event_type", "__n_rows", ranked.alias("__arr"))
-    safe = F.when(
-        (F.size("__arr") == 0) & (F.col("__n_rows") > 0), sentinel
-    ).otherwise(F.col("__arr"))
+    extra = ["__ndv"] if saturation_guard == "ndv" else []
+    staged = agg.select(
+        "event_type", "__n_rows", *extra, ranked.alias("__arr")
+    )
+    saturated = (F.size("__arr") == 0) & (F.col("__n_rows") > 0)
+    if saturation_guard == "ndv":
+        saturated = saturated | (F.col("__ndv") > F.lit(int(max_items)))
+    safe = F.when(saturated, sentinel).otherwise(F.col("__arr"))
     return (
         staged.select("event_type", F.posexplode(safe).alias("pos", "e"))
         .select(

@@ -1102,3 +1102,43 @@ def test_top_users_sketch_all_null_group_is_empty_not_sentinel(spark):
         (1, "1", 3),
         (2, "2", 1),
     ]
+
+
+def test_top_users_sketch_ndv_guard_saturation(spark):
+    """The batch twin's 'ndv' saturation guard: a group whose EXACT
+    distinct-user count exceeds max_items emits ONLY the sentinel row
+    (rnk=0, NULL user, NULL count) — never the sketch's shrunken
+    approximation content (the r8 sf10 finding: between capacity and
+    emptiness, approx_top_k_estimate returns an eviction-order-defined
+    partial array no oracle can mirror). Within capacity the two
+    guards agree and the output is the exact top-k."""
+    from pyspark.sql import functions as F
+
+    from impala_hashset_count_spark.streaming.windows import (
+        stream_top_users_sketch,
+    )
+
+    ev = spark.range(2000).select(
+        (F.col("id") % 10).cast("string").alias("event_type"),
+        F.col("id").alias("user_id"),
+    )
+    # 200 distinct users per group >> 64 slots: every group saturates
+    sat = stream_top_users_sketch(
+        ev, k=3, max_items=64, saturation_guard="ndv"
+    ).collect()
+    assert len(sat) == 10
+    assert all(
+        r["rnk"] == 0 and r["user_id"] is None and r["n_events"] is None
+        for r in sat
+    )
+    # within capacity the ndv guard changes nothing vs 'empty'
+    ok_ndv = stream_top_users_sketch(
+        ev, k=3, max_items=1024, saturation_guard="ndv"
+    )
+    ok_emp = stream_top_users_sketch(
+        ev, k=3, max_items=1024, saturation_guard="empty"
+    )
+    assert sorted(map(tuple, ok_ndv.collect())) == sorted(
+        map(tuple, ok_emp.collect())
+    )
+    assert ok_ndv.filter(F.col("rnk") == 0).count() == 0

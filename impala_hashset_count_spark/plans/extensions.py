@@ -1144,7 +1144,7 @@ def _minhash_oracle_ctes(k: int = 64, bands: int = 32) -> str:
         for b in range(bands)
     )
     return f"""
-    sh_ids AS (
+    sh_ids AS MATERIALIZED (
         SELECT DISTINCT doc_id,
                CAST('0x' || SUBSTRING(MD5(sh), 1, 15) AS BIGINT) AS h
         FROM s
@@ -1154,7 +1154,7 @@ def _minhash_oracle_ctes(k: int = 64, bands: int = 32) -> str:
                {mins}
         FROM sh_ids GROUP BY doc_id
     ),
-    mbands AS (
+    mbands AS MATERIALIZED (
         SELECT doc_id, f.band_id, f.band_val
         FROM msig, LATERAL (VALUES {bvals}) AS f(band_id, band_val)
     ),
@@ -1164,7 +1164,7 @@ def _minhash_oracle_ctes(k: int = 64, bands: int = 32) -> str:
           ON a.band_id = b.band_id AND a.band_val = b.band_val
          AND a.doc_id < b.doc_id
     ),
-    szh AS (SELECT doc_id, COUNT(*) AS sz FROM sh_ids GROUP BY doc_id),
+    szh AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh_ids GROUP BY doc_id),
     mcommon AS (
         SELECT c.id_1, c.id_2, COUNT(*) AS common
         FROM mcand c
@@ -1179,24 +1179,31 @@ _JACCARD_ORACLE = r"""
         SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
         FROM documents
     ),
-    u AS (
+    -- MATERIALIZED on every multiply-referenced CTE: inlined,
+    -- DuckDB re-evaluates a CTE once PER REFERENCE, so e.g. mcommon's
+    -- two sh_ids probes each rebuilt the full 3-gram DISTINCT chain —
+    -- ~73 GB of concurrent spill at the sf10 sweep (bisected r8,
+    -- tools/branch_bisect.py). One evaluation each; what gets stored
+    -- are the small ends of the pipeline (sizes, postings,
+    -- signatures), not the raw corpus.
+    u AS MATERIALIZED (
         SELECT doc_id, UNNEST(toks) AS w, GENERATE_SUBSCRIPTS(toks, 1) AS i
         FROM t
     ),
-    s AS (
+    s AS MATERIALIZED (
         SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
         FROM u a
         JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 2
     ),
-    sz AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
-    p AS (
+    sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
+    p AS MATERIALIZED (
         SELECT x.doc_id AS id_1, y.doc_id AS id_2, COUNT(*) AS common
         FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
         GROUP BY 1, 2
     ),
     {minhash_ctes},
-    ascii_docs AS (
+    ascii_docs AS MATERIALIZED (
         SELECT doc_id FROM documents
         WHERE LENGTH(text) = OCTET_LENGTH(ENCODE(text))
     ),
@@ -1209,7 +1216,7 @@ _JACCARD_ORACLE = r"""
           AND p.id_1 IN (SELECT doc_id FROM ascii_docs)
           AND p.id_2 IN (SELECT doc_id FROM ascii_docs)
     ),
-    pfx AS (SELECT doc_id, SUBSTRING(text, 1, 256) AS pfx FROM documents),
+    pfx AS MATERIALIZED (SELECT doc_id, SUBSTRING(text, 1, 256) AS pfx FROM documents),
     esim AS (
         SELECT e.id_1, e.id_2,
                CASE WHEN GREATEST(LENGTH(a.pfx), LENGTH(b.pfx)) = 0 THEN 1.0

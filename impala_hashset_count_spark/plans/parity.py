@@ -595,7 +595,13 @@ _HCT_ARMS = {
         ) s ON g.l_returnflag = s.l_returnflag
         UNION ALL
         SELECT tier, group_key, hashset_count FROM (
-            WITH ha AS (
+            -- MATERIALIZED: ha/hb/m are tiny (<=3 groups x 128 hashes)
+            -- but multiply-referenced; inlined, DuckDB re-evaluates
+            -- the 60M-row DISTINCT + ROW_NUMBER sort once PER
+            -- REFERENCE and holds ~8 such sorts live at once — 82 GB
+            -- of spill and ENOSPC at the sf10 sweep (bisected r8,
+            -- tools/branch_bisect.py). One evaluation each.
+            WITH ha AS MATERIALIZED (
                 SELECT l_returnflag, hk FROM (
                     SELECT l_returnflag, hk,
                            ROW_NUMBER() OVER (
@@ -608,7 +614,7 @@ _HCT_ARMS = {
                           WHERE l_partkey IS NOT NULL AND l_linestatus = 'O')
                 ) WHERE rn <= 128
             ),
-            hb AS (
+            hb AS MATERIALIZED (
                 SELECT l_returnflag, hk FROM (
                     SELECT l_returnflag, hk,
                            ROW_NUMBER() OVER (
@@ -621,7 +627,7 @@ _HCT_ARMS = {
                           WHERE l_partkey IS NOT NULL AND l_linestatus = 'F')
                 ) WHERE rn <= 128
             ),
-            m AS (
+            m AS MATERIALIZED (
                 -- restricted to groups present in BOTH slices: the
                 -- operator (kmv_set_estimates) inner-joins the two
                 -- sketch tables on the group keys, so a returnflag

@@ -135,8 +135,19 @@ def kmeans_quantized(
     qdf = df.select(
         F.col(id_col).alias("__id"), quantized_vec(vec_col).alias("__q")
     )
-    dim = int(qdf.select(F.size("__q")).first()[0])
+    dim_row = qdf.select(F.size("__q")).first()
+    if dim_row is None:
+        raise ValueError("kmeans_quantized: input has no rows")
+    dim = int(dim_row[0])
     cents = kmeans_seeds(qdf, "__id", "__q", k)
+    if len(cents) < k:
+        # fewer rows than clusters: kmeans_seeds returns what exists
+        # and cents[c] below would IndexError mid-iteration — fail
+        # loudly at the boundary instead (r6 advisor finding).
+        raise ValueError(
+            f"kmeans_quantized: k={k} clusters need at least k input "
+            f"rows, got {len(cents)}"
+        )
     for _ in range(iters):
         assigned = kmeans_assign(qdf, "__q", cents)
         aggs = [F.count(F.lit(1)).alias("__n")] + [
@@ -179,8 +190,19 @@ def kmeans_oracle_ctes(
         f"LIST_TRANSFORM(CAST({vec_col} AS DOUBLE[]), "
         f"x -> CAST(FLOOR(x * {VEC_QUANT_SCALE!r} + 0.5) AS BIGINT))"
     )
+    # the dim guard: kmeans_quantized derives dim from the data while
+    # this mirror takes it as a parameter; on a mismatch DuckDB's
+    # zipped UNNEST(q)/UNNEST(RANGE(...)) would NULL-pad and compute a
+    # plausible-but-wrong mirror over a truncated/padded component set
+    # (r6 advisor finding) — so __km_eq fails loudly instead.
     parts = [
-        f"__km_eq AS (SELECT {id_col}, {quant} AS q FROM {table})",
+        (
+            f"__km_eq AS (SELECT {id_col}, CASE WHEN LEN(__q0) = {dim} "
+            f"THEN __q0 ELSE ERROR('kmeans_oracle_ctes: dim=' || "
+            f"{dim} || ' but vector has ' || LEN(__q0) || "
+            f"' components') END AS q FROM "
+            f"(SELECT {id_col}, {quant} AS __q0 FROM {table}))"
+        ),
         (
             f"__km_eqe AS (SELECT {id_col}, UNNEST(q) AS qv, "
             f"UNNEST(RANGE(1, {dim + 1})) AS d FROM __km_eq)"

@@ -440,6 +440,7 @@ def minhash_lsh_pairs(
     max_bucket_docs: int | None = None,
     hash_fn: str = "xxhash64",
     strategy: str = "hof",
+    max_shingle_docs: int = 256,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with EXACT
     Jaccard so the output contains no false positives. With k=64 and
@@ -459,10 +460,19 @@ def minhash_lsh_pairs(
     Shuffle budget (the 100 TB accounting): ONE shuffle of the hashed
     shingle stream builds the per-doc arrays; signatures and band hashes
     are columnar on top of it; the band equi-join shuffles O(docs*bands)
-    16-byte rows; verification joins the candidate pairs (tiny, AQE
-    broadcasts them) back to the cached per-doc arrays and computes
-    `array_intersect` sizes JVM-side — the full shingle index is never
-    re-shuffled.
+    16-byte rows; verification explodes ONLY the candidate docs'
+    shingle arrays (semi-join to the candidate id set — broadcast) and
+    counts common shingles with an inverted-index self-join of narrow
+    (id, hash) rows, so the corpus-wide shingle index is never
+    re-shuffled and nothing wide crosses an exchange.
+
+    ``max_shingle_docs`` guards the verification self-join the way
+    ``max_bucket_docs`` guards banding, but WITHOUT changing results:
+    a shingle posted in B candidate docs does O(B^2) self-join work,
+    so shingles above the cap are counted through a candidate-driven
+    membership probe (linear in candidates) instead. The hot/cold
+    split partitions the shingle vocabulary, so the summed counts are
+    bit-identical at every cap — this guard is always on.
 
     ``max_bucket_docs`` is the quadratic-blowup guard: a band bucket
     holding B docs emits B^2/2 candidate pairs, and at corpus scale one
@@ -507,18 +517,85 @@ def minhash_lsh_pairs(
     # threshold before, so the inner join preserves the output
     # exactly. This is the mcommon shape of the entry's own DuckDB
     # oracle, so plan and mirror now agree structurally too.
-    ex = docs.select(F.col(id_col), F.explode("shs").alias("__h"))
-    e1 = ex.select(F.col(id_col).alias("id_1"), "__h")
-    e2 = ex.select(F.col(id_col).alias("id_2"), "__h")
-    pair_common = (
+    #
+    # Two exact-preserving scale guards on top of that shape (r7
+    # verdict: one boilerplate shingle in 1e6 docs is 5e11 join rows
+    # with no cap):
+    #  1. the exploded stream is SEMI-JOINED to the candidate id set
+    #     first — only docs that survived banding can contribute to a
+    #     verified pair (pair_common is inner-joined with candidates
+    #     below), so counting shingles of non-candidate docs is pure
+    #     waste. Candidate ids are O(pairs), tiny after banding; AQE
+    #     broadcasts the semi-join and the corpus-wide stream never
+    #     shuffles.
+    #  2. shingles shared by more than ``max_shingle_docs`` candidate
+    #     docs are split out of the self-join (which does O(B^2) work
+    #     per shingle) and counted via the candidate-driven membership
+    #     probe instead — candidates join postings on id_1, then
+    #     equi-join on (id_2, __h): O(|candidates| * hot shingles per
+    #     doc), linear in candidates. Same shape as the verification
+    #     stage of ``ngram_jaccard_pairs_prefix``. Each common shingle
+    #     of a pair is counted in exactly one branch (hot/cold
+    #     partition the shingle vocabulary by document frequency), so
+    #     summing the branch partials is bit-identical to the unguarded
+    #     count at every cap setting — the guard defaults ON.
+    # candidates is reused by three consumers (the id semi-join, the
+    # hot-branch probe, the final inner join): localCheckpoint (eager,
+    # the near_dup_components convention) computes the banding ONCE
+    # and truncates the lineage so the plan doesn't re-embed the band
+    # self-join per consumer. It is O(pairs) — tiny after banding.
+    candidates = candidates.localCheckpoint()
+    cand_ids = (
+        candidates.select(
+            F.explode(F.array("id_1", "id_2")).alias(id_col)
+        ).distinct()
+    )
+    # cand_ids / hot_h are usually tiny but UNBOUNDED on adversarial
+    # corpora, so no forced broadcast hints — AQE converts these
+    # joins to broadcast at runtime when the built side is actually
+    # small, which is the safe 100 TB default.
+    ex = docs.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), F.explode("shs").alias("__h")
+    ).localCheckpoint()
+    # docs fed banding (inside the candidates checkpoint) and ex —
+    # nothing below scans it again; release the executors' cache.
+    docs.unpersist()
+    hot_h = (
+        ex.groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_shingle_docs)
+        .select("__h")
+    )
+    ex_cold = ex.join(hot_h, "__h", "left_anti")
+    e1 = ex_cold.select(F.col(id_col).alias("id_1"), "__h")
+    e2 = ex_cold.select(F.col(id_col).alias("id_2"), "__h")
+    pc_cold = (
         e1.join(e2, "__h")
         .filter(F.col("id_1") < F.col("id_2"))
         .groupBy("id_1", "id_2")
         .agg(F.count("*").alias("__common"))
     )
-    sizes = docs.select(
-        F.col(id_col), F.size("shs").alias("__sz")
+    ex_hot = ex.join(hot_h, "__h", "left_semi")
+    pc_hot = (
+        candidates
+        .join(ex_hot.select(F.col(id_col).alias("id_1"), "__h"), "id_1")
+        .join(ex_hot.select(F.col(id_col).alias("id_2"), "__h"), ["id_2", "__h"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("__common"))
     )
+    pair_common = (
+        pc_cold.unionByName(pc_hot)
+        .groupBy("id_1", "id_2")
+        .agg(F.sum("__common").alias("__common"))
+    )
+    # per-doc set sizes, derived from the checkpointed candidate
+    # stream instead of re-scanning docs: shs is array_distinct, so
+    # COUNT(*) per id == size(shs), and only docs that share >= 1
+    # shingle with a candidate partner reach the join below (pairs
+    # with zero common shingles were dropped by the pair_common inner
+    # join in both formulations), so restricting sizes to candidate
+    # docs loses nothing.
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("__sz"))
     s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("__sz").alias("sz_1"))
     s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("__sz").alias("sz_2"))
     jac = F.col("__common") / (

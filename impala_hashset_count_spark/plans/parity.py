@@ -1700,7 +1700,16 @@ def _max_orderkey(orders: DataFrame) -> int:
     fixed constant eventually): the oracle's UNION ALL kept both rows
     where the keyed upsert replaced one — the engines were both
     behaving correctly on two different intended inputs."""
-    return int(orders.agg(F.max("o_orderkey")).first()[0])
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    if mx is None:
+        # MAX over an empty table is NULL; int(None) would raise a
+        # bare TypeError — name the actual problem instead.
+        raise ValueError(
+            "_max_orderkey: orders table is empty — the ivm arm "
+            "needs at least one row to derive a collision-free "
+            "insert-key offset"
+        )
+    return int(mx)
 
 
 @register(

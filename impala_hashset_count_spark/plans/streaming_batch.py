@@ -168,6 +168,14 @@ def distinct_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the streaming top-k sketch's slot capacity — ONE definition shared
+# by the entry's stream_top_users_sketch call and the oracle's two
+# saturation-boundary literals below (they must stay locked together:
+# a drift only manifests beyond the suite SF where ndv crosses the
+# boundary, so the sf0.01 gate cannot catch it — r6 advisor finding).
+_TOPK_SKETCH_CAPACITY = 65536
+
+
 @register(
     "streaming_state_batch",
     headline=True,
@@ -234,7 +242,7 @@ def distinct_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND event_type IN (
               SELECT event_type FROM events WHERE user_id IS NOT NULL
               GROUP BY event_type
-              HAVING COUNT(DISTINCT CAST(user_id AS VARCHAR)) <= 65536
+              HAVING COUNT(DISTINCT CAST(user_id AS VARCHAR)) <= {capacity}
           )
         UNION ALL
         -- the saturation sentinel, mirrored: a group whose EXACT
@@ -250,8 +258,8 @@ def distinct_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS VARCHAR) AS hashset_count
         FROM events WHERE user_id IS NOT NULL
         GROUP BY event_type
-        HAVING COUNT(DISTINCT CAST(user_id AS VARCHAR)) > 65536
-    """,
+        HAVING COUNT(DISTINCT CAST(user_id AS VARCHAR)) > {capacity}
+    """.replace("{capacity}", str(_TOPK_SKETCH_CAPACITY)),
 )
 def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three stateful-streaming batch twins in one tagged result:
@@ -306,7 +314,8 @@ def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import stream_top_users_sketch
 
     tks = stream_top_users_sketch(
-        load_table(spark, sf_dir, "events"), k=3, max_items=65536,
+        load_table(spark, sf_dir, "events"), k=3,
+        max_items=_TOPK_SKETCH_CAPACITY,
         saturation_guard="ndv",
     ).select(
         F.lit("topk_sk").alias("kind"),

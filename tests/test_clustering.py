@@ -178,3 +178,49 @@ def test_seed_order_is_md5_rank(spark, sf_small):
         for r in qdf.filter(F.col("__id").isin(ids)).collect()
     }
     assert seeds == [want[i] for i in ids]
+
+
+def test_kmeans_rejects_empty_and_fewer_than_k_rows(spark):
+    """Boundary guards (r6 advisor): empty input and k > n_rows must
+    raise a named ValueError instead of TypeError/IndexError
+    mid-iteration."""
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_quantized(df, "vec_id", "embedding", k=3, iters=1)
+    with pytest.raises(ValueError, match="no rows"):
+        kmeans_quantized(
+            df.filter("vec_id < 0"), "vec_id", "embedding", k=2, iters=1
+        )
+
+
+def test_kmeans_oracle_dim_mismatch_fails_loudly(spark):
+    """A dim parameter disagreeing with the data must ERROR in the
+    mirror, not NULL-pad the zipped UNNEST into a plausible-but-wrong
+    distance computation (r6 advisor)."""
+    import os
+    import tempfile
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "embeddings.parquet")
+        df.write.parquet(path)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{path}/*.parquet')"
+        )
+        ctes, _ = kmeans_oracle_ctes(k=2, iters=1, dim=3)
+        with pytest.raises(duckdb.Error, match="dim=3"):
+            con.execute(f"WITH {ctes} SELECT * FROM __km_eq").fetchall()
+        # the matching dim still runs clean through the same guard
+        ctes_ok, _ = kmeans_oracle_ctes(k=2, iters=1, dim=2)
+        rows = con.execute(
+            f"WITH {ctes_ok} SELECT COUNT(*) FROM __km_eq"
+        ).fetchone()
+        assert rows[0] == 4

@@ -380,3 +380,42 @@ def test_sf1_multi_distinct_twophase_equals_expand_at_volume(spark):
     assert a == b
     # volume witness: the inputs really are the scaled corpus
     assert sum(r[-1] for r in a) >= 6_000_000
+
+
+def test_sf1_minhash_hot_shingle_guard_bounds_verification(spark):
+    """The verification-stage document-frequency guard (r7 verdict #2)
+    observed at adversarial volume: a corpus of 10k docs where ONE
+    boilerplate 3-gram appears in EVERY document. Unguarded, that
+    shingle alone contributes 10k^2/2 = 5e7 self-join rows before the
+    partial aggregate (and at a 100 TB crawl, 5e11); with
+    ``max_shingle_docs`` the hot shingle routes through the
+    candidate-driven probe, so the verification work is linear in the
+    (tiny) candidate set. The output must be EXACTLY the planted
+    twins — the guard is exact-preserving by construction."""
+    import time
+
+    from impala_hashset_count_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = []
+    for i in range(10_000):
+        body = " ".join(f"w{i}q{j}" for j in range(10))
+        rows.append((i, f"copyright acme corporation {body}"))
+    # 50 planted twins: doc i's text plus one trailing token
+    planted = {(i, 100_000 + i) for i in range(0, 5000, 100)}
+    for i, j in sorted(planted):
+        body = " ".join(f"w{i}q{jj}" for jj in range(10))
+        rows.append((j, f"copyright acme corporation {body} extra{i}"))
+    d = spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+
+    t0 = time.monotonic()
+    got = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", threshold=0.5, max_shingle_docs=256
+        ).collect()
+    }
+    elapsed = time.monotonic() - t0
+    assert got == planted
+    # budget: linear-in-candidates verification finishes promptly even
+    # with the planted ubiquitous shingle (generous bound for CI noise)
+    assert elapsed < 300, f"hot-shingle corpus took {elapsed:.0f}s"

@@ -440,7 +440,7 @@ def minhash_lsh_pairs(
     max_bucket_docs: int | None = None,
     hash_fn: str = "xxhash64",
     strategy: str = "hof",
-    max_shingle_docs: int = 256,
+    hot_shingle_docs: int = 256,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with EXACT
     Jaccard so the output contains no false positives. With k=64 and
@@ -466,8 +466,10 @@ def minhash_lsh_pairs(
     (id, hash) rows, so the corpus-wide shingle index is never
     re-shuffled and nothing wide crosses an exchange.
 
-    ``max_shingle_docs`` guards the verification self-join the way
-    ``max_bucket_docs`` guards banding, but WITHOUT changing results:
+    ``hot_shingle_docs`` guards the verification self-join the way
+    ``max_bucket_docs`` guards banding, but WITHOUT changing results
+    (distinct from ``ngram_jaccard_pairs``'s recall-trading
+    ``max_shingle_docs``, which DROPS ultra-common shingles):
     a shingle posted in B candidate docs does O(B^2) self-join work,
     so shingles above the cap are counted through a candidate-driven
     membership probe (linear in candidates) instead. The hot/cold
@@ -528,7 +530,7 @@ def minhash_lsh_pairs(
     #     waste. Candidate ids are O(pairs), tiny after banding; AQE
     #     broadcasts the semi-join and the corpus-wide stream never
     #     shuffles.
-    #  2. shingles shared by more than ``max_shingle_docs`` candidate
+    #  2. shingles shared by more than ``hot_shingle_docs`` candidate
     #     docs are split out of the self-join (which does O(B^2) work
     #     per shingle) and counted via the candidate-driven membership
     #     probe instead — candidates join postings on id_1, then
@@ -563,7 +565,7 @@ def minhash_lsh_pairs(
     hot_h = (
         ex.groupBy("__h")
         .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") > max_shingle_docs)
+        .filter(F.col("__df") > hot_shingle_docs)
         .select("__h")
     )
     ex_cold = ex.join(hot_h, "__h", "left_anti")

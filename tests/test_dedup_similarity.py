@@ -1004,7 +1004,7 @@ def test_banded_embedding_near_dup_recall_and_subset(spark):
 def test_minhash_hot_shingle_guard_is_exact_at_every_cap(spark):
     """The verification stage's hot/cold shingle split (r7 verdict:
     one boilerplate shingle in 1e6 docs is 5e11 unguarded join rows)
-    must be BIT-identical at every ``max_shingle_docs`` setting:
+    must be BIT-identical at every ``hot_shingle_docs`` setting:
     cap=1 routes every shared shingle through the candidate-probe
     branch, a huge cap reproduces the pure self-join, the default
     mixes them — all on a corpus where one boilerplate 3-gram appears
@@ -1025,7 +1025,7 @@ def test_minhash_hot_shingle_guard_is_exact_at_every_cap(spark):
             map(
                 tuple,
                 minhash_lsh_pairs(
-                    d, "doc_id", "text", max_shingle_docs=cap
+                    d, "doc_id", "text", hot_shingle_docs=cap
                 ).collect(),
             )
         )

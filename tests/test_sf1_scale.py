@@ -388,7 +388,7 @@ def test_sf1_minhash_hot_shingle_guard_bounds_verification(spark):
     boilerplate 3-gram appears in EVERY document. Unguarded, that
     shingle alone contributes 10k^2/2 = 5e7 self-join rows before the
     partial aggregate (and at a 100 TB crawl, 5e11); with
-    ``max_shingle_docs`` the hot shingle routes through the
+    ``hot_shingle_docs`` the hot shingle routes through the
     candidate-driven probe, so the verification work is linear in the
     (tiny) candidate set. The output must be EXACTLY the planted
     twins — the guard is exact-preserving by construction."""
@@ -411,7 +411,7 @@ def test_sf1_minhash_hot_shingle_guard_bounds_verification(spark):
     got = {
         (r.id_1, r.id_2)
         for r in minhash_lsh_pairs(
-            d, "doc_id", "text", threshold=0.5, max_shingle_docs=256
+            d, "doc_id", "text", threshold=0.5, hot_shingle_docs=256
         ).collect()
     }
     elapsed = time.monotonic() - t0

@@ -665,8 +665,10 @@ def minhash_lsh_pairs_incremental(
     Shuffle budget: signature/band work is O(new batch); the candidate
     join probes new band rows against stored+new band rows (equi-join
     on (band_id, band_hash) — with stored bands bucketed on band_hash,
-    history does not shuffle); exact verification joins candidates back
-    to both doc-array tables. ``max_bucket_docs`` caps combined-bucket
+    history does not shuffle); exact verification uses the batch
+    face's narrow guarded inverted-index count over the candidate
+    docs' shingles only (never the wide per-pair array join, never the
+    non-candidate history). ``max_bucket_docs`` caps combined-bucket
     blow-ups as in the batch face. The pair set equals the batch face's
     output restricted to pairs touching the new ids (tested — same
     deterministic hashes, same verification)."""
@@ -697,14 +699,67 @@ def minhash_lsh_pairs_incremental(
         )
         .distinct()
     )
+    # Verification: the same narrow guarded inverted-index count the
+    # batch face uses (`minhash_lsh_pairs`), NOT the array_intersect
+    # join of each candidate pair to both per-doc arrays — the r7 sf10
+    # sweep measured that wide form shipping ~1.5 KB of shingle arrays
+    # per candidate through the exchanges (37 GB at 2.5e7 candidates).
+    # The stream is restricted to candidate ids first (only they can
+    # reach the inner join below) and shingles hotter than
+    # `hot_shingle_docs` candidate docs route through the
+    # candidate-driven membership probe, so one boilerplate shingle in
+    # the history can't make the daily batch's verification quadratic.
+    # Hot/cold partition the vocabulary — counts are bit-identical to
+    # the unguarded form at every cap (the batch-face invariant,
+    # equality-tested against it in tests/test_dedup_similarity.py).
+    hot_shingle_docs = 256
+    candidates = candidates.localCheckpoint()
+    cand_ids = (
+        candidates.select(
+            F.explode(F.array("id_1", "id_2")).alias(id_col)
+        ).distinct()
+    )
     all_docs = stored_docs.unionByName(new_docs)
-    d1 = all_docs.select(F.col(id_col).alias("id_1"), F.col("shs").alias("shs_1"))
-    d2 = all_docs.select(F.col(id_col).alias("id_2"), F.col("shs").alias("shs_2"))
-    common = F.size(F.array_intersect("shs_1", "shs_2"))
-    jac = common / (F.size("shs_1") + F.size("shs_2") - common)
+    ex = all_docs.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), F.explode("shs").alias("__h")
+    ).localCheckpoint()
+    hot_h = (
+        ex.groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > hot_shingle_docs)
+        .select("__h")
+    )
+    ex_cold = ex.join(hot_h, "__h", "left_anti")
+    pc_cold = (
+        ex_cold.select(F.col(id_col).alias("id_1"), "__h")
+        .join(ex_cold.select(F.col(id_col).alias("id_2"), "__h"), "__h")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("__common"))
+    )
+    ex_hot = ex.join(hot_h, "__h", "left_semi")
+    pc_hot = (
+        candidates
+        .join(ex_hot.select(F.col(id_col).alias("id_1"), "__h"), "id_1")
+        .join(ex_hot.select(F.col(id_col).alias("id_2"), "__h"), ["id_2", "__h"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("__common"))
+    )
+    pair_common = (
+        pc_cold.unionByName(pc_hot)
+        .groupBy("id_1", "id_2")
+        .agg(F.sum("__common").alias("__common"))
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("__sz").alias("sz_1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("__sz").alias("sz_2"))
+    jac = F.col("__common") / (
+        F.col("sz_1") + F.col("sz_2") - F.col("__common")
+    )
     pairs = (
-        candidates.join(d1, "id_1")
-        .join(d2, "id_2")
+        candidates.join(pair_common, ["id_1", "id_2"])
+        .join(s1, "id_1")
+        .join(s2, "id_2")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))

@@ -598,6 +598,22 @@ def _jpeg420_oracle_sql() -> tuple[str, str]:
 _JPEG_ORACLE_CTES, _JPEG_ORACLE_UNION = _jpeg_oracle_sql()
 _JPEG420_ORACLE_CTES, _JPEG420_ORACLE_UNION = _jpeg420_oracle_sql()
 
+# the dhash_pairs tag's participation budget — ONE definition shared
+# by the entry's stride derivation and the oracle's dhp_n scalar (the
+# same lock-together rule as _TOPK_SKETCH_CAPACITY). The planted
+# fixture's groups are doc_id % 256, so group sizes — and the TRUE
+# near-pair answer — grow linearly with the corpus and the pair set
+# quadratically: at sf10 (500k docs) that is ~5e8 genuine pairs, a
+# generator-fixture artifact no engine can make linear (found by the
+# r7 sf10 sweep: one band bucket held a whole 2k-member group, a
+# 25-minute single-task straggler, and the oracle's serial fold had
+# ~1e9 rows to hash). Both sides therefore stride the fixture down to
+# ~_DHASH_PAIR_DOCS participating docs — (doc_id DIV 256) % s = 0
+# with s = ceil(n/cap) derived from the SAME corpus count on each
+# side — keeping per-group sizes ~20 at EVERY SF. At the driver gate
+# (<= 5120 docs) s = 1: bit-identical to the unstrided definition.
+_DHASH_PAIR_DOCS = 5120
+
 
 @register(
     "multimodal_image_pipeline",
@@ -697,15 +713,24 @@ _JPEG420_ORACLE_CTES, _JPEG420_ORACLE_UNION = _jpeg420_oracle_sql()
                 FROM dhp d, (SELECT UNNEST(RANGE(64)) AS j) js
             ) GROUP BY doc_id
         ),
+        dhp_n AS (
+            SELECT CAST(GREATEST(1, CEIL(COUNT(*) / {dhp_cap}.0))
+                        AS BIGINT) AS s
+            FROM documents
+        ),
+        dhp_part AS (
+            SELECT d.* FROM dhp d, dhp_n
+            WHERE (d.doc_id // 256) % dhp_n.s = 0
+        ),
         dhp_pairs AS (
             SELECT a.doc_id AS id_1, b.doc_id AS id_2,
                    CASE WHEN a.fp IS NULL AND b.fp IS NULL THEN 0
                         WHEN a.fp IS NULL OR b.fp IS NULL THEN 1
                         WHEN a.fp = b.fp THEN 0
                         ELSE 2 END AS hamming
-            FROM dhp a JOIN dhp b
+            FROM dhp_part a JOIN dhp_part b
               ON a.grp = b.grp AND a.doc_id < b.doc_id
-        ),"""
+        ),""".replace("{dhp_cap}", str(_DHASH_PAIR_DOCS))
     + _JPEG_ORACLE_CTES + ","
     + _JPEG420_ORACLE_CTES + """
         SELECT 'stub' AS tag, doc_id,
@@ -982,8 +1007,19 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dhash_hi").alias("pix_sum"),
         F.col("dhash_lo").alias("out_sum"),
     )
+    # stride the planted fixture to ~_DHASH_PAIR_DOCS participating
+    # docs (see the constant's comment): one bounded count derives the
+    # same s the oracle's dhp_n scalar computes; s = 1 at the driver
+    # gate, so gate results are bit-identical to the unstrided form.
+    import math
+
+    n_docs = d.count()
+    stride = max(1, math.ceil(n_docs / _DHASH_PAIR_DOCS))
+    part = dhash_planted_features(
+        d.where(F.expr(f"(doc_id DIV 256) % {stride} = 0"))
+    )
     dpairs = dhash_near_pairs(
-        planted.select("doc_id", "dhash"), max_hamming=3, bands=4
+        part.select("doc_id", "dhash"), max_hamming=3, bands=4
     ).select(
         F.lit("dhash_pairs").alias("tag"),
         F.col("id_1").alias("doc_id"),

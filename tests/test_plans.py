@@ -49,10 +49,13 @@ def test_topk_plans_rank_limit_pushdown_and_topn(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_multi_distinct_is_single_pass(spark):
-    plan = _plan(spark, "multi_distinct_lineitem")
-    # Catalyst rewrites N DISTINCT aggregates via one Expand node —
-    # the whole point of the reference operator, natively
+def test_multi_distinct_expand_arm_is_single_pass(spark):
+    # the Catalyst-native arm: N DISTINCT aggregates rewritten via one
+    # Expand node — the native face of the reference operator, kept
+    # certified as an arm after the r9 default promotion
+    from impala_hashset_count_spark.plans.parity import multi_distinct_expand
+
+    plan = explain_str(multi_distinct_expand(spark, SF))
     assert "Expand" in plan
     import re
 
@@ -61,10 +64,11 @@ def test_multi_distinct_is_single_pass(spark):
 
 
 def test_multi_distinct_twophase_is_expand_free_bounded_state(spark):
-    # the bounded-state twin: no Catalyst Expand; the dedup key's
-    # Exchange sits BELOW the dedup aggregate (explicit repartition),
-    # so any one task's dedup hash state is one shuffle partition's
-    # shard, not a map-side near-full NDV scan shard
+    # the bounded-state DEFAULT (promoted r9 — wins at sf0.1 AND
+    # sf100): no Catalyst Expand; the dedup key's Exchange sits BELOW
+    # the dedup aggregate (explicit repartition), so any one task's
+    # dedup hash state is one shuffle partition's shard, not a
+    # map-side near-full NDV scan shard
     from impala_hashset_count_spark.plans.parity import multi_distinct_twophase
 
     df = multi_distinct_twophase(spark, SF)

@@ -484,7 +484,17 @@ def minhash_lsh_pairs(
     other (bands-1) buckets, so recall for genuinely-similar pairs
     degrades only slightly while the worst case goes from O(B^2) to
     O(cap * B). None (default) keeps exact LSH semantics for parity
-    runs; always set it in production."""
+    runs; always set it in production.
+
+    Fault tolerance: the two ``localCheckpoint`` calls below are EAGER
+    and executor-local — they run Spark jobs at call time and truncate
+    lineage, so a lost executor's blocks cannot be recomputed and the
+    run fails (same trade ``near_dup_components`` documents). That is
+    the right default for this repo's bench/parity surfaces (bounded
+    O(pairs) data, re-running is cheap); for long fault-critical
+    cluster runs, set a reliable checkpoint dir
+    (``sc.setCheckpointDir``) and swap in ``.checkpoint()``, or
+    ``.persist(StorageLevel.MEMORY_AND_DISK_2)`` with lineage kept."""
     if strategy not in ("arrow", "hof"):
         raise ValueError(f"strategy must be 'arrow' or 'hof', got {strategy!r}")
     docs = doc_shingle_arrays(df, id_col, text_col, n, hash_fn=hash_fn).persist()
@@ -646,6 +656,7 @@ def minhash_lsh_pairs_incremental(
     max_bucket_docs: int | None = None,
     hash_fn: str = "xxhash64",
     strategy: str = "hof",
+    hot_shingle_docs: int = 256,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """INCREMENTAL near-dup detection: find every near-dup pair the new
     batch introduces — new x stored AND new x new — WITHOUT re-hashing,
@@ -654,6 +665,20 @@ def minhash_lsh_pairs_incremental(
     batch would dwarf the batch itself). Exact-key incremental dedup is
     ``exact_dedup_incremental``/``bloom_dedup_incremental``; this is
     the NEAR-dup tier of the same story.
+
+    ``hot_shingle_docs`` mirrors the batch face's parameter (same
+    default, same exact-preserving semantics — see
+    ``minhash_lsh_pairs``), so a cap tuned on the batch path can be
+    matched here.
+
+    Id contract: the stored index is append-maintained, so ids are
+    expected to be batch-unique over time. If a batch DOES re-ingest a
+    stored id, verification takes the NEW batch's shingle set for that
+    id (stored rows with re-ingested ids are anti-joined out before
+    the exploded stream is built — double-counting a doc's shingles
+    would inflate ``__common``/``__sz`` asymmetrically and corrupt the
+    jaccard); the caller remains responsible for compacting the stored
+    docs/bands tables if re-ingestion is routine.
 
     Returns ``(pairs, new_docs, new_bands)``: pairs as
     (id_1, id_2, jaccard) with id_1 < id_2 (every pair touches >= 1 new
@@ -712,14 +737,18 @@ def minhash_lsh_pairs_incremental(
     # Hot/cold partition the vocabulary — counts are bit-identical to
     # the unguarded form at every cap (the batch-face invariant,
     # equality-tested against it in tests/test_dedup_similarity.py).
-    hot_shingle_docs = 256
     candidates = candidates.localCheckpoint()
     cand_ids = (
         candidates.select(
             F.explode(F.array("id_1", "id_2")).alias(id_col)
         ).distinct()
     )
-    all_docs = stored_docs.unionByName(new_docs)
+    # Re-ingested ids: prefer the NEW batch's row (see the id contract
+    # in the docstring) — a plain union would explode BOTH copies'
+    # shingles and inflate __common/__sz asymmetrically.
+    all_docs = stored_docs.join(
+        new_docs.select(id_col), id_col, "left_anti"
+    ).unionByName(new_docs)
     ex = all_docs.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), F.explode("shs").alias("__h")
     ).localCheckpoint()

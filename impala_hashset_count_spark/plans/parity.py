@@ -149,6 +149,7 @@ def multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     arms={"expand": multi_distinct_expand},
+    default_arm="twophase",
 )
 def multi_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP — the reference's motivating workload: multiple exact

@@ -30,6 +30,16 @@ class Query:
     #: are standalone — they rebuild any plan the entry shares across
     #: arms — so arm times need not sum to the entry time.
     arms: dict[str, Callable[[SparkSession, str], DataFrame]] | None = None
+    #: Stable label naming WHICH plan the entry's default ``fn`` is,
+    #: for entries whose default delegates to one of several named
+    #: variants (e.g. the flagship's ``twophase`` promotion in r9).
+    #: Floor files record this map at floor time and
+    #: tests/test_registry_lint.py asserts the NEWEST floor file still
+    #: matches the registry — so promoting a different variant to the
+    #: default forces a floor re-record instead of silently timing the
+    #: old plan (the r7 verdict's drift class). None => the default
+    #: plan is identified by the entry name itself.
+    default_arm: str | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -40,6 +50,7 @@ def register(
     oracle: str | None = None,
     headline: bool = False,
     arms: dict[str, Callable[[SparkSession, str], DataFrame]] | None = None,
+    default_arm: str | None = None,
 ):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
@@ -57,7 +68,8 @@ def register(
         tuned.__name__ = fn.__name__
         tuned.__doc__ = fn.__doc__
         REGISTRY[name] = Query(
-            name=name, fn=tuned, oracle=oracle, headline=headline, arms=arms
+            name=name, fn=tuned, oracle=oracle, headline=headline,
+            arms=arms, default_arm=default_arm,
         )
         return fn
 

@@ -1030,3 +1030,36 @@ def test_minhash_hot_shingle_guard_is_exact_at_every_cap(spark):
             )
         )
         assert got == exact, f"cap={cap} diverged from ground truth"
+
+
+def test_minhash_lsh_incremental_reingested_id_takes_new_row(spark, sf_small):
+    """Re-ingesting a stored doc id must NOT double that doc's shingles
+    in verification (r7 ADVICE: the unionByName form inflated __common
+    and __sz asymmetrically, corrupting the jaccard). The contract: the
+    NEW batch's row wins, so pairs equal the batch face over
+    (history minus re-ingested ids) + new batch."""
+    from impala_hashset_count_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    d = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    old = d.filter("doc_id % 5 != 0")
+    # the new batch re-ingests some stored ids verbatim plus genuinely
+    # new docs — re-ingested rows must count each shingle ONCE
+    new = d.filter("doc_id % 5 = 0").unionByName(d.filter("doc_id % 10 = 1"))
+
+    stored_docs, stored_bands = minhash_lsh_index(old, "doc_id", "text")
+    pairs, _nd, _nb = minhash_lsh_pairs_incremental(
+        new, stored_docs, stored_bands, "doc_id", "text",
+        hot_shingle_docs=4,  # exercise the now-exposed cap too
+    )
+    got = sorted(map(tuple, pairs.collect()))
+
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    full = minhash_lsh_pairs(d, "doc_id", "text")
+    expect = sorted(
+        tuple(r) for r in full.collect()
+        if r.id_1 in new_ids or r.id_2 in new_ids
+    )
+    assert got == expect and len(got) > 0

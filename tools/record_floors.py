@@ -22,6 +22,24 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _last_json_line(stdout: str) -> dict:
+    """bench.py's contract is ONE JSON line, but Spark/log4j can leak
+    trailing noise onto stdout — scan from the end for the last line
+    that parses to a bench-shaped dict instead of dying on whatever
+    happens to be last (round-7 ADVICE)."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict) and "queries" in obj:
+            return obj
+    raise SystemExit(
+        "no bench-shaped JSON line found on bench.py stdout; last lines:\n"
+        + "\n".join(stdout.strip().splitlines()[-5:])
+    )
+
+
 def main() -> None:
     out_path = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else 3
@@ -35,10 +53,22 @@ def main() -> None:
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, check=True,
         )
-        line = proc.stdout.strip().splitlines()[-1]
-        run = json.loads(line)
+        run = _last_json_line(proc.stdout)
         runs.append(run)
         print(f"run {i + 1}/{n}: total {run['value']}s", flush=True)
+
+    # A floor file must time ONE set of definitions: if the query or
+    # arm key sets differ across invocations, someone changed the
+    # registry mid-recording (the r8 file's twophase/expand drift) —
+    # fail loudly instead of emitting a file that needs a footnote.
+    for kind in ("queries", "arms"):
+        keysets = [frozenset(r.get(kind, {})) for r in runs]
+        if len(set(keysets)) > 1:
+            diff = frozenset.union(*keysets) - frozenset.intersection(*keysets)
+            raise SystemExit(
+                f"{kind} keys differ across invocations (registry changed "
+                f"mid-recording?): {sorted(diff)} — re-record from scratch"
+            )
 
     floors = {
         q: min(r["queries"][q] for r in runs) for q in runs[0]["queries"]
@@ -48,6 +78,18 @@ def main() -> None:
         arms = {
             a: min(r["arms"][a] for r in runs) for a in runs[0]["arms"]
         }
+    # Record which named variant each entry's DEFAULT plan is at floor
+    # time (registry default_arm labels): the registry lint compares
+    # the newest floor file's map against the live registry, so a
+    # default promotion forces a re-record (r7 verdict's drift class).
+    sys.path.insert(0, REPO)
+    from impala_hashset_count_spark.plans import all_queries
+
+    defaults = {
+        name: q.default_arm
+        for name, q in all_queries().items()
+        if q.default_arm is not None
+    }
     artifact = {
         "comment": comment,
         "sf": runs[0]["sf"],
@@ -56,6 +98,7 @@ def main() -> None:
         "floors": floors,
         "floor_total": round(sum(floors.values()), 3),
         "arms": arms,
+        "defaults": defaults,
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=False)

@@ -177,6 +177,7 @@ def kmeans_oracle_ctes(
     k: int = 8,
     iters: int = 3,
     dim: int = 64,
+    materialized: bool = False,
 ) -> tuple[str, str]:
     """DuckDB CTE chain recomputing `kmeans_quantized` value-for-value
     in exploded (id, d, component) form: seeds by md5 rank, ``iters``
@@ -185,7 +186,22 @@ def kmeans_oracle_ctes(
 
     Returns ``(cte_text, final_cte)`` where ``final_cte`` exposes
     ``({id_col}, c, dist)``. CTE names are ``__km_``-prefixed so the
-    text composes with other generated oracles in one WITH clause."""
+    text composes with other generated oracles in one WITH clause.
+
+    ``materialized=True`` marks the chain's reused nodes (the exploded
+    component stream, each round's assignments and centroids, the
+    final assignment) ``AS MATERIALIZED``: DuckDB otherwise
+    re-evaluates an inlined CTE once per reference, and the sf10
+    sweep's branch-split executor additionally exports MATERIALIZED
+    CTEs to parquet once per entry so its branches stop re-deriving
+    the Lloyd chain (tools/sf1_oracle_sweep._SequentialBranches). The
+    marker changes execution strategy only — values are identical.
+
+    Distances are CAST to BIGINT at the source: SUM(BIGINT) is a
+    DuckDB HUGEINT (pandas-lossy, and parquet silently rewrites it to
+    DOUBLE on export); the true values are bounded by
+    dim * (2*2^17)^2 < 2^43, so the cast is value-exact."""
+    mz = " MATERIALIZED" if materialized else ""
     quant = (
         f"LIST_TRANSFORM(CAST({vec_col} AS DOUBLE[]), "
         f"x -> CAST(FLOOR(x * {VEC_QUANT_SCALE!r} + 0.5) AS BIGINT))"
@@ -204,7 +220,7 @@ def kmeans_oracle_ctes(
             f"(SELECT {id_col}, {quant} AS __q0 FROM {table}))"
         ),
         (
-            f"__km_eqe AS (SELECT {id_col}, UNNEST(q) AS qv, "
+            f"__km_eqe AS{mz} (SELECT {id_col}, UNNEST(q) AS qv, "
             f"UNNEST(RANGE(1, {dim + 1})) AS d FROM __km_eq)"
         ),
         (
@@ -222,12 +238,12 @@ def kmeans_oracle_ctes(
         parts += [
             (
                 f"__km_dist{t} AS (SELECT e.{id_col}, c.c, "
-                f"SUM((e.qv - c.v) * (e.qv - c.v)) AS dist "
+                f"CAST(SUM((e.qv - c.v) * (e.qv - c.v)) AS BIGINT) AS dist "
                 f"FROM __km_eqe e JOIN {prev} c ON e.d = c.d "
                 f"GROUP BY e.{id_col}, c.c)"
             ),
             (
-                f"__km_asg{t} AS (SELECT {id_col}, c, dist FROM __km_dist{t} "
+                f"__km_asg{t} AS{mz} (SELECT {id_col}, c, dist FROM __km_dist{t} "
                 f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {id_col} "
                 f"ORDER BY dist, c) = 1)"
             ),
@@ -238,7 +254,7 @@ def kmeans_oracle_ctes(
                 f"GROUP BY a.c, e.d)"
             ),
             (
-                f"__km_cent{t} AS (SELECT p.c, p.d, COALESCE(u.v, p.v) AS v "
+                f"__km_cent{t} AS{mz} (SELECT p.c, p.d, COALESCE(u.v, p.v) AS v "
                 f"FROM {prev} p LEFT JOIN __km_upd{t} u "
                 f"ON p.c = u.c AND p.d = u.d)"
             ),
@@ -247,12 +263,12 @@ def kmeans_oracle_ctes(
     parts += [
         (
             f"__km_distF AS (SELECT e.{id_col}, c.c, "
-            f"SUM((e.qv - c.v) * (e.qv - c.v)) AS dist "
+            f"CAST(SUM((e.qv - c.v) * (e.qv - c.v)) AS BIGINT) AS dist "
             f"FROM __km_eqe e JOIN {prev} c ON e.d = c.d "
             f"GROUP BY e.{id_col}, c.c)"
         ),
         (
-            f"__km_asgF AS (SELECT {id_col}, c, dist FROM __km_distF "
+            f"__km_asgF AS{mz} (SELECT {id_col}, c, dist FROM __km_distF "
             f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {id_col} "
             f"ORDER BY dist, c) = 1)"
         ),

@@ -1560,10 +1560,10 @@ def _cos_band_oracle(
     )
     km_ctes, km_final = kmeans_oracle_ctes(
         table="embeddings", id_col="vec_id", vec_col="embedding",
-        k=k, iters=iters, dim=dim,
+        k=k, iters=iters, dim=dim, materialized=True,
     )
     return f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
     ),
@@ -1578,7 +1578,14 @@ def _cos_band_oracle(
                {bit_cols}
         FROM eq
     ),
-    ebands AS (
+    -- MATERIALIZED markers (e / ebands / sd_sig + the Lloyd chain
+    -- via kmeans_oracle_ctes(materialized=True)): DuckDB re-evaluates
+    -- an inlined CTE once per reference, and the sf10 sweep's
+    -- branch-split executor exports MATERIALIZED CTEs to parquet once
+    -- per ENTRY so the four branches stop re-deriving the signature
+    -- and Lloyd pipelines (60% of the r7 sweep's 7,708 s). Execution
+    -- strategy only — values are identical.
+    ebands AS MATERIALIZED (
         SELECT vec_id, label, f.band_id, f.band_val
         FROM ebits, LATERAL (VALUES {band_vals}) AS f(band_id, band_val)
     ),
@@ -1590,7 +1597,7 @@ def _cos_band_oracle(
          AND a.band_val = b.band_val AND a.vec_id < b.vec_id
     ),
     {km_ctes},
-    sd_sig AS (
+    sd_sig AS MATERIALIZED (
         -- fold the cluster INTO the band signature before the
         -- self-join so (c, band_id, band_val) is one equi-join key —
         -- the Spark side's exact join shape. Writing the cluster as

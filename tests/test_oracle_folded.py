@@ -151,3 +151,54 @@ def test_branch_split_oracle_is_fold_identical(spark, sf_small):
                 con, _sql
             ),
         )
+
+
+def test_branch_split_prefix_export_is_fold_identical(spark, sf_small, tmp_path):
+    """The sf10 sweep's prefix-export mode (r9): MATERIALIZED CTEs are
+    COPY'd to parquet once and branches run over views of the exports
+    plus the remaining CTE defs. Must produce the exact folded signal
+    of the plain oracle on every branch-split entry — including the
+    ones with NO materialized CTE (hashset_count_tiers), which must
+    degrade to the r8 path."""
+    import tests.oracle_harness as oh
+    from tools.sf1_oracle_sweep import BRANCH_SPLIT, _SequentialBranches
+
+    for name in sorted(BRANCH_SPLIT):
+        q = all_queries()[name]
+        compare_query_folded(
+            spark,
+            sf_small,
+            name,
+            q.fn,
+            q.oracle,
+            oracle_fn=lambda con, _sql=q.oracle, _n=name: _SequentialBranches(
+                con, _sql,
+                factory=lambda: oh.duckdb_connection(sf_small),
+                export_dir=str(tmp_path / _n),
+            ),
+        )
+
+
+def test_split_ctes_parser_round_trips_the_prefixes():
+    """The CTE parser must reconstruct every branch-split oracle's
+    prefix exactly: names in order, bodies that re-parse, MATERIALIZED
+    flags matching the text."""
+    from tools.sf1_oracle_sweep import BRANCH_SPLIT, _SequentialBranches
+
+    for name in sorted(BRANCH_SPLIT):
+        q = all_queries()[name]
+        prefix, branches = _SequentialBranches._split(q.oracle)
+        if "MATERIALIZED" not in prefix:
+            continue
+        head, ctes = _SequentialBranches._split_ctes(prefix)
+        assert head.startswith("WITH")
+        assert len(ctes) >= 2, name
+        n_mat = sum(1 for _, _, m in ctes if m)
+        assert n_mat == prefix.count("AS MATERIALIZED"), name
+        # rebuilt text must be valid SQL: re-split it and get the
+        # same structure
+        rebuilt = head + " " + ",\n".join(
+            _SequentialBranches._def_text(*c) for c in ctes
+        ) + "\n"
+        head2, ctes2 = _SequentialBranches._split_ctes(rebuilt)
+        assert [(c[0], c[2]) for c in ctes2] == [(c[0], c[2]) for c in ctes]

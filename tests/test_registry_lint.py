@@ -169,3 +169,49 @@ def test_no_cartesian_product_in_any_entry_plan(spark, sf_small, name):
         f"{name}: CartesianProduct in physical plan — broadcast the "
         f"small side or rewrite the join condition to an equi-join"
     )
+
+
+def test_newest_floor_file_matches_registry():
+    """The NEWEST BASELINE_LOCAL_r*.json must time the registry's
+    CURRENT definitions: same headline query set, same arm keys, and
+    the same default-plan labels (``Query.default_arm``). This is the
+    r7 verdict's drift guard — r8's floor file carried a
+    ``multi_distinct_lineitem`` line recorded against the old Expand
+    default after the twophase promotion, so ratio math needed a
+    footnote. Promoting a default or renaming an arm now FAILS this
+    lint until floors are re-recorded (tools/record_floors.py writes
+    the ``defaults`` map this compares against)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = glob.glob(os.path.join(repo, "BASELINE_LOCAL_r*.json"))
+    assert files, "no floor files recorded"
+    newest = max(
+        files, key=lambda p: int(re.search(r"_r(\d+)", p).group(1))
+    )
+    with open(newest) as f:
+        floor = json.load(f)
+
+    headline = {n for n, q in QUERIES.items() if q.headline}
+    assert set(floor["floors"]) == headline, (
+        f"{os.path.basename(newest)} floors don't match the current "
+        f"headline set — re-record floors"
+    )
+    want_arms = {
+        f"{n}/{a}" for n, q in QUERIES.items() for a in (q.arms or {})
+    }
+    assert set(floor.get("arms", {})) == want_arms, (
+        f"{os.path.basename(newest)} arm lines don't match the current "
+        f"registry arms — re-record floors"
+    )
+    want_defaults = {
+        n: q.default_arm for n, q in QUERIES.items() if q.default_arm
+    }
+    assert floor.get("defaults", {}) == want_defaults, (
+        f"{os.path.basename(newest)} was recorded under different "
+        f"default plans ({floor.get('defaults')} vs {want_defaults}) — "
+        f"re-record floors"
+    )

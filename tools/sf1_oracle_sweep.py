@@ -40,6 +40,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import shutil
 import sys
 import time
 import traceback
@@ -227,7 +228,24 @@ class _SequentialBranches:
     accumulates the SUM of its branches' spills on disk even though
     only one branch is live (the r8 sf10 rerun of
     `dedup_ngram_jaccard` ENOSPC'd SOLO this way — ~70 GB of
-    accumulated temp under the 48 GB memory limit)."""
+    accumulated temp under the 48 GB memory limit).
+
+    ``export_dir`` (r9, with ``factory``): branch-at-a-time execution
+    re-derives the shared WITH prefix once PER BRANCH — at the r7 sf10
+    sweep that re-derivation was 60% of the 7,708 s pass
+    (`dedup_ngram_jaccard` 3,078.9 s / `dedup_embedding_cosine`
+    1,548.9 s, each rebuilding the shingle / signature / Lloyd
+    pipelines for every branch). With an export dir, every CTE the
+    oracle itself marks ``AS MATERIALIZED`` (the author's existing
+    declaration of the multiply-referenced heavy seams) is computed
+    ONCE and COPY'd to parquet up front — each on a fresh connection
+    so export spill never accumulates — and every branch then runs
+    with temp VIEWs over those parquet files plus the remaining
+    (unexported) CTE defs. Bit-exactness is by construction: the CTE
+    text is executed verbatim, parquet round-trips the BIGINT /
+    VARCHAR / DOUBLE / LIST cells exactly, and the fold is
+    order-insensitive. Oracles with no MATERIALIZED marker (or no WITH
+    at all, e.g. `hashset_count_tiers`) take the unchanged r8 path."""
 
     @staticmethod
     def _split(oracle_sql: str) -> tuple[str, list[str]]:
@@ -275,15 +293,127 @@ class _SequentialBranches:
             branches.append(body)
         return prefix, branches
 
+    @staticmethod
+    def _split_ctes(prefix: str) -> tuple[str, list[tuple[str, str, bool]]]:
+        """Parse a shared ``WITH [RECURSIVE] name AS [MATERIALIZED]
+        (body), ...`` prefix into (head keyword(s), [(name, body,
+        materialized)]) — paren-depth / string-literal / line-comment
+        aware, same scanning rules as ``_split``."""
+        import re
+
+        s, n = prefix, len(prefix)
+
+        def skip_ws(i: int) -> int:
+            while i < n:
+                if s[i].isspace():
+                    i += 1
+                elif s.startswith("--", i):
+                    while i < n and s[i] != "\n":
+                        i += 1
+                else:
+                    break
+            return i
+
+        i = skip_ws(0)
+        m = re.match(r"WITH(\s+RECURSIVE)?\b", s[i:])
+        assert m, f"prefix does not start with WITH: {s[i:i + 40]!r}"
+        head = s[i:i + m.end()]
+        i += m.end()
+        ctes: list[tuple[str, str, bool]] = []
+        while True:
+            i = skip_ws(i)
+            m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", s[i:])
+            assert m, f"expected CTE name at {s[i:i + 40]!r}"
+            name = m.group(0)
+            i = skip_ws(i + m.end())
+            assert s.startswith("AS", i), s[i:i + 40]
+            i = skip_ws(i + 2)
+            mat = s.startswith("MATERIALIZED", i)
+            if mat:
+                i = skip_ws(i + len("MATERIALIZED"))
+            assert i < n and s[i] == "(", s[i:i + 40]
+            depth, j = 0, i
+            while j < n:
+                ch = s[j]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif ch == "'":
+                    j += 1
+                    while j < n and s[j] != "'":
+                        j += 1
+                elif ch == "-" and s.startswith("--", j):
+                    while j < n and s[j] != "\n":
+                        j += 1
+                j += 1
+            assert depth == 0, f"unbalanced parens in CTE {name}"
+            ctes.append((name, s[i + 1:j], mat))
+            i = skip_ws(j + 1)
+            if i < n and s[i] == ",":
+                i += 1
+                continue
+            break
+        return head, ctes
+
+    @staticmethod
+    def _def_text(name: str, body: str, mat: bool) -> str:
+        return f"{name} AS {'MATERIALIZED ' if mat else ''}({body})"
+
+    def _register_exports(self, con):
+        for name, path in self._exported.items():
+            con.execute(
+                f"CREATE OR REPLACE TEMP VIEW {name} AS "
+                f"SELECT * FROM read_parquet('{path}')"
+            )
+        return con
+
     def __init__(
         self,
         con: duckdb.DuckDBPyConnection,
         oracle_sql: str,
         factory=None,
+        export_dir: str | None = None,
     ):
         self._factory = factory
         self._with, self._branches = self._split(oracle_sql)
         self._con = con
+        self._exported: dict[str, str] = {}
+        if (
+            export_dir is not None
+            and factory is not None
+            and "MATERIALIZED" in self._with
+        ):
+            head, ctes = self._split_ctes(self._with)
+            os.makedirs(export_dir, exist_ok=True)
+            for idx, (name, body, mat) in enumerate(ctes):
+                if not mat:
+                    continue
+                # earlier exported names resolve through the temp
+                # views; earlier UNEXPORTED defs ride along as a WITH
+                # clause (unreferenced ones are never evaluated)
+                defs = [
+                    self._def_text(*c)
+                    for c in ctes[:idx]
+                    if c[0] not in self._exported
+                ]
+                q = (f"{head} " + ",\n".join(defs) + "\n" if defs else "") + body
+                path = os.path.join(export_dir, f"{name}.parquet")
+                con.execute(f"COPY ({q}) TO '{path}' (FORMAT PARQUET)")
+                self._exported[name] = path
+                # fresh connection per export: COPY spill is released
+                # immediately instead of accumulating across exports
+                con.close()
+                con = self._register_exports(factory())
+            self._con = con
+            rem = [
+                self._def_text(*c)
+                for c in ctes
+                if c[0] not in self._exported
+            ]
+            self._with = f"{head} " + ",\n".join(rem) + "\n" if rem else ""
         self._cur = con.execute(self._with + self._branches[0])
         self._next = 1
         self.description = self._cur.description
@@ -299,7 +429,7 @@ class _SequentialBranches:
                 return []
             if self._factory is not None:
                 self._con.close()  # release the finished branch's spill
-                self._con = self._factory()
+                self._con = self._register_exports(self._factory())
             self._cur = self._con.execute(
                 self._with + self._branches[self._next]
             )
@@ -365,14 +495,22 @@ def main() -> None:
                 )
                 status = {"status": "MATCH", "mode": "folded+iterative-cc"}
             elif name in BRANCH_SPLIT:
-                oh.compare_query_folded(
-                    spark, sf_dir, name, q.fn, q.oracle,
-                    oracle_fn=lambda con, _sql=q.oracle: _SequentialBranches(
-                        con, _sql,
-                        factory=lambda: _duckdb_connection_dirs(sf_dir),
-                    ),
-                )
-                status = {"status": "MATCH", "mode": "folded+branch-split"}
+                export_dir = f"/tmp/duckdb_sweep_tmp/exports_{name}"
+                try:
+                    oh.compare_query_folded(
+                        spark, sf_dir, name, q.fn, q.oracle,
+                        oracle_fn=lambda con, _sql=q.oracle: _SequentialBranches(
+                            con, _sql,
+                            factory=lambda: _duckdb_connection_dirs(sf_dir),
+                            export_dir=export_dir,
+                        ),
+                    )
+                finally:
+                    shutil.rmtree(export_dir, ignore_errors=True)
+                status = {
+                    "status": "MATCH",
+                    "mode": "folded+branch-split+prefix-export",
+                }
             elif name == "train_pack_greedy":
                 oh.compare_query_folded(
                     spark, sf_dir, name, q.fn, q.oracle,

@@ -155,7 +155,11 @@ def drift_oracle_ctes(slice_a_sql: str, slice_b_sql: str, alpha: float = 0.5,
                         AS BIGINT)) AS BIGINT) AS kl_ba_q
         FROM {p}xx
     ),
-    {p}final AS (
+    {p}final AS MATERIALIZED (
+        -- one row; MATERIALIZED so multi-branch consumers (the
+        -- hygiene oracle references it from 7 branches) evaluate the
+        -- token-count chain once, and the sweep's prefix-export path
+        -- can snapshot it (tools/sf1_oracle_sweep)
         SELECT n_a, n_b, v, tv_num, kl_ab_q, kl_ba_q,
                CAST(TRUNC((kl_ab_q + kl_ba_q) / 2.0) AS BIGINT) AS js_q
         FROM {p}ag

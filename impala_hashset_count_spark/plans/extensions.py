@@ -731,30 +731,30 @@ _BLOOM_CTES = bloom_oracle_ctes(
 )
 
 _HYGIENE_ORACLE = f"""
-    WITH words AS (
+    WITH words AS MATERIALIZED (
         SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS raw,
                GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
         FROM documents
     ),
-    bp AS (
+    bp AS MATERIALIZED (
         SELECT l, COUNT(*) AS n_docs
         FROM (SELECT DISTINCT doc_id, TRIM(raw) AS l FROM words
               WHERE LENGTH(TRIM(raw)) >= 4)
         GROUP BY l HAVING COUNT(*) >= 20
     ),
-    kept AS (
+    kept AS MATERIALIZED (
         SELECT w.doc_id, w.pos, w.raw FROM words w
         LEFT JOIN bp ON TRIM(w.raw) = bp.l
         WHERE bp.l IS NULL
     ),
     norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
-    tk AS (
+    tk AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN LENGTH(nt) = 0 THEN CAST([] AS VARCHAR[])
                     ELSE STRING_SPLIT(nt, ' ') END AS tk
         FROM norm
     ),
-    sh AS (
+    sh AS MATERIALIZED (
         SELECT DISTINCT doc_id, ARRAY_TO_STRING(tk[i:i+7], ' ') AS s
         FROM tk, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 7, 0))) AS g(i)
     ),
@@ -763,7 +763,7 @@ _HYGIENE_ORACLE = f"""
         SELECT doc_id, STRING_SPLIT(text, ' ') AS tk
         FROM documents WHERE text IS NOT NULL
     ),
-    xg AS (
+    xg AS MATERIALIZED (
         SELECT doc_id, i AS pos,
                CAST('0x' || SUBSTRING(
                    MD5(ARRAY_TO_STRING(tk[i:i+7], ' ')), 1, 15) AS BIGINT)
@@ -772,7 +772,7 @@ _HYGIENE_ORACLE = f"""
              UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 7, 0))) AS t(i)
     ),
     xdup AS (SELECT gh FROM xg GROUP BY gh HAVING COUNT(*) >= 2),
-    xcov AS (
+    xcov AS MATERIALIZED (
         SELECT doc_id, pos, 1 AS cov FROM xg
         WHERE gh IN (SELECT gh FROM xdup)
     ),
@@ -782,7 +782,7 @@ _HYGIENE_ORACLE = f"""
                    AS grp
         FROM xcov
     ),
-    xspan AS (
+    xspan AS MATERIALIZED (
         SELECT doc_id, MIN(pos) AS span_start,
                CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens,
                CAST(COUNT(*) AS BIGINT) AS n_grams
@@ -798,7 +798,7 @@ _HYGIENE_ORACLE = f"""
     ),
     {_DRIFT_CTES},
     {_BLOOM_CTES},
-    bmetrics AS (
+    bmetrics AS MATERIALIZED (
         -- CAST: DuckDB SUM(int) returns HUGEINT, which is pandas-lossy
         -- (float64) and would retype the UNION's n1 column vs Spark
         SELECT CAST(SUM(CASE WHEN NOT maybe_seen THEN 1 ELSE 0 END)
@@ -1303,11 +1303,16 @@ _MINHASH_LSH_ORACLE = r"""
         SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
         FROM documents
     ),
-    u AS (
+    -- MATERIALIZED on the multiply-referenced chain (u x3 inside s's
+    -- self-join, s x3 below): inlined, DuckDB re-evaluates a CTE once
+    -- per reference — at sf100 that is three rebuilds of the 1e9-row
+    -- 3-gram DISTINCT (the dedup_ngram_jaccard lesson, bisected r8).
+    -- Execution strategy only; values identical.
+    u AS MATERIALIZED (
         SELECT doc_id, UNNEST(toks) AS w, GENERATE_SUBSCRIPTS(toks, 1) AS i
         FROM t
     ),
-    s AS (
+    s AS MATERIALIZED (
         SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
         FROM u a
         JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
@@ -1371,7 +1376,13 @@ _SIMHASH_ORACLE = r"""
                {bit_sums}
         FROM th GROUP BY doc_id
     ),
-    sig AS (
+    -- MATERIALIZED (sig / wfp): multiply-referenced heavy seams —
+    -- cand evaluates chunks twice (a/b), each re-deriving the 60-sum
+    -- signature aggregate when inlined; wfp feeds wsz AND the wg
+    -- self-join. The sf10+ sweep's branch-split executor additionally
+    -- exports marked CTEs to parquet once per entry
+    -- (tools/sf1_oracle_sweep). Execution strategy only.
+    sig AS MATERIALIZED (
         SELECT doc_id, ({sig_expr}) AS simhash FROM bits
         UNION ALL
         SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE text IS NULL
@@ -1394,7 +1405,7 @@ _SIMHASH_ORACLE = r"""
     ),
     w1 AS (SELECT doc_id, text, codes, {whashes} AS wh FROM w0),
     w2 AS (SELECT doc_id, {wmins} AS wmins FROM w1),
-    wfp AS (
+    wfp AS MATERIALIZED (
         SELECT DISTINCT doc_id, UNNEST(LIST_DISTINCT(wmins)) AS fp FROM w2
     ),
     wsz AS (SELECT doc_id, COUNT(*) AS sz FROM wfp GROUP BY doc_id),

@@ -537,6 +537,69 @@ def _hct_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hct_auto_given_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The PRODUCTION face of the router: RouteStats arrive from a
+    # maintained catalog (ANALYZE-style table stats or the repo's
+    # stored sketch tables) instead of a fresh stats scan per query.
+    # This arm exists to MEASURE that face (r7 verdict #5): the `auto`
+    # arm's bench time is dominated by its three stats-prerequisite
+    # jobs, which production amortizes across queries — with stats
+    # given, routing is pure driver-side integer arithmetic and the
+    # arm must cost roughly the routed tiers alone. The literals below
+    # are what a catalog would serve at the bench SFs — they pick the
+    # SAME routes the live stats job picks there (bitmap / spillable /
+    # faithful, the full decision space); a stale catalog row can only
+    # mis-route, never mis-count (all tiers are exact), which is why
+    # serving cached stats is safe at 100 TB (auto_route.py docstring).
+    from ..operators.auto_route import RouteStats, hashset_count_auto
+
+    def tag(pair, name, gcol):
+        df, route = pair
+        return df.select(
+            F.lit(f"auto[{route}]_{name}").alias("tier"),
+            F.col(gcol).alias("group_key"),
+            "hashset_count",
+        )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_linestatus", "l_partkey")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+    li_stats = RouteStats(
+        nnz=600_000, smax=300, vmin=1, vmax=20_000,
+        integral=True, sample_shift=6,
+    )
+    ev_stats = RouteStats(
+        nnz=100_000, smax=150, vmin=None, vmax=None,
+        integral=False, sample_shift=6,
+    )
+    d_stats = RouteStats(
+        nnz=5_000, smax=70, vmin=None, vmax=None,
+        integral=False, sample_shift=6,
+    )
+    return (
+        tag(
+            hashset_count_auto(li, ["l_linestatus"], "l_partkey", stats=li_stats),
+            "lineitem", "l_linestatus",
+        )
+        .union(
+            tag(
+                hashset_count_auto(
+                    ev, ["event_type"], "uid", ndv_threshold=200, stats=ev_stats
+                ),
+                "events", "event_type",
+            )
+        )
+        .union(
+            tag(
+                hashset_count_auto(d, ["lang"], "text", stats=d_stats),
+                "documents", "lang",
+            )
+        )
+    )
+
+
 _HCT_ARMS = {
     "idiomatic": _hct_idiomatic,
     "rdd": _hct_rdd,
@@ -549,6 +612,7 @@ _HCT_ARMS = {
     "bitmap_state": _bmd_state,
     "bitmap_setops": _bmd_setops,
     "auto": _hct_auto,
+    "auto_given_stats": _hct_auto_given_stats,
 }
 
 

@@ -744,6 +744,33 @@ def _documents_count(d, sf_dir: str) -> int:
                         ELSE 2 END AS hamming
             FROM dhp_part a JOIN dhp_part b
               ON a.grp = b.grp AND a.doc_id < b.doc_id
+        ),
+        gdims AS (
+            SELECT doc_id, 8 + doc_id % 16 AS w,
+                   8 + (doc_id // 2) % 8 AS h,
+                   2 + doc_id % 3 AS nf
+            FROM documents
+        ),
+        gpix AS (
+            SELECT doc_id, nf, i // (w * h) AS t,
+                   (doc_id + 3 * (i % w) + 7 * ((i // w) % h)
+                    + 11 * (i // (w * h))) % 256 AS k
+            FROM (SELECT doc_id, w, h, nf,
+                         UNNEST(RANGE(w * h * nf)) AS i
+                  FROM gdims)
+        ),
+        gfs AS (
+            SELECT doc_id, nf, t,
+                   CAST(SUM(k + (2 * k) % 256 + (7 * k) % 256) AS BIGINT)
+                       AS fsum
+            FROM gpix GROUP BY doc_id, nf, t
+        ),
+        gsum AS (
+            SELECT doc_id,
+                   CAST(SUM(fsum) AS BIGINT) AS pix_sum,
+                   CAST(SUM(CASE WHEN t = nf - 1 THEN fsum END) AS BIGINT)
+                       AS out_sum
+            FROM gfs GROUP BY doc_id
         ),""".replace("{dhp_cap}", str(_DHASH_PAIR_DOCS))
     + _JPEG_ORACLE_CTES + ","
     + _JPEG420_ORACLE_CTES + """
@@ -823,6 +850,20 @@ def _documents_count(d, sf_dir: str) -> int:
                CAST(NULL AS INTEGER) AS out_bytes,
                p.id_2 AS pix_sum, CAST(p.hamming AS BIGINT) AS out_sum
         FROM dhp_pairs p
+        UNION ALL
+        SELECT 'gif' AS tag, g.doc_id,
+               CAST(d.w * d.h * d.nf AS INTEGER) AS byte_len,
+               CAST(d.w AS INTEGER) AS width,
+               CAST(d.h AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(d.nf AS INTEGER) AS n_frames,
+               CAST(d.w AS INTEGER) AS src_width,
+               CAST(d.h AS INTEGER) AS src_height,
+               CAST(NULL AS INTEGER) AS out_width,
+               CAST(NULL AS INTEGER) AS out_height,
+               CAST(NULL AS INTEGER) AS out_bytes,
+               g.pix_sum, g.out_sum
+        FROM gsum g JOIN gdims d USING (doc_id)
     """ + _JPEG_ORACLE_UNION + _JPEG420_ORACLE_UNION,
 )
 def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -901,11 +942,23 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       pigeonhole-exact at <= 3 bits, bit_count verification) must
       reproduce the oracle's arithmetic pair enumeration EXACTLY —
       ids and per-pair Hamming distance both under the hash
-      (``dhash_pairs``)."""
+      (``dhash_pairs``).
+    - ``gif`` (r8): the MULTI-FRAME (video-shaped) container tier
+      (``gif_roundtrip_features``): per doc, 2-4 frames of
+      deterministic palette indices encoded as a real animated GIF89a
+      (genuine variable-width LZW with mid-stream CLEARs, graphic
+      control extensions, a NETSCAPE loop block decoders must skip)
+      and decoded back through the real container walk + LZW
+      decompressor (``decode_gif``); the decoded-RGB sum over all
+      frames AND the last frame's sum sit under the hash, so any
+      sub-block, palette, code-width, CLEAR-reset, KwKwK or
+      frame-ordering bug hash-fails against the oracle's arithmetic
+      recomputation."""
     from ..operators.multimodal import (
         dhash_near_pairs,
         dhash_planted_features,
         dhash_roundtrip_features,
+        gif_roundtrip_features,
         jpeg420_roundtrip_features,
         jpeg_prog_roundtrip_features,
         jpeg_roundtrip_features,
@@ -1035,6 +1088,25 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = dhash_planted_features(
         d.where(F.expr(f"(doc_id DIV 256) % {stride} = 0"))
     )
+    nulli2 = F.lit(None).cast("int")
+    gif = gif_roundtrip_features(d).select(
+        F.lit("gif").alias("tag"),
+        "doc_id",
+        (F.col("width") * F.col("height") * F.col("n_frames"))
+        .cast("int")
+        .alias("byte_len"),
+        "width",
+        "height",
+        F.lit(3).cast("int").alias("channels"),
+        "n_frames",
+        F.col("width").alias("src_width"),
+        F.col("height").alias("src_height"),
+        nulli2.alias("out_width"),
+        nulli2.alias("out_height"),
+        nulli2.alias("out_bytes"),
+        "pix_sum",
+        "out_sum",
+    )
     dpairs = dhash_near_pairs(
         part.select("doc_id", "dhash"), max_hamming=3, bands=4
     ).select(
@@ -1066,6 +1138,7 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dhash)
         .unionByName(dsig)
         .unionByName(dpairs)
+        .unionByName(gif)
     )
 
 

@@ -154,16 +154,29 @@ def compare_query(spark, sf_dir: str, name: str, fn, oracle: str) -> None:
 
 
 def compare_query_folded(
-    spark, sf_dir: str, name: str, fn, oracle: str, oracle_fn=None
+    spark, sf_dir: str, name: str, fn, oracle: str, oracle_fn=None,
+    timings: dict | None = None,
 ) -> None:
     """Volume-safe compare: same signal as ``compare_query`` (count +
     columns + order-insensitive value hash) with O(1) driver memory on
     both sides. ``oracle_fn(con) -> cursor/result`` optionally replaces
     ``con.execute(oracle)`` for entries whose sf0.01 oracle SQL does
     not scale (e.g. the recursive-CTE connected-components ground
-    truth, swapped for an iterative min-label loop at sf1)."""
+    truth, swapped for an iterative min-label loop at sf1).
+
+    ``timings``: pass a dict to receive per-phase wall-clock —
+    ``spark_sec`` (plan + full execution + the partition-level
+    canonicalize/hash fold, so an UPPER bound on the plan's own cost)
+    and ``oracle_sec``. The sf100 certification reads ``spark_sec``
+    against 1000x-linear budgets so one sweep pass yields both the
+    correctness and the timing evidence."""
+    import time as _time
+
+    t0 = _time.perf_counter()
     sdf = fn(spark, sf_dir)
     s_cols, s_n, s_h = _fold_spark(sdf)
+    if timings is not None:
+        timings["spark_sec"] = round(_time.perf_counter() - t0, 1)
 
     # The Spark side is DONE — release its shuffle files BEFORE the
     # DuckDB side starts spilling, or the two sides' disk peaks stack
@@ -182,6 +195,7 @@ def compare_query_folded(
     except Exception:  # pragma: no cover - non-py4j sessions
         pass
 
+    t1 = _time.perf_counter()
     con = duckdb_connection(sf_dir)
     try:
         res = oracle_fn(con) if oracle_fn is not None else con.execute(oracle)
@@ -192,6 +206,8 @@ def compare_query_folded(
         d_n, d_h = _fold_duckdb(res, d_cols)
     finally:
         con.close()
+    if timings is not None:
+        timings["oracle_sec"] = round(_time.perf_counter() - t1, 1)
 
     assert s_n == d_n, f"{name}: row count spark={s_n} duckdb={d_n}"
     assert s_h == d_h, (

@@ -186,3 +186,34 @@ def test_sample_shift_changes_estimate_not_counts(spark, shift):
     )
     out, _ = hashset_count_auto(df, ["g"], "v", sample_shift=shift)
     assert _counts(out) == _direct(df, "g", "v")
+
+
+def test_auto_given_stats_arm_matches_auto_values(spark, sf_small):
+    """The bench arm that routes from catalog-served RouteStats
+    (`plans/parity._hct_auto_given_stats`) must produce the same
+    grouped counts as the live-stats `auto` arm — routes may differ
+    (the catalog literals are sized for the bench SFs, and a stale or
+    off-SF row can only mis-route, never mis-count) — and must pick
+    the full {bitmap, spillable, faithful} decision space from its
+    given stats."""
+    from impala_hashset_count_spark.plans.parity import (
+        _hct_auto,
+        _hct_auto_given_stats,
+    )
+
+    def values(df):
+        return sorted(
+            (
+                r.tier.split("]_", 1)[1],  # strip the route tag
+                r.group_key,
+                r.hashset_count,
+            )
+            for r in df.collect()
+        )
+
+    given = _hct_auto_given_stats(spark, sf_small)
+    assert values(given) == values(_hct_auto(spark, sf_small))
+    routes = {
+        r.tier.split("[", 1)[1].split("]", 1)[0] for r in given.collect()
+    }
+    assert routes == {"bitmap", "spillable_distinct", "faithful_udaf"}

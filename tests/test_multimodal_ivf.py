@@ -1608,3 +1608,152 @@ def test_planted_dhash_corpus_properties(spark):
         for r in dhash_near_pairs(df, max_hamming=3, bands=4).collect()
     }
     assert got == expected
+
+
+# --- GIF (LZW, multi-frame) codec tier ----------------------------------
+
+def test_lzw_round_trip_properties():
+    """Encode->decode identity across code sizes, stream lengths, the
+    KwKwK pattern, table-full resets and forced mid-stream CLEARs."""
+    import random
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rnd = random.Random(7)
+    for mcs in (2, 4, 8):
+        for n in (1, 5, 300, 6000):
+            data = bytes(rnd.randrange(1 << mcs) for _ in range(n))
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+            assert (
+                _lzw_decode(_lzw_encode(data, mcs, clear_every=None), mcs)
+                == data
+            )
+    # KwKwK (code == next_code) and degenerate all-same-symbol streams
+    data = bytes([0, 1] * 400)
+    assert _lzw_decode(_lzw_encode(data, 2, clear_every=None), 2) == data
+    data = bytes(20000)
+    assert _lzw_decode(_lzw_encode(data, 8, clear_every=None), 8) == data
+
+
+def test_lzw_decode_rejects_corruption():
+    import pytest as _pytest
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    good = _lzw_encode(bytes(range(64)) * 4, 8)
+    with _pytest.raises(ValueError, match="truncated"):
+        _lzw_decode(good[:-2], 8)
+    # a code far beyond the table: flip high bits early in the stream
+    bad = bytearray(good)
+    bad[2] ^= 0xFF
+    with _pytest.raises(ValueError):
+        _lzw_decode(bytes(bad), 8)
+
+
+def test_gif_round_trip_and_closed_form_sums():
+    """decode(encode(frames)) returns the exact palette-mapped pixels,
+    and the per-frame RGB sums equal the closed-form arithmetic the
+    DuckDB oracle uses."""
+    from impala_hashset_count_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        gif_frame_indices,
+        gif_palette,
+    )
+
+    pal = gif_palette()
+    for did in (0, 1, 7, 123, 4567, 99991):
+        w, h, nf = 8 + did % 16, 8 + (did // 2) % 8, 2 + did % 3
+        frames = [gif_frame_indices(did, w, h, t) for t in range(nf)]
+        g = encode_gif(w, h, pal, frames)
+        assert g[:6] == b"GIF89a" and g[-1] == 0x3B
+        dw, dh, dec = decode_gif(g)
+        assert (dw, dh, len(dec)) == (w, h, nf)
+        for t, f in enumerate(dec):
+            assert len(f) == w * h * 3
+            cf = sum(
+                k + (2 * k) % 256 + (7 * k) % 256
+                for y in range(h)
+                for x in range(w)
+                for k in [(did + 3 * x + 7 * y + 11 * t) % 256]
+            )
+            assert sum(f) == cf, (did, t)
+
+
+def test_gif_decoder_rejections():
+    import pytest as _pytest
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        gif_palette,
+    )
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"BM" + b"\x00" * 20)
+    g = bytearray(encode_gif(8, 8, gif_palette(), [bytes(64)]))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_gif(bytes(g[:-1]))  # trailer gone
+
+
+def test_gif_matches_pil_where_available():
+    """Cross-decoder conformance: where PIL exists, its GIF decoder
+    must reproduce our encoder's frames pixel-for-pixel (the same
+    PIL-gated pattern as the real-decode image tier)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image, ImageSequence
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        encode_gif,
+        gif_frame_indices,
+        gif_palette,
+    )
+
+    pal = gif_palette()
+    for did in (3, 44, 1001):
+        w, h, nf = 8 + did % 16, 8 + (did // 2) % 8, 2 + did % 3
+        frames = [gif_frame_indices(did, w, h, t) for t in range(nf)]
+        img = Image.open(io.BytesIO(encode_gif(w, h, pal, frames)))
+        got = [
+            fr.convert("RGB").tobytes()
+            for fr in ImageSequence.Iterator(img)
+        ]
+        want = [
+            bytes(v for i in fr for v in pal[3 * i : 3 * i + 3])
+            for fr in frames
+        ]
+        assert got == want
+
+
+def test_gif_roundtrip_features_spark_stage(spark, sf_small):
+    """The mapInPandas stage emits the closed-form sums for every doc
+    at the driver SF — the same values the entry's oracle recomputes."""
+    from impala_hashset_count_spark.operators.multimodal import (
+        gif_roundtrip_features,
+    )
+    from impala_hashset_count_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_small, "documents").select("doc_id")
+    rows = gif_roundtrip_features(d).collect()
+    assert len(rows) == d.count()
+    for r in rows[:20]:
+        did = r.doc_id
+        w, h, nf = 8 + did % 16, 8 + (did // 2) % 8, 2 + did % 3
+        assert (r.width, r.height, r.n_frames) == (w, h, nf)
+        last = sum(
+            k + (2 * k) % 256 + (7 * k) % 256
+            for y in range(h)
+            for x in range(w)
+            for k in [(did + 3 * x + 7 * y + 11 * (nf - 1)) % 256]
+        )
+        assert r.out_sum == last

@@ -92,6 +92,14 @@ BRANCH_SPLIT = {
     # (group, hash/word) intermediates, and one cursor holds all of
     # them; per-branch it is the max of one tier.
     "hashset_count_tiers",
+    # r9: the simhash/winnow pair — its two branches sit on DISJOINT
+    # CTE families (the 60-column bit-sum signature chain vs the
+    # winnowing fingerprint chain), so one cursor holds both working
+    # sets for no reason; with the sig/wfp MATERIALIZED markers the
+    # prefix-export path computes each family once. Added ahead of the
+    # first sf100 run, where the 16-bit chunk space makes the simhash
+    # branch's candidate set the entry's dominant working set.
+    "dedup_simhash",
 }
 
 
@@ -481,6 +489,7 @@ def main() -> None:
     for name in names:
         q = queries[name]
         t0 = time.perf_counter()
+        phases: dict = {}
         try:
             if name in TOLERANT_FLOAT:
                 oh.compare_query_tolerant(
@@ -492,6 +501,7 @@ def main() -> None:
                 oh.compare_query_folded(
                     spark, sf_dir, name, q.fn, q.oracle,
                     oracle_fn=_cc_iterative_oracle_fn(q.oracle),
+                    timings=phases,
                 )
                 status = {"status": "MATCH", "mode": "folded+iterative-cc"}
             elif name in BRANCH_SPLIT:
@@ -504,6 +514,7 @@ def main() -> None:
                             factory=lambda: _duckdb_connection_dirs(sf_dir),
                             export_dir=export_dir,
                         ),
+                        timings=phases,
                     )
                 finally:
                     shutil.rmtree(export_dir, ignore_errors=True)
@@ -515,10 +526,13 @@ def main() -> None:
                 oh.compare_query_folded(
                     spark, sf_dir, name, q.fn, q.oracle,
                     oracle_fn=_pack_greedy_oracle_fn(q.oracle),
+                    timings=phases,
                 )
                 status = {"status": "MATCH", "mode": "folded+linear-pack"}
             else:
-                oh.compare_query_folded(spark, sf_dir, name, q.fn, q.oracle)
+                oh.compare_query_folded(
+                    spark, sf_dir, name, q.fn, q.oracle, timings=phases
+                )
                 status = {"status": "MATCH", "mode": "folded"}
         except AssertionError as e:
             status = {"status": "MISMATCH", "reason": str(e)[:500]}
@@ -529,6 +543,7 @@ def main() -> None:
                 "trace": traceback.format_exc()[-800:],
             }
         status["sec"] = round(time.perf_counter() - t0, 1)
+        status.update(phases)
         results[name] = status
         print(json.dumps({"entry": name, **status}), flush=True)
         spark.catalog.clearCache()

@@ -464,6 +464,12 @@ def _duckdb_connection_dirs(sf_dir: str) -> duckdb.DuckDBPyConnection:
     )
     con.execute("SET temp_directory='/tmp/duckdb_sweep_tmp'")
     for name in TABLES:
+        # subset scale dirs (e.g. a TPC-H-only sf100) may genuinely
+        # lack a table; register what exists — an oracle that needs a
+        # missing view then fails by NAME instead of failing every
+        # entry at connection time (the r8 sf100 corpus_stats lesson)
+        if not os.path.isdir(f"{sf_dir}/{name}.parquet"):
+            continue
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{name}.parquet/*.parquet')"

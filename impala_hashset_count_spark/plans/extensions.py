@@ -2526,7 +2526,7 @@ def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("hash", "merge", "scan")
 
 _CORPUS_STATS_ORACLE = r"""
-    WITH base AS (
+    WITH base AS MATERIALIZED (
         SELECT doc_id,
                STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks,
                LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
@@ -2534,15 +2534,15 @@ _CORPUS_STATS_ORACLE = r"""
         FROM documents
         WHERE text IS NOT NULL AND TRIM(text) <> ''
     ),
-    tok AS (
+    tok AS MATERIALIZED (
         SELECT doc_id, UNNEST(toks) AS term FROM base
     ),
-    tf AS (
+    tf AS MATERIALIZED (
         SELECT doc_id, term, COUNT(*) AS tf
         FROM tok WHERE term <> '' GROUP BY 1, 2
     ),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-    n AS (SELECT COUNT(*) AS n_docs FROM base),
+    dfreq AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS MATERIALIZED (SELECT COUNT(*) AS n_docs FROM base),
     tfidf_scored AS (
         -- log-free hashed surface: the emitted value is the exact
         -- integer document frequency (with tf and the corpus N it
@@ -2565,14 +2565,14 @@ _CORPUS_STATS_ORACLE = r"""
                ) AS rank
         FROM tfidf_scored
     ),
-    qtf AS (
+    qtf AS MATERIALIZED (
         SELECT doc_id, dl, term, COUNT(*) AS tf
         FROM (SELECT doc_id, dl, UNNEST(toks) AS term FROM base)
         WHERE term IN ('hash', 'merge', 'scan')
         GROUP BY 1, 2, 3
     ),
-    qdf AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
-    stats AS (SELECT COUNT(*) AS nn, AVG(dl) AS avgdl,
+    qdf AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+    stats AS MATERIALIZED (SELECT COUNT(*) AS nn, AVG(dl) AS avgdl,
                      CAST(SUM(dl) AS BIGINT) AS dl_total FROM base),
     contrib AS (
         -- the quantized-log score drives ONLY the top-20 ordering;
@@ -2600,7 +2600,7 @@ _CORPUS_STATS_ORACLE = r"""
         FROM contrib GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT 20
     ),
-    per_term AS (
+    per_term AS MATERIALIZED (
         SELECT term, COUNT(*) AS nrun FROM tok WHERE term <> '' GROUP BY 1
     ),
     toptok AS (
@@ -2608,7 +2608,7 @@ _CORPUS_STATS_ORACLE = r"""
         FROM per_term JOIN dfreq USING (term)
         ORDER BY per_term.nrun DESC, per_term.term LIMIT 20
     ),
-    tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM tf),
+    tot AS MATERIALIZED (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM tf),
     ulp AS (
         -- log-free component signature (see _sig40): the multiset of
         -- exact integers (term, tf, c, T) determines the LM score;
@@ -2624,20 +2624,20 @@ _CORPUS_STATS_ORACLE = r"""
         FROM tf JOIN per_term USING (term) CROSS JOIN tot
         GROUP BY tf.doc_id
     ),
-    tr AS (SELECT doc_id, toks FROM base WHERE doc_id % 20 = 0),
-    trbg AS (
+    tr AS MATERIALIZED (SELECT doc_id, toks FROM base WHERE doc_id % 20 = 0),
+    trbg AS MATERIALIZED (
         SELECT toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS c12
         FROM tr, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS g(i)
         WHERE toks[i] <> '' AND toks[i + 1] <> ''
         GROUP BY 1, 2
     ),
-    trtf AS (
+    trtf AS MATERIALIZED (
         SELECT term, COUNT(*) AS c
         FROM (SELECT UNNEST(toks) AS term FROM tr)
         WHERE term <> '' GROUP BY 1
     ),
-    trT AS (SELECT CAST(SUM(c) AS BIGINT) AS T FROM trtf),
-    dbg AS (
+    trT AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS T FROM trtf),
+    dbg AS MATERIALIZED (
         SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS k
         FROM base, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS g(i)
         WHERE toks[i] <> '' AND toks[i + 1] <> ''

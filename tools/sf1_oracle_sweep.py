@@ -100,6 +100,13 @@ BRANCH_SPLIT = {
     # first sf100 run, where the 16-bit chunk space makes the simhash
     # branch's candidate set the entry's dominant working set.
     "dedup_simhash",
+    # r9 sf100 lesson: the 7-branch corpus oracle references `tf` 26x
+    # and `dbg` 14x across its CTE graph — single-cursor inlining
+    # re-derived the 1e9-token aggregation per reference (40+ GB of
+    # spill in the first ten minutes at sf100, killed at 96% disk).
+    # Marked MATERIALIZED + branch-split, the token stream is computed
+    # once and exported.
+    "corpus_stats_documents",
 }
 
 

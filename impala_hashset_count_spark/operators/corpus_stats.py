@@ -606,6 +606,7 @@ def top_tokens_sketch(
     k: int = 20,
     group_col: str | None = None,
     max_items: int = 10_000,
+    saturation_guard: str = "ndv",
 ) -> DataFrame:
     """Mergeable frequent-items sketch tier of the heavy-hitter query
     (the frequency twin of the Datasketches-HLL distinct tier): token
@@ -621,7 +622,28 @@ def top_tokens_sketch(
 
     Returns (token, est_count) rows, count-desc. ``group_col`` groups
     the accumulation (proving the merge path); None accumulates
-    globally."""
+    globally.
+
+    ``saturation_guard="ndv"`` (default — the batch convention
+    ``streaming/windows.topk_active_users_stream`` documents): beyond
+    capacity, Spark's ``approx_top_k_estimate`` returns neither the
+    exact ranking nor an empty array but a SHRUNKEN,
+    eviction-order-defined partial result (measured on Spark 4.1; the
+    r9 sf100 run saw it shrink all the way to zero rows at ~100k
+    distinct tokens against 10k slots) — content no oracle can
+    reproduce. One extra exact ``count_distinct`` over the token
+    stream detects saturation, and a saturated sketch emits ONE
+    sentinel row ``(token=NULL, est_count=0)`` instead of
+    approximation content — "resize max_items", never silence. The
+    global NDV bounds every per-group NDV, so one global check covers
+    the grouped accumulate AND the combine. ``"none"`` keeps the raw
+    sketch output (the sketch's production contract: approximate
+    beyond capacity)."""
+    if saturation_guard not in ("ndv", "none"):
+        raise ValueError(
+            f"saturation_guard must be 'ndv' or 'none', got "
+            f"{saturation_guard!r}"
+        )
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
     ).filter(F.col("w") != "")
@@ -640,10 +662,27 @@ def top_tokens_sketch(
         merged = toks.agg(
             F.expr(f"approx_top_k_accumulate(w, {int(max_items)})").alias("sk")
         )
-    return (
-        merged.select(
-            F.explode(F.expr(f"approx_top_k_estimate(sk, {int(k)})")).alias("e")
+    est = F.expr(f"approx_top_k_estimate(sk, {int(k)})")
+    if saturation_guard == "ndv":
+        ndv = toks.agg(F.count_distinct("w").alias("__ndv"))
+        sentinel = F.expr(
+            "array(named_struct('item', CAST(NULL AS STRING),"
+            " 'count', CAST(0 AS BIGINT)))"
         )
+        staged = merged.crossJoin(F.broadcast(ndv)).select(
+            "__ndv", est.alias("__arr")
+        )
+        exploded = staged.select(
+            F.explode(
+                F.when(
+                    F.col("__ndv") > F.lit(int(max_items)), sentinel
+                ).otherwise(F.col("__arr"))
+            ).alias("e")
+        )
+    else:
+        exploded = merged.select(F.explode(est).alias("e"))
+    return (
+        exploded
         .select(
             F.col("e.item").alias("token"),
             F.col("e.count").cast("long").alias("est_count"),

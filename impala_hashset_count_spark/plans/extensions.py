@@ -2525,6 +2525,11 @@ def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: engines agree on that semantics).
 _BM25_TERMS = ("hash", "merge", "scan")
 
+#: the toptok_sk sketch's item capacity — ONE definition shared by the
+#: entry's max_items and the oracle's saturation-guard literals (the
+#: _TOPK_SKETCH_CAPACITY / _DHASH_PAIR_DOCS lock-together rule)
+_TOPTOK_SK_CAPACITY = 10_000
+
 _CORPUS_STATS_ORACLE = r"""
     WITH base AS MATERIALIZED (
         SELECT doc_id,
@@ -2714,12 +2719,21 @@ _CORPUS_STATS_ORACLE = r"""
     SELECT 'toptok_sk', NULL, term, nrun, NULL, NULL FROM (
         SELECT term, nrun FROM per_term ORDER BY nrun DESC, term LIMIT 20
     )
+    -- the ndv saturation guard, mirrored (the c225e15 contract): a
+    -- corpus whose EXACT distinct-token count exceeds the sketch
+    -- capacity emits one (NULL term, 0) sentinel instead of
+    -- approximation content — exact at every SF (fires at sf100,
+    -- where the suffixed vocabulary passes the 10k slots)
+    WHERE (SELECT COUNT(*) FROM per_term) <= {tsk_cap}
+    UNION ALL
+    SELECT 'toptok_sk', NULL, NULL, CAST(0 AS BIGINT), NULL, NULL
+    WHERE (SELECT COUNT(*) FROM per_term) > {tsk_cap}
     UNION ALL
     SELECT 'bigram_lp', doc_id, NULL, n_bigrams, comp_sig, NULL FROM blp
     UNION ALL
     SELECT 'qmodel', doc_id, NULL, CAST(logit > 0 AS BIGINT),
            CAST(FLOOR(logit * 1e6 + 0.5) AS BIGINT), NULL FROM qm
-"""
+""".replace("{tsk_cap}", str(_TOPTOK_SK_CAPACITY))
 
 
 def _cs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2743,7 +2757,8 @@ _CS_ARMS = {
         _cs_docs(spark, sf_dir), component_scores=True
     ),
     "toptok_sk": lambda spark, sf_dir: top_tokens_sketch(
-        _cs_docs(spark, sf_dir), k=100, group_col="lang"
+        _cs_docs(spark, sf_dir), k=100, group_col="lang",
+        max_items=_TOPTOK_SK_CAPACITY,
     ).limit(20),
     "bigram_lp": lambda spark, sf_dir: bigram_logprob_scores(
         _cs_docs(spark, sf_dir),
@@ -2890,7 +2905,9 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mirror is the exact top-20; over-fetch (k=100) then re-rank
     # deterministically so k-boundary ties break identically to SQL
     tsk = (
-        top_tokens_sketch(d, k=100, group_col="lang")
+        top_tokens_sketch(
+            d, k=100, group_col="lang", max_items=_TOPTOK_SK_CAPACITY
+        )
         .limit(20)
         .select(
             F.lit("toptok_sk").alias("tag"),

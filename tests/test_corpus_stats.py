@@ -312,9 +312,39 @@ def test_top_tokens_sketch_finds_heavy_hitter_at_low_capacity(spark):
         (1000 + i, f"tail{i}") for i in range(300)
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    tight = top_tokens_sketch(d, k=3, max_items=10).collect()
+    # saturation_guard="none": this test exercises the sketch's raw
+    # beyond-capacity approximation contract (the head survives)
+    tight = top_tokens_sketch(
+        d, k=3, max_items=10, saturation_guard="none"
+    ).collect()
     assert tight and tight[0].token == "hot"
     assert tight[0].est_count >= 800  # true count 800; no undercount of the head
+
+
+def test_top_tokens_sketch_saturation_sentinel(spark):
+    """The ndv guard (default): a corpus whose EXACT distinct-token
+    count exceeds max_items emits ONE (NULL, 0) sentinel row instead of
+    the eviction-order-defined shrunken estimate (the r9 sf100 finding:
+    at ~100k distinct vs 10k slots the estimate shrank to ZERO rows,
+    silently emptying the entry's toptok_sk branch). Within capacity
+    the guard changes nothing."""
+    from impala_hashset_count_spark.operators.corpus_stats import (
+        top_tokens_sketch,
+    )
+
+    rows = [(i, f"tok{i} tok{i} common") for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # 51 distinct > 10 slots: sentinel, grouped and ungrouped
+    for kwargs in ({}, {"group_col": "doc_id"}):
+        got = top_tokens_sketch(d, k=3, max_items=10, **kwargs).collect()
+        assert [(r.token, r.est_count) for r in got] == [(None, 0)], kwargs
+    # 51 distinct <= 100 slots: exact, guard silent
+    ok = top_tokens_sketch(d, k=1, max_items=100).collect()
+    assert [(r.token, r.est_count) for r in ok] == [("common", 50)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="saturation_guard"):
+        top_tokens_sketch(d, saturation_guard="bogus")
 
 
 # --- bigram LM with Stupid Backoff --------------------------------------

@@ -10,12 +10,17 @@ Design for 100 TB of media:
 - partition sizing is by BYTES not rows (``repartition`` after an
   estimated-size bucketing) so a few giant videos can't skew a task.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
+Decode tiers: this module carries REAL dependency-free codecs for
+BMP, PNG (zlib inflate), baseline JPEG (huffman+IDCT), animated
+GIF89a (variable-width LZW), and WAV — all written from stdlib
+primitives with round-trip tests and oracle-verified pixel/sample
+sums. Only the GENERIC any-format path is capability-gated:
 ``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-PIL/soundfile exist, and the pipeline uses ``fake_decode`` — a
-DETERMINISTIC function of the payload bytes with the same schema a real
-decoder would produce. The Spark-side plumbing (schema, batching,
-partitioning, UDF signatures) is real and tested.
+PIL/soundfile exist, and the pipeline's format-agnostic tier uses
+``fake_decode`` — a DETERMINISTIC function of the payload bytes with
+the same schema a real decoder would produce. The Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is real and tested
+on every tier.
 """
 
 from __future__ import annotations
@@ -2534,6 +2539,15 @@ def _lzw_encode(indices: bytes, min_code_size: int, clear_every: int | None = 64
             width = min_code_size + 1
     if seq:
         emit(table[seq], width)
+        # Mirror the decoder's bookkeeping for this final data code: the
+        # decoder appends a table entry after reading it (unless it is
+        # the first code after a CLEAR — a state where this boundary
+        # check provably can't fire, since eoi+2 is never a power of
+        # two), so it may cross a width boundary BEFORE reading EOI.
+        # Emit EOI at the width the decoder will actually read it with.
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(bitbuf & 0xFF)
@@ -2675,11 +2689,15 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[bytes]]:
 
     if payload[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated (logical screen descriptor)")
     w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("GIF truncated (global color table)")
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
     frames: list[bytes] = []
@@ -2692,12 +2710,16 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[bytes]]:
             break
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while payload[pos]:
+            while pos < len(payload) and payload[pos]:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("GIF truncated (mid-extension)")
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF truncated (image descriptor)")
         left, top, fw, fh, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         if ipacked & 0x40:
@@ -2705,19 +2727,27 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[bytes]]:
         ct = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("GIF truncated (local color table)")
             ct = payload[pos : pos + 3 * n]
             pos += 3 * n
         if ct is None:
             raise ValueError("GIF frame has no color table")
         if (left, top, fw, fh) != (0, 0, w, h):
             raise ValueError("partial-frame GIFs not supported")
+        if pos >= len(payload):
+            raise ValueError("GIF truncated (no LZW code size)")
         min_code = payload[pos]
         pos += 1
         lzw = bytearray()
-        while payload[pos]:
+        while pos < len(payload) and payload[pos]:
             ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("GIF truncated (mid-sub-block)")
             lzw += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        if pos >= len(payload):
+            raise ValueError("GIF truncated (no block terminator)")
         pos += 1
         idx = _lzw_decode(bytes(lzw), min_code)
         if len(idx) != fw * fh:

@@ -130,3 +130,27 @@ def test_observe_constraints_piggybacks_on_the_action(spark):
     }
     assert got["n_rows"] == 4
     assert {k: v for k, v in got.items() if k != "n_rows"} == standalone
+
+
+def test_sf100_cert_arg_parsing(tmp_path):
+    """r8 ADVICE regression: an entry/arm target (contains os.sep) must
+    NOT be consumed as the sf_dir, and the scale multiple must derive
+    from the dir name instead of a hardcoded 1000x."""
+    from tools.sf100_cert import parse_args
+
+    sf10 = tmp_path / "sf10"
+    sf10.mkdir()
+
+    # no explicit sf_dir: the entry/arm target stays a target
+    out, sf_dir, targets, mult = parse_args(
+        ["OUT.json", "dedup_exact_stats/xsub", "dedup_minhash_lsh"]
+    )
+    assert targets == ["dedup_exact_stats/xsub", "dedup_minhash_lsh"]
+    assert sf_dir.endswith("sf100") and mult == 1000.0
+
+    # explicit non-sf100 dir: mult derives from the name
+    out, sf_dir, targets, mult = parse_args(
+        ["OUT.json", str(sf10), "corpus_stats_documents"]
+    )
+    assert sf_dir == str(sf10) and mult == 100.0
+    assert targets == ["corpus_stats_documents"]

@@ -1686,6 +1686,34 @@ def test_gif_round_trip_and_closed_form_sums():
             assert sum(f) == cf, (did, t)
 
 
+def test_lzw_final_code_width_boundary():
+    """r8 ADVICE regression: when the FINAL data code's table entry (on
+    the decoder side) crosses a width boundary, the encoder must emit
+    EOI at the grown width — the old encoder skipped the end-of-stream
+    bookkeeping and the decoder read EOI one bit-width wide, raising
+    'truncated' on a valid stream (or worse, misreading a code)."""
+    import random
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # the advisor's exact repro: mcs=2, clear_every=3 lands the final
+    # data code exactly on the 3-bit table-capacity boundary
+    data = bytes.fromhex("010202010200000101000103000200000000020203")
+    assert _lzw_decode(_lzw_encode(data, 2, clear_every=3), 2) == data
+    # sweep small code sizes x aggressive clear cadences so every
+    # (width-boundary, end-of-stream) alignment is exercised
+    rnd = random.Random(11)
+    for mcs in (2, 3, 4):
+        for ce in (1, 2, 3, 5, 7, None):
+            for n in range(0, 40):
+                payload = bytes(rnd.randrange(1 << mcs) for _ in range(n))
+                got = _lzw_decode(_lzw_encode(payload, mcs, clear_every=ce), mcs)
+                assert got == payload, (mcs, ce, n)
+
+
 def test_gif_decoder_rejections():
     import pytest as _pytest
 
@@ -1700,6 +1728,28 @@ def test_gif_decoder_rejections():
     g = bytearray(encode_gif(8, 8, gif_palette(), [bytes(64)]))
     with _pytest.raises(ValueError, match="truncated"):
         decode_gif(bytes(g[:-1]))  # trailer gone
+
+
+def test_gif_decoder_truncation_is_valueerror_not_indexerror():
+    """r8 ADVICE regression: truncation ANYWHERE mid-structure (inside
+    an extension's sub-blocks, inside image data sub-blocks, before the
+    LZW code size) must raise the documented ValueError, never leak an
+    IndexError from the sub-block walk."""
+    import pytest as _pytest
+
+    from impala_hashset_count_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        gif_frame_indices,
+        gif_palette,
+    )
+
+    g = encode_gif(10, 6, gif_palette(), [gif_frame_indices(3, 10, 6, 0)])
+    # every proper prefix must fail with ValueError (or decode nothing
+    # cleanly — impossible here since the trailer is the last byte)
+    for cut in range(6, len(g)):
+        with _pytest.raises(ValueError):
+            decode_gif(g[:cut])
 
 
 def test_gif_matches_pil_where_available():

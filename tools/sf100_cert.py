@@ -45,24 +45,34 @@ def _newest_floors() -> dict:
     return {**art.get("floors", {}), **art.get("arms", {})}
 
 
-def main() -> None:
-    out_path = sys.argv[1]
-    rest = sys.argv[2:]
+def parse_args(argv: list[str]) -> tuple[str, str, list[str], float]:
+    """(out_path, sf_dir, targets, mult). An sf_dir is an existing
+    directory; targets (entry or entry/arm) never are — so isdir, not
+    os.sep, disambiguates (the entry/arm target syntax contains
+    os.sep). The scale multiple vs the sf0.1 floor surface is derived
+    from the dir name (sf100 -> 1000x), never hardcoded."""
+    out_path = argv[0]
+    rest = list(argv[1:])
     sf_dir = (
         rest.pop(0)
-        if rest and (os.sep in rest[0] or rest[0].startswith("."))
+        if rest and os.path.isdir(rest[0])
         else os.path.join(REPO, ".localdata", "sf100")
     )
     targets = rest
     assert targets, "no targets given"
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(os.path.normpath(sf_dir)))
+    assert m, f"cannot derive scale factor from sf_dir name: {sf_dir}"
+    mult = float(m.group(1)) / 0.1
+    return out_path, sf_dir, targets, mult
+
+
+def main() -> None:
+    out_path, sf_dir, targets, mult = parse_args(sys.argv[1:])
 
     floors = _newest_floors()
     queries = all_queries()
     spark = get_spark("sf100-cert")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-
-    # the dataset's scale multiple vs the sf0.1 floor surface
-    mult = 1000.0
 
     results: dict[str, dict] = {}
     for t in targets:

@@ -20,7 +20,9 @@ from .dedup import (
     ngram_jaccard_pairs,
     semantic_dedup,
     semantic_dedup_components,
+    simhash_n_chunks,
     simhash_pairs,
+    simhash_pairs_from_signatures,
 )
 from .line_dedup import boilerplate_lines, strip_boilerplate_lines
 from .bitmap_distinct import (

@@ -22,8 +22,11 @@ Scale analysis (100 TB, ~10^10 docs):
   constant (k hashes), band join is equi-join on (band_id, band_hash) —
   shuffle size O(docs * bands), independent of document length; AQE
   handles banding skew. Verification touches only candidate pairs.
-- SimHash (tier 4): one 64-bit signature per doc; pigeonhole on
-  4x16-bit chunks guarantees recall for Hamming distance <= 3.
+- SimHash (tier 4): one 64-bit signature per doc; pigeonhole on c
+  chunks (equi-join on every (c-d)-subset key) guarantees recall for
+  Hamming distance <= d at any c >= d+1 — c is the submit-time
+  candidate-volume knob, derived from corpus size by
+  ``simhash_n_chunks`` (c=4 to ~65k docs, c=5 to ~13M, ...).
 """
 
 from __future__ import annotations
@@ -1106,45 +1109,111 @@ def simhash_signatures(
     return toks.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
+def simhash_chunk_widths(n_chunks: int) -> list[int]:
+    """Bit widths of the ``n_chunks`` chunks covering the 64 signature
+    bits: the first ``64 % n_chunks`` chunks carry ``ceil(64/c)`` bits,
+    the rest ``floor(64/c)`` (c=4 -> [16,16,16,16], c=5 ->
+    [13,13,13,13,12], c=6 -> [11,11,11,11,10,10])."""
+    base, rem = divmod(64, n_chunks)
+    return [base + 1] * rem + [base] * (n_chunks - rem)
+
+
+def simhash_key_specs(
+    n_chunks: int, max_hamming: int
+) -> list[tuple[tuple[int, ...], int]]:
+    """The candidate-join key plan for a (chunks=c, distance=d) split:
+    one spec per (c-d)-subset of chunks, as (chunk indices, key bits).
+
+    Pigeonhole: a pair within Hamming d disagrees on at most d chunks,
+    so it AGREES on >= c-d chunks — and therefore matches exactly on at
+    least one (c-d)-subset of them. Equi-joining every subset key gives
+    recall 1.0 for the distance bound at ANY c >= d+1; growing c is
+    pure candidate-volume control (key bits grow from 64/c to
+    (c-d)*~64/c, shrinking random collisions from n^2/2^16 at the
+    c=4 default exponentially). This is the multi-block probing design
+    of Manku/Jain/Sarma, "Detecting Near-Duplicates for Web Crawling"
+    (WWW'07) — re-expressed as one exploded equi-join instead of their
+    sorted probe tables.
+    """
+    import itertools
+
+    widths = simhash_chunk_widths(n_chunks)
+    # c < d+1 can't guarantee recall at ANY subset size; clamp to
+    # single-chunk keys — the historical c=4 best-effort contract for
+    # d > 3 (any pair agreeing on no whole chunk is missed)
+    subset = max(1, n_chunks - max_hamming)
+    return [
+        (combo, sum(widths[j] for j in combo))
+        for combo in itertools.combinations(range(n_chunks), subset)
+    ]
+
+
+def simhash_n_chunks(
+    n_docs: int, max_hamming: int = 3, collisions_per_doc: float = 4.0
+) -> int:
+    """The submit-time chunk-count knob, derived from corpus size: the
+    smallest c >= d+1 whose expected RANDOM-collision candidate volume
+    stays linear — C(c,d) join keys per doc, each colliding with
+    ~n/2^key_bits others, capped at ``collisions_per_doc``. For d=3:
+    c=4 to ~65k docs, c=5 to ~13M, c=6 to ~430M, then on up; the r8
+    sf100 run (5M docs) that went quadratic at the fixed c=4 sizes to
+    c=5 here. True near-dup pairs are output either way — this bounds
+    only the wasted candidates."""
+    for c in range(max_hamming + 1, 17):
+        specs = simhash_key_specs(c, max_hamming)
+        min_bits = min(bits for _, bits in specs)
+        if len(specs) * n_docs <= collisions_per_doc * (1 << min_bits):
+            return c
+    return 16
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame,
     id_col: str,
-    text_col: str,
     max_hamming: int = 3,
-    hash_fn: str = "xxhash64",
+    n_chunks: int = 4,
+    sig_col: str = "simhash",
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming. Pigeonhole:
-    split the 64-bit signature into 4 16-bit chunks; any pair within
-    Hamming 3 agrees exactly on >= 1 chunk, so an equi-join per chunk
-    finds ALL such pairs (recall 1.0 for max_hamming <= 3), then
-    bit_count(xor) filters exactly. ``hash_fn`` selects the token hash
-    tier (see ``simhash_signatures``)."""
-    sig = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
-    chunks = sig.select(
+    """Near-dup pairs with Hamming(sig) <= max_hamming from a
+    precomputed signature frame, via the pigeonhole key join of
+    ``simhash_key_specs`` (exact recall at any c >= d+1; see there).
+    Every key is a pure shift/mask fold of the 64-bit signature —
+    whole-stage codegen, one shuffle on (key_id, key)."""
+    specs = simhash_key_specs(n_chunks, max_hamming)
+    widths = simhash_chunk_widths(n_chunks)
+    offsets = [sum(widths[:j]) for j in range(n_chunks)]
+
+    def key_expr(combo: tuple[int, ...]):
+        key = F.lit(0).cast("long")
+        for j in combo:
+            chunk = F.shiftright(F.col(sig_col), offsets[j]).bitwiseAND(
+                F.lit((1 << widths[j]) - 1)
+            )
+            key = F.shiftleft(key, widths[j]).bitwiseOR(chunk)
+        return key
+
+    keyed = sig.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk_val"),
+                        F.lit(i).alias("key_id"), key_expr(combo).alias("key_val")
                     )
-                    for c in range(4)
+                    for i, (combo, _bits) in enumerate(specs)
                 ]
             )
-        ).alias("ch"),
-    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk_val")
-    a = chunks.select(
-        F.col(id_col).alias("id_1"), F.col("simhash").alias("sig_1"), "chunk_id", "chunk_val"
+        ).alias("k"),
+    ).select(id_col, sig_col, "k.key_id", "k.key_val")
+    a = keyed.select(
+        F.col(id_col).alias("id_1"), F.col(sig_col).alias("sig_1"), "key_id", "key_val"
     )
-    b = chunks.select(
-        F.col(id_col).alias("id_2"), F.col("simhash").alias("sig_2"), "chunk_id", "chunk_val"
+    b = keyed.select(
+        F.col(id_col).alias("id_2"), F.col(sig_col).alias("sig_2"), "key_id", "key_val"
     )
     return (
-        a.join(b, ["chunk_id", "chunk_val"])
+        a.join(b, ["key_id", "key_val"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2", "sig_1", "sig_2")
         .distinct()
@@ -1153,6 +1222,38 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+    n_chunks: int | str = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Pigeonhole:
+    split the 64-bit signature into ``n_chunks`` chunks; any pair
+    within the bound agrees on >= c-d chunks, so equi-joining every
+    (c-d)-subset key finds ALL such pairs (recall 1.0 — see
+    ``simhash_key_specs``), then bit_count(xor) filters exactly.
+
+    ``n_chunks`` is the submit-time scale knob the r8 sf100 run showed
+    the fixed c=4 needed: at 5M docs every 16-bit chunk value collides
+    ~76 docs deep and the candidate join goes quadratic; c=5 keys carry
+    25+ bits and collapse that to ~1 random collision per doc. Pass an
+    int, or ``"auto"`` to derive it from the corpus size via
+    ``simhash_n_chunks`` (one count job on the input — a production
+    catalog serves this row count for free, the
+    ``auto_given_stats`` router pattern). The RESULT is invariant in
+    c; only candidate volume changes. ``hash_fn`` selects the token
+    hash tier (see ``simhash_signatures``)."""
+    if n_chunks == "auto":
+        n_chunks = simhash_n_chunks(df.count(), max_hamming)
+    sig = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
+    return simhash_pairs_from_signatures(
+        sig, id_col, max_hamming=max_hamming, n_chunks=int(n_chunks)
     )
 
 

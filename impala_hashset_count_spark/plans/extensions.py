@@ -1356,11 +1356,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, k=64, bands=32, threshold=0.5)
 
 
+def _simhash_keys_sql(n_chunks: int, max_hamming: int) -> tuple[str, str]:
+    """(key_id list SQL, CASE expression) mirroring
+    ``operators.dedup.simhash_key_specs(n_chunks, max_hamming)``
+    value-for-value: the same chunk widths/offsets and the same
+    left-fold key packing, as plain shift/mask BIGINT arithmetic (safe
+    unsigned: the md5-tier signature's bits 60..63 are constantly 0,
+    so ``simhash`` never goes negative on either engine)."""
+    from ..operators.dedup import simhash_chunk_widths, simhash_key_specs
+
+    widths = simhash_chunk_widths(n_chunks)
+    offsets = [sum(widths[:j]) for j in range(n_chunks)]
+    cases = []
+    for i, (combo, _bits) in enumerate(simhash_key_specs(n_chunks, max_hamming)):
+        expr = "CAST(0 AS BIGINT)"
+        for j in combo:
+            chunk = f"((simhash >> {offsets[j]}) & {(1 << widths[j]) - 1})"
+            expr = f"(({expr} << {widths[j]}) | {chunk})"
+        cases.append(f"WHEN {i} THEN {expr}")
+    ids = ", ".join(str(i) for i in range(len(cases)))
+    return ids, "CASE k.key_id\n                 " + "\n                 ".join(cases) + "\n               END"
+
+
+#: The oracle's pigeonhole split: the corpus-size rule's choice for the
+#: deepest certified decade (simhash_n_chunks(5_000_000) = 5 — sf100's
+#: 5M docs), fixed in the static SQL so the SAME oracle text scales
+#: from the driver's sf0.01 through sf100. The pair set is INVARIANT
+#: in the chunk count (recall 1.0 at any c >= d+1), so at small SFs —
+#: where the Spark entry's auto knob picks c=4 — the two engines reach
+#: the identical result through genuinely different candidate plans.
+_SIMHASH_ORACLE_CHUNKS = 5
+
 # Full DuckDB mirror of the SimHash pipeline at the md5 hash tier:
 # 60-bit token hash from md5 hex, 64 signature bits as sign-of-sum
-# (bits 60..63 constantly 0 on both sides), pigeonhole 16-bit chunk
-# self-join, exact bit_count(xor) filter. Generated programmatically —
-# 60 SUM(CASE) columns — but plain ANSI-ish SQL the driver runs as-is.
+# (bits 60..63 constantly 0 on both sides), pigeonhole subset-key
+# self-join (c=5, d=3: C(5,2)=10 keys of 25+ bits — see
+# _simhash_keys_sql), exact bit_count(xor) filter. Generated
+# programmatically — 60 SUM(CASE) columns — but plain ANSI-ish SQL the
+# driver runs as-is.
 _SIMHASH_ORACLE = r"""
     WITH tok AS (
         SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS t
@@ -1387,16 +1420,16 @@ _SIMHASH_ORACLE = r"""
         UNION ALL
         SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE text IS NULL
     ),
-    chunks AS (
-        SELECT doc_id, simhash, c.chunk_id,
-               (simhash >> (c.chunk_id * 16)) & 65535 AS chunk_val
-        FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS chunk_id) c
+    keys AS (
+        SELECT doc_id, simhash, k.key_id,
+               {key_case} AS key_val
+        FROM sig CROSS JOIN (SELECT UNNEST([{key_ids}]) AS key_id) k
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
                         a.simhash AS sig_1, b.simhash AS sig_2
-        FROM chunks a JOIN chunks b
-          ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+        FROM keys a JOIN keys b
+          ON a.key_id = b.key_id AND a.key_val = b.key_val
          AND a.doc_id < b.doc_id
     ),
     w0 AS (
@@ -1436,6 +1469,8 @@ _SIMHASH_ORACLE = r"""
         f" << {i})"
         for i in range(60)
     ),
+    key_ids=_simhash_keys_sql(_SIMHASH_ORACLE_CHUNKS, 3)[0],
+    key_case=_simhash_keys_sql(_SIMHASH_ORACLE_CHUNKS, 3)[1],
     wcodes="{wcodes}",
     wmins="{wmins}",
     whashes="{whashes}",
@@ -1478,12 +1513,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     unguarded join materializes 5.6e9 intermediate rows (top
     fingerprints reach 35k docs — measured r6), which is the quadratic
     blowup the guard exists to prevent; guarded it is 8.5e6 rows.
+    Round-9: the candidate join's chunk count is the SUBMIT-TIME knob
+    ``simhash_n_chunks`` derives from the corpus row count (the r8
+    sf100 finding: the fixed 4x16-bit split collides ~76 docs deep per
+    chunk value at 5M docs and the candidate join goes quadratic;
+    c=5's 10 subset keys of 25+ bits keep random collisions ~1/doc
+    through ~13M docs). The row count comes from the memoized
+    per-dataset count a production catalog serves for free (the
+    ``auto_given_stats`` pattern), the pair set is INVARIANT in c, and
+    the oracle runs the same subset-key arithmetic at the fixed sf100
+    choice c=5 (``_simhash_keys_sql``) — so at small SFs the driver
+    hash certifies two DIFFERENT candidate plans reaching the
+    identical result.
+
     Output: (tag, id_1, id_2, n1, n2, n3) — simhash rows carry
     hamming in n1; winnow rows carry n_shared / sz_1 / sz_2."""
-    from ..operators.dedup import winnow_shared_passages
+    from ..operators.dedup import simhash_n_chunks, winnow_shared_passages
+    from .streaming_batch import _documents_count
 
     d = _t(spark, sf_dir, "documents")
-    sim = simhash_pairs(d, "doc_id", "text", max_hamming=3, hash_fn="md5").select(
+    sim = simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, hash_fn="md5",
+        n_chunks=simhash_n_chunks(_documents_count(d, sf_dir)),
+    ).select(
         F.lit("simhash").alias("tag"),
         "id_1",
         "id_2",

@@ -68,6 +68,73 @@ def test_simhash_finds_planted_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_n_chunks_rule():
+    """The corpus-size knob: smallest c whose expected random-collision
+    candidates stay linear (<= 4/doc), never below d+1."""
+    from impala_hashset_count_spark.operators.dedup import (
+        simhash_key_specs,
+        simhash_n_chunks,
+    )
+
+    assert simhash_n_chunks(500) == 4
+    assert simhash_n_chunks(65_000) == 4
+    assert simhash_n_chunks(500_000) == 5       # sf10
+    assert simhash_n_chunks(5_000_000) == 5     # sf100 — the r8 blowup corpus
+    assert simhash_n_chunks(50_000_000) == 6
+    # d+1 floor holds for other distance bounds
+    assert simhash_n_chunks(10, max_hamming=6) == 7
+    # c=4/d=3 specs are EXACTLY the historical 4x16 single-chunk join
+    assert simhash_key_specs(4, 3) == [((0,), 16), ((1,), 16), ((2,), 16), ((3,), 16)]
+    # c=5/d=3: all C(5,2)=10 chunk pairs, 25-26 bit keys
+    specs5 = simhash_key_specs(5, 3)
+    assert len(specs5) == 10 and {b for _, b in specs5} == {25, 26}
+
+
+def test_simhash_pairs_invariant_in_chunk_count(spark, sf_small):
+    """The pair set is identical at every chunk count (pigeonhole
+    recall 1.0 for c >= d+1; the knob only steers candidate volume) —
+    on the real corpus AND on an adversarial signature set where the
+    d flipped bits straddle the maximum number of chunks."""
+    from impala_hashset_count_spark.operators.dedup import (
+        simhash_pairs_from_signatures,
+    )
+
+    d = load_table(spark, sf_small, "documents")
+    baseline = None
+    for c in (4, 5, 6, 8):
+        got = {
+            (r.id_1, r.id_2, r.hamming)
+            for r in simhash_pairs(
+                d, "doc_id", "text", max_hamming=3, n_chunks=c
+            ).collect()
+        }
+        if baseline is None:
+            baseline = got
+            assert baseline, "fixture should contain hamming<=3 pairs"
+        else:
+            assert got == baseline, f"chunk count {c} changed the pair set"
+
+    # adversarial: pairs at EXACTLY hamming 3 with the flips spread
+    # across three different chunks of every split under test (bits
+    # 1, 21, 51 land in distinct chunks for c in {4,5,6,8}), plus a
+    # hamming-4 pair that must stay excluded at d=3
+    base = 0x0123_4567_89AB_CDEF
+    rows = [
+        (1, base),
+        (2, base ^ (1 << 1) ^ (1 << 21) ^ (1 << 51)),
+        (3, base ^ (1 << 2) ^ (1 << 22) ^ (1 << 42) ^ (1 << 62)),
+    ]
+    sig = spark.createDataFrame(rows, "doc_id int, simhash long")
+    for c in (4, 5, 6, 8):
+        got = {
+            (r.id_1, r.id_2, r.hamming)
+            for r in simhash_pairs_from_signatures(
+                sig, "doc_id", max_hamming=3, n_chunks=c
+            ).collect()
+        }
+        assert got == {(1, 2, 3)}, f"c={c}"
+
+
 def test_simhash_columnar_equals_grouped_formulation(spark, sf_small):
     """The columnar (zero-groupBy-shuffle) signature must equal the
     explode+groupBy conditional-sum formulation bit-for-bit — they are

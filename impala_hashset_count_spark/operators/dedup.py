@@ -66,6 +66,39 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _eager_checkpoint(df: DataFrame, mode: str) -> DataFrame:
+    """Eager lineage-truncating checkpoint — the shared submit-time
+    fault-tolerance knob (``checkpoint_mode``) of the iterative /
+    multi-consumer dedup operators.
+
+    ``mode='local'`` (default): ``localCheckpoint`` — blocks live on
+    executor local storage. Fastest, but a lost executor's blocks
+    cannot be recomputed (lineage is truncated) and the RUN fails.
+    Right for bench/parity surfaces and short jobs where re-running is
+    cheaper than replicating.
+
+    ``mode='reliable'``: ``checkpoint(eager=True)`` against the
+    session's configured checkpoint directory
+    (``sc.setCheckpointDir`` — an object-store path on a real
+    cluster). Survives executor loss — the 100 TB posture for
+    long-running dedup jobs, where losing hour N-1's banding to one
+    preempted executor is not acceptable. Requires the dir to be set;
+    raises immediately (not mid-job) if it is not."""
+    if mode == "local":
+        return df.localCheckpoint()
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            raise ValueError(
+                "checkpoint_mode='reliable' needs a checkpoint dir: call "
+                "spark.sparkContext.setCheckpointDir('<object-store path>') first"
+            )
+        return df.checkpoint(eager=True)
+    raise ValueError(
+        f"checkpoint_mode must be 'local' or 'reliable', got {mode!r}"
+    )
+
+
 # ---------------------------------------------------------------------
 # 1. Exact dedup
 # ---------------------------------------------------------------------
@@ -444,6 +477,7 @@ def minhash_lsh_pairs(
     hash_fn: str = "xxhash64",
     strategy: str = "hof",
     hot_shingle_docs: int = 256,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with EXACT
     Jaccard so the output contains no false positives. With k=64 and
@@ -489,15 +523,14 @@ def minhash_lsh_pairs(
     O(cap * B). None (default) keeps exact LSH semantics for parity
     runs; always set it in production.
 
-    Fault tolerance: the two ``localCheckpoint`` calls below are EAGER
-    and executor-local — they run Spark jobs at call time and truncate
-    lineage, so a lost executor's blocks cannot be recomputed and the
-    run fails (same trade ``near_dup_components`` documents). That is
-    the right default for this repo's bench/parity surfaces (bounded
-    O(pairs) data, re-running is cheap); for long fault-critical
-    cluster runs, set a reliable checkpoint dir
-    (``sc.setCheckpointDir``) and swap in ``.checkpoint()``, or
-    ``.persist(StorageLevel.MEMORY_AND_DISK_2)`` with lineage kept."""
+    Fault tolerance: the two eager checkpoints below truncate lineage
+    at call time; ``checkpoint_mode`` picks where the blocks live —
+    ``'local'`` (default: executor-local, fastest, executor loss fails
+    the run — right for bench/parity surfaces where re-running is
+    cheap) or ``'reliable'`` (the configured ``sc.setCheckpointDir``
+    path, survives executor loss — the long-job 100 TB posture). Both
+    modes produce identical results (equality-tested); see
+    ``_eager_checkpoint``."""
     if strategy not in ("arrow", "hof"):
         raise ValueError(f"strategy must be 'arrow' or 'hof', got {strategy!r}")
     docs = doc_shingle_arrays(df, id_col, text_col, n, hash_fn=hash_fn).persist()
@@ -555,11 +588,11 @@ def minhash_lsh_pairs(
     #     summing the branch partials is bit-identical to the unguarded
     #     count at every cap setting — the guard defaults ON.
     # candidates is reused by three consumers (the id semi-join, the
-    # hot-branch probe, the final inner join): localCheckpoint (eager,
-    # the near_dup_components convention) computes the banding ONCE
+    # hot-branch probe, the final inner join): eager checkpoint (the
+    # near_dup_components convention) computes the banding ONCE
     # and truncates the lineage so the plan doesn't re-embed the band
     # self-join per consumer. It is O(pairs) — tiny after banding.
-    candidates = candidates.localCheckpoint()
+    candidates = _eager_checkpoint(candidates, checkpoint_mode)
     cand_ids = (
         candidates.select(
             F.explode(F.array("id_1", "id_2")).alias(id_col)
@@ -569,9 +602,12 @@ def minhash_lsh_pairs(
     # corpora, so no forced broadcast hints — AQE converts these
     # joins to broadcast at runtime when the built side is actually
     # small, which is the safe 100 TB default.
-    ex = docs.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), F.explode("shs").alias("__h")
-    ).localCheckpoint()
+    ex = _eager_checkpoint(
+        docs.join(cand_ids, id_col, "left_semi").select(
+            F.col(id_col), F.explode("shs").alias("__h")
+        ),
+        checkpoint_mode,
+    )
     # docs fed banding (inside the candidates checkpoint) and ex —
     # nothing below scans it again; release the executors' cache.
     docs.unpersist()
@@ -660,6 +696,7 @@ def minhash_lsh_pairs_incremental(
     hash_fn: str = "xxhash64",
     strategy: str = "hof",
     hot_shingle_docs: int = 256,
+    checkpoint_mode: str = "local",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """INCREMENTAL near-dup detection: find every near-dup pair the new
     batch introduces — new x stored AND new x new — WITHOUT re-hashing,
@@ -740,7 +777,8 @@ def minhash_lsh_pairs_incremental(
     # Hot/cold partition the vocabulary — counts are bit-identical to
     # the unguarded form at every cap (the batch-face invariant,
     # equality-tested against it in tests/test_dedup_similarity.py).
-    candidates = candidates.localCheckpoint()
+    # checkpoint_mode as in the batch face (see _eager_checkpoint).
+    candidates = _eager_checkpoint(candidates, checkpoint_mode)
     cand_ids = (
         candidates.select(
             F.explode(F.array("id_1", "id_2")).alias(id_col)
@@ -752,9 +790,12 @@ def minhash_lsh_pairs_incremental(
     all_docs = stored_docs.join(
         new_docs.select(id_col), id_col, "left_anti"
     ).unionByName(new_docs)
-    ex = all_docs.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), F.explode("shs").alias("__h")
-    ).localCheckpoint()
+    ex = _eager_checkpoint(
+        all_docs.join(cand_ids, id_col, "left_semi").select(
+            F.col(id_col), F.explode("shs").alias("__h")
+        ),
+        checkpoint_mode,
+    )
     hot_h = (
         ex.groupBy("__h")
         .agg(F.count("*").alias("__df"))
@@ -800,7 +841,11 @@ def minhash_lsh_pairs_incremental(
 
 
 def near_dup_components(
-    pairs: DataFrame, id_1: str = "id_1", id_2: str = "id_2", max_iter: int = 20
+    pairs: DataFrame,
+    id_1: str = "id_1",
+    id_2: str = "id_2",
+    max_iter: int = 20,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Connected components over a near-dup pair list: returns
     (id, rep) for every id appearing in ``pairs``, where ``rep`` is the
@@ -816,23 +861,23 @@ def near_dup_components(
     near-cliques (boilerplate families), so this is 1–3 iterations in
     practice; ``max_iter`` bounds pathological chains. Each iteration is
     one equi-join + groupBy-min (shuffles O(edges)) plus a fixpoint
-    count; ``localCheckpoint`` truncates the growing lineage so
-    iteration N does not replan iterations 1..N-1. (localCheckpoint is
-    executor-local — lost blocks on executor failure force a stage
-    recompute from the truncated lineage root; for fault-critical
-    cluster runs swap in ``checkpoint()`` with a reliable checkpoint
-    dir.)"""
+    count; the per-iteration eager checkpoint truncates the growing
+    lineage so iteration N does not replan iterations 1..N-1.
+    ``checkpoint_mode='local'`` (default) is executor-local — executor
+    loss fails the run; ``'reliable'`` writes to the configured
+    ``sc.setCheckpointDir`` and survives it (see
+    ``_eager_checkpoint``)."""
     edges = (
         pairs.select(F.col(id_1).alias("src"), F.col(id_2).alias("dst"))
         .union(pairs.select(F.col(id_2).alias("src"), F.col(id_1).alias("dst")))
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _eager_checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
-        .select("id", F.col("id").alias("rep"))
-        .localCheckpoint()
+        .select("id", F.col("id").alias("rep")),
+        checkpoint_mode,
     )
     for _ in range(max_iter):
         nb_min = (
@@ -844,7 +889,7 @@ def near_dup_components(
             .agg(F.min("dst_rep").alias("nb_rep"))
             .select(F.col("src").alias("id"), "nb_rep")
         )
-        new_labels = (
+        new_labels = _eager_checkpoint(
             labels.select("id", F.col("rep").alias("old_rep"))
             .join(nb_min, "id", "left")
             .select(
@@ -853,8 +898,8 @@ def near_dup_components(
                     F.col("old_rep"), F.coalesce("nb_rep", F.col("old_rep"))
                 ).alias("rep"),
                 "old_rep",
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_mode,
         )
         n_changed = new_labels.filter(F.col("rep") != F.col("old_rep")).count()
         labels = new_labels.select("id", "rep")
@@ -897,7 +942,11 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def near_dup_components_star(
-    pairs: DataFrame, id_1: str = "id_1", id_2: str = "id_2", max_iter: int = 25
+    pairs: DataFrame,
+    id_1: str = "id_1",
+    id_2: str = "id_2",
+    max_iter: int = 25,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -922,23 +971,25 @@ def near_dup_components_star(
     toward n-1 star edges. Convergence is detected by exact edge-set
     equality (count + exceptAll — tiny at the fixed point since the
     table is already star-shaped; a checksum aggregate would do at
-    extreme scale). ``localCheckpoint`` truncates the per-round lineage
-    exactly as in ``near_dup_components``."""
-    edges = (
+    extreme scale). The per-round eager checkpoint truncates lineage
+    exactly as in ``near_dup_components``, and ``checkpoint_mode``
+    picks local vs reliable blocks the same way (see
+    ``_eager_checkpoint``)."""
+    edges = _eager_checkpoint(
         pairs.select(F.col(id_1).alias("u"), F.col(id_2).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_mode,
     )
     nodes = _symmetrize(edges).select(F.col("u").alias("id")).distinct()
     cur = edges
     converged = False
     for _ in range(max_iter):
-        after_large = _large_star(cur).localCheckpoint()
-        after_small = _small_star(after_large).localCheckpoint()
+        after_large = _eager_checkpoint(_large_star(cur), checkpoint_mode)
+        after_small = _eager_checkpoint(_small_star(after_large), checkpoint_mode)
         unchanged = (
             after_small.count() == cur.count()
             and after_small.exceptAll(cur).isEmpty()
@@ -973,17 +1024,20 @@ def near_dup_dedup(
     bands: int = 32,
     threshold: float = 0.5,
     max_bucket_docs: int | None = None,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Remove near-duplicates TRANSITIVELY: MinHash-LSH pairs are closed
     into connected components and only each component's minimum-id
     representative survives. This is the dedup a training corpus needs —
     pair-level removal alone leaves near-dup chains (keep A, drop B,
     keep C with A~B~C). Returns ``df`` minus non-representative rows;
-    rows in no near-dup pair are untouched."""
+    rows in no near-dup pair are untouched. ``checkpoint_mode`` flows
+    to both stages (see ``_eager_checkpoint``)."""
     pairs = minhash_lsh_pairs(
-        df, id_col, text_col, n, k, bands, threshold, max_bucket_docs
+        df, id_col, text_col, n, k, bands, threshold, max_bucket_docs,
+        checkpoint_mode=checkpoint_mode,
     )
-    comp = near_dup_components(pairs)
+    comp = near_dup_components(pairs, checkpoint_mode=checkpoint_mode)
     drop = comp.filter(F.col("id") != F.col("rep")).select(
         F.col("id").alias(id_col)
     )

@@ -1130,3 +1130,59 @@ def test_minhash_lsh_incremental_reingested_id_takes_new_row(spark, sf_small):
         if r.id_1 in new_ids or r.id_2 in new_ids
     )
     assert got == expect and len(got) > 0
+
+
+def test_checkpoint_mode_reliable_matches_local(spark, sf_small, tmp_path):
+    """The r8 verdict's first-class fault-tolerance knob: with a
+    configured checkpoint dir, checkpoint_mode='reliable' must produce
+    the exact pair set and components of the default local mode (the
+    knob moves blocks, never values); without a dir it must fail at
+    submit time, not mid-job."""
+    import pytest as _pytest
+
+    from impala_hashset_count_spark.operators.dedup import (
+        near_dup_components,
+        near_dup_components_star,
+    )
+
+    d = load_table(spark, sf_small, "documents")
+    sc = spark.sparkContext
+    assert sc._jsc.sc().getCheckpointDir().isEmpty(), (
+        "test session should start with no checkpoint dir"
+    )
+    with _pytest.raises(ValueError, match="checkpoint dir"):
+        minhash_lsh_pairs(
+            d, "doc_id", "text", 3, 64, 32, 0.5, checkpoint_mode="reliable"
+        )
+    with _pytest.raises(ValueError, match="'local' or 'reliable'"):
+        minhash_lsh_pairs(
+            d, "doc_id", "text", 3, 64, 32, 0.5, checkpoint_mode="hdfs"
+        )
+
+    local_pairs = minhash_lsh_pairs(d, "doc_id", "text", 3, 64, 32, 0.5)
+    local = {(r.id_1, r.id_2, r.jaccard) for r in local_pairs.collect()}
+    assert local, "fixture should contain near-dup pairs"
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    rel_pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", 3, 64, 32, 0.5, checkpoint_mode="reliable"
+    )
+    assert {(r.id_1, r.id_2, r.jaccard) for r in rel_pairs.collect()} == local
+
+    comp_local = {
+        (r.id, r.rep) for r in near_dup_components(local_pairs).collect()
+    }
+    comp_rel = {
+        (r.id, r.rep)
+        for r in near_dup_components(
+            rel_pairs, checkpoint_mode="reliable"
+        ).collect()
+    }
+    star_rel = {
+        (r.id, r.rep)
+        for r in near_dup_components_star(
+            rel_pairs, checkpoint_mode="reliable"
+        ).collect()
+    }
+    assert comp_rel == comp_local
+    assert star_rel == comp_local

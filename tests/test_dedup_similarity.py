@@ -1186,3 +1186,28 @@ def test_checkpoint_mode_reliable_matches_local(spark, sf_small, tmp_path):
     }
     assert comp_rel == comp_local
     assert star_rel == comp_local
+
+
+def test_minhash_full_run_restricted_equals_slice_run(spark, sf_small):
+    """Soundness of the sf100 slice certification
+    (tools/sf100_slice_cert.py): every stage of minhash_lsh_pairs is a
+    pairwise property of the two docs (per-doc signatures, band
+    agreement, exact Jaccard), so the FULL-corpus pair set restricted
+    to a doc-id slice must equal the pair set of running on the sliced
+    corpus alone — exactly, jaccard values included."""
+    d = load_table(spark, sf_small, "documents")
+    full = minhash_lsh_pairs(d, "doc_id", "text", 3, 64, 32, 0.5)
+    restricted = {
+        (r.id_1, r.id_2, r.jaccard)
+        for r in full.filter(
+            (F.col("id_1") % 2 == 0) & (F.col("id_2") % 2 == 0)
+        ).collect()
+    }
+    slice_run = {
+        (r.id_1, r.id_2, r.jaccard)
+        for r in minhash_lsh_pairs(
+            d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", 3, 64, 32, 0.5
+        ).collect()
+    }
+    assert restricted == slice_run
+    assert slice_run, "slice should retain planted near-dups"

@@ -474,12 +474,16 @@ def _duckdb_connection_dirs(sf_dir: str) -> duckdb.DuckDBPyConnection:
         # subset scale dirs (e.g. a TPC-H-only sf100) may genuinely
         # lack a table; register what exists — an oracle that needs a
         # missing view then fails by NAME instead of failing every
-        # entry at connection time (the r8 sf100 corpus_stats lesson)
-        if not os.path.isdir(f"{sf_dir}/{name}.parquet"):
+        # entry at connection time (the r8 sf100 corpus_stats lesson).
+        # Tables may be Spark-written DIRECTORIES (gen_sf1.py) or
+        # single files (tools/make_doc_slice.py, the driver testdata).
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        elif not os.path.isfile(path):
             continue
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{name}.parquet/*.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

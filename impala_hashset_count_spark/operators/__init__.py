@@ -23,6 +23,7 @@ from .dedup import (
     simhash_n_chunks,
     simhash_pairs,
     simhash_pairs_from_signatures,
+    simhash_pairs_incremental,
 )
 from .line_dedup import boilerplate_lines, strip_boilerplate_lines
 from .bitmap_distinct import (

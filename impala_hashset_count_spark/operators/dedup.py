@@ -1221,18 +1221,13 @@ def simhash_n_chunks(
     return 16
 
 
-def simhash_pairs_from_signatures(
-    sig: DataFrame,
-    id_col: str,
-    max_hamming: int = 3,
-    n_chunks: int = 4,
+def _simhash_keyed(
+    sig: DataFrame, id_col: str, max_hamming: int, n_chunks: int,
     sig_col: str = "simhash",
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(sig) <= max_hamming from a
-    precomputed signature frame, via the pigeonhole key join of
-    ``simhash_key_specs`` (exact recall at any c >= d+1; see there).
-    Every key is a pure shift/mask fold of the 64-bit signature —
-    whole-stage codegen, one shuffle on (key_id, key)."""
+    """(id, sig, key_id, key_val) — one row per subset key of
+    ``simhash_key_specs``, every key a pure shift/mask fold of the
+    64-bit signature (whole-stage codegen, no Python)."""
     specs = simhash_key_specs(n_chunks, max_hamming)
     widths = simhash_chunk_widths(n_chunks)
     offsets = [sum(widths[:j]) for j in range(n_chunks)]
@@ -1246,7 +1241,7 @@ def simhash_pairs_from_signatures(
             key = F.shiftleft(key, widths[j]).bitwiseOR(chunk)
         return key
 
-    keyed = sig.select(
+    return sig.select(
         F.col(id_col),
         F.col(sig_col),
         F.explode(
@@ -1260,6 +1255,20 @@ def simhash_pairs_from_signatures(
             )
         ).alias("k"),
     ).select(id_col, sig_col, "k.key_id", "k.key_val")
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(sig) <= max_hamming from a
+    precomputed signature frame, via the pigeonhole key join of
+    ``simhash_key_specs`` (exact recall at any c >= d+1; see there).
+    One shuffle on (key_id, key)."""
+    keyed = _simhash_keyed(sig, id_col, max_hamming, n_chunks, sig_col)
     a = keyed.select(
         F.col(id_col).alias("id_1"), F.col(sig_col).alias("sig_1"), "key_id", "key_val"
     )
@@ -1277,6 +1286,72 @@ def simhash_pairs_from_signatures(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
     )
+
+
+def simhash_pairs_incremental(
+    new_df: DataFrame,
+    stored_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+    n_chunks: int | str = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL SimHash near-dup detection — the simhash twin of
+    ``minhash_lsh_pairs_incremental``: find every Hamming <= d pair
+    the new batch introduces (new x stored AND new x new) WITHOUT
+    re-signing or re-keying the stored corpus. The stored index is one
+    8-byte signature per doc (``stored_sigs``: (id, simhash) — the
+    output of ``simhash_signatures``, appended batch after batch), so
+    a 10^10-doc history is an 80 GB table.
+
+    Probe shape: only the NEW batch's subset keys probe the
+    stored+new key stream — history shuffles O(history) key rows but
+    computes no signatures; with the stored side persisted bucketed on
+    its key columns even that shuffle amortizes away. Id contract as
+    in the minhash face: a re-ingested id takes the NEW batch's row
+    (stored rows with re-ingested ids are anti-joined out first).
+
+    ``n_chunks``: as in ``simhash_pairs`` — pass ``"auto"`` to derive
+    from the COMBINED corpus size (stored + new; the collision math
+    sees the whole key stream). Returns ``(pairs, new_sigs)`` — pairs
+    as (id_1, id_2, hamming) with every pair touching >= 1 new doc,
+    plus the new batch's signatures for the caller to APPEND."""
+    new_sigs = simhash_signatures(new_df, id_col, text_col, hash_fn=hash_fn)
+    stored = stored_sigs.join(new_sigs.select(id_col), id_col, "left_anti")
+    if n_chunks == "auto":
+        n_chunks = simhash_n_chunks(
+            stored.count() + new_df.count(), max_hamming
+        )
+    probe = _simhash_keyed(new_sigs, id_col, max_hamming, int(n_chunks)).select(
+        F.col(id_col).alias("id_1"), F.col("simhash").alias("sig_1"),
+        "key_id", "key_val",
+    )
+    build = _simhash_keyed(
+        stored.unionByName(new_sigs), id_col, max_hamming, int(n_chunks)
+    ).select(
+        F.col(id_col).alias("id_2"), F.col("simhash").alias("sig_2"),
+        "key_id", "key_val",
+    )
+    pairs = (
+        probe.join(build, ["key_id", "key_val"])
+        .filter(F.col("id_1") != F.col("id_2"))
+        .select(
+            F.least("id_1", "id_2").alias("id_1"),
+            F.greatest("id_1", "id_2").alias("id_2"),
+            F.when(F.col("id_1") < F.col("id_2"), F.col("sig_1"))
+            .otherwise(F.col("sig_2")).alias("sig_1"),
+            F.when(F.col("id_1") < F.col("id_2"), F.col("sig_2"))
+            .otherwise(F.col("sig_1")).alias("sig_2"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_1").bitwiseXOR(F.col("sig_2")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )
+    return pairs, new_sigs
 
 
 def simhash_pairs(

@@ -1211,3 +1211,56 @@ def test_minhash_full_run_restricted_equals_slice_run(spark, sf_small):
     }
     assert restricted == slice_run
     assert slice_run, "slice should retain planted near-dups"
+
+
+def test_simhash_incremental_equals_batch_restriction(spark, sf_small):
+    """The incremental simhash face must equal the batch face's pair
+    set restricted to pairs touching a new id — same signatures, same
+    subset-key join — and a re-ingested id must take the NEW batch's
+    row (the minhash-face id contract)."""
+    from impala_hashset_count_spark.operators.dedup import (
+        simhash_pairs_incremental,
+        simhash_signatures,
+    )
+
+    d = load_table(spark, sf_small, "documents")
+    stored_df = d.filter(F.col("doc_id") % 3 != 0)
+    new_df = d.filter(F.col("doc_id") % 3 == 0)
+    stored_sigs = simhash_signatures(stored_df, "doc_id", "text")
+
+    batch = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in simhash_pairs(d, "doc_id", "text", max_hamming=3).collect()
+    }
+    expected = {
+        (a, b, h) for (a, b, h) in batch if a % 3 == 0 or b % 3 == 0
+    }
+    pairs, new_sigs = simhash_pairs_incremental(
+        new_df, stored_sigs, "doc_id", "text", max_hamming=3
+    )
+    assert {(r.id_1, r.id_2, r.hamming) for r in pairs.collect()} == expected
+    assert expected, "fixture should contain pairs touching new docs"
+    # chunk-count invariance holds for the incremental join too
+    pairs6, _ = simhash_pairs_incremental(
+        new_df, stored_sigs, "doc_id", "text", max_hamming=3, n_chunks=6
+    )
+    assert {(r.id_1, r.id_2, r.hamming) for r in pairs6.collect()} == expected
+    # new_sigs is exactly the batch's signature table (appendable)
+    got_sigs = {(r.doc_id, r.simhash) for r in new_sigs.collect()}
+    want_sigs = {
+        (r.doc_id, r.simhash)
+        for r in simhash_signatures(new_df, "doc_id", "text").collect()
+    }
+    assert got_sigs == want_sigs
+
+    # re-ingested id: stored holds a STALE signature for doc 0; the new
+    # batch's row must win (anti-join drops the stale signature)
+    stale = stored_sigs.unionByName(
+        spark.createDataFrame(
+            [(0, 123456789)], "doc_id long, simhash long"
+        ).select(F.col("doc_id").cast("long"), F.col("simhash").cast("long"))
+    )
+    pairs_re, _ = simhash_pairs_incremental(
+        new_df, stale, "doc_id", "text", max_hamming=3
+    )
+    assert {(r.id_1, r.id_2, r.hamming) for r in pairs_re.collect()} == expected

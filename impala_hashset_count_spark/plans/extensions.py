@@ -788,7 +788,12 @@ _HYGIENE_ORACLE = f"""
                CAST(COUNT(*) AS BIGINT) AS n_grams
         FROM xisl GROUP BY doc_id, grp
     ),
-    xrm AS (
+    -- MATERIALIZED (r9): the 1e9-token window is the oracle's peak
+    -- working set at sf50+ — exported to parquet once by the sweep's
+    -- prefix-export path so the xsub_fp STRING_AGG branch aggregates
+    -- over the export instead of holding the window + the per-doc
+    -- string rebuild in one memory budget. Execution strategy only.
+    xrm AS MATERIALIZED (
         SELECT w.doc_id, w.pos, w.raw,
                MAX(COALESCE(c.cov, 0)) OVER (
                    PARTITION BY w.doc_id ORDER BY w.pos

@@ -70,7 +70,7 @@ from ..operators.sampling import (
     temperature_mix,
 )
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk, pq_topk
-from ..sources.tables import load_table, register_views
+from ..sources.tables import load_table, register_views, widen_small_scan
 from .registry import register
 
 
@@ -303,7 +303,13 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # Scale-adaptive scan widening (r9): this single fused projection
+    # is the most per-row-CPU-expensive plan in the registry and has NO
+    # Exchange of its own, so on the single-row-group bench files the
+    # WHOLE query ran as one task (measured 3.43 s warm at sf0.1 on 32
+    # cores; 0.79-1.0 s widened). At production row-group counts
+    # widen_small_scan is a no-op and the plan is unchanged.
+    d = widen_small_scan(_t(spark, sf_dir, "documents"), sf_dir, "documents")
     s1 = d.select(
         "doc_id", "lang", "text", "source", tokens("text").alias("__toks")
     )

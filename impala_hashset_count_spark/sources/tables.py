@@ -35,11 +35,86 @@ TABLES = (
 #: region/nation are bounded by geography (25 nations max in TPC-H).
 BROADCAST_SAFE = frozenset({"region", "nation"})
 
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+#: Per-core byte cap for the small-scan widening below: a table is only
+#: round-robin repartitioned when its TOTAL bytes are <= cores x this
+#: (default 8 MB/core, env-overridable), i.e. when the whole shuffle
+#: costs less than one ordinary shuffle partition. Above the cap the
+#: scan keeps today's plan byte-for-byte — at 100 TB the condition can
+#: never fire (and a repartition "for parallelism" there would be the
+#: accidental-shuffle anti-pattern the optimization guide warns about).
+WIDEN_MAX_BYTES_PER_CORE = int(
+    os.environ.get("SPARK_GRAFT_WIDEN_BYTES_PER_CORE", str(8 * 1024 * 1024))
+)
+
+
+def _parquet_scan_width(path: str) -> tuple[int, int]:
+    """(total_bytes, total_row_groups) of a parquet file or directory,
+    from footer metadata only. Row groups are Spark's real unit of scan
+    parallelism: a single-row-group file yields ONE non-empty task no
+    matter how many byte-range splits the scheduler cuts."""
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files.extend(
+                os.path.join(root, n) for n in names if n.endswith(".parquet")
+            )
+    else:
+        files.append(path)
+    total_bytes = 0
+    row_groups = 0
+    for f in files:
+        total_bytes += os.path.getsize(f)
+        row_groups += pq.ParquetFile(f).metadata.num_row_groups
+    return total_bytes, row_groups
+
+
+def widen_small_scan(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Scale-adaptive scan parallelism (optimization guide §2): the
+    bench-SF tables are single-file/single-row-group parquet, so every
+    pre-Exchange stage (tokenize/shingle/signature/partial-agg) of a
+    query ran as ONE task — measured 3.4 s single-core for the 1.5 MB
+    sf0.1 text-analysis pass on a 32-core box. When the footer
+    metadata proves the scan cannot reach core-count parallelism
+    (row_groups < cores) AND the table is small enough that the extra
+    round-robin exchange is trivially cheap (<= WIDEN_MAX_BYTES_PER_CORE
+    per core), repartition to core count so per-row work uses the
+    machine. The decision derives from the INPUT layout, not a local
+    constant: a production table has thousands of row groups, the
+    condition is false, and the plan is unchanged — this is strictly
+    the small-scan-regime fix. Round-robin repartition is
+    deterministic (sortBeforeRepartition, SPARK-23207) and row-order
+    independence of every registered query is already part of the
+    oracle contract (canonicalized compare).
+
+    Applied EXPLICITLY by queries whose per-row CPU dominates their
+    scan (regex/tokenize/shingle passes over ``documents``), never in
+    ``load_table``: the r9 A/B showed blanket widening REGRESSES
+    aggregation-first queries (tpch_q1 0.22->0.61 s, asof
+    0.27->0.74 s) — their map sides exist to SHRINK data before the
+    first exchange, and a round-robin exchange below them ships raw
+    rows instead (the map-side-agg inversion, guide §2.3) — and
+    multi-branch union plans (corpus_stats 2.1->8.2 s), where each
+    branch's differently-pruned scan subtree grew its own exchange."""
+    from ..session import default_parallelism
+
+    cores = default_parallelism()
+    try:
+        total_bytes, row_groups = _parquet_scan_width(table_path(sf_dir, name))
+    except Exception:  # pragma: no cover - metadata unreadable
+        return df
+    if row_groups >= cores or total_bytes > cores * WIDEN_MAX_BYTES_PER_CORE:
+        return df
+    return df.repartition(cores)
 
 
 # Per-session memo of loaded tables: ``spark.read.parquet`` pays a

@@ -496,3 +496,41 @@ def test_dynamic_partition_overwrite_replaces_only_touched_partitions(
     ) == sorted(
         map(tuple, src.filter("o_orderpriority <> '1-URGENT'").collect())
     )
+
+
+def test_widen_small_scan_fires_only_in_small_scan_regime(
+    spark, sf_small, tmp_path
+):
+    """r9 scan-widening contract: on the single-row-group bench files
+    the helper repartitions to core count with values unchanged; on a
+    many-row-group table (the production layout) it is a NO-OP — the
+    plan must stay byte-identical so the 100 TB path never grows an
+    accidental shuffle."""
+    from impala_hashset_count_spark.session import default_parallelism
+    from impala_hashset_count_spark.sources.tables import (
+        load_table,
+        widen_small_scan,
+    )
+
+    cores = default_parallelism()
+    base = load_table(spark, sf_small, "documents")
+    wide = widen_small_scan(base, sf_small, "documents")
+    # bench files are single row group -> widening fires
+    assert wide.rdd.getNumPartitions() == cores
+    assert base.rdd.getNumPartitions() < cores
+    # values identical (row order is not part of the contract)
+    assert sorted(map(tuple, wide.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+    # many-row-group layout -> no-op, SAME plan object semantics
+    many_dir = str(tmp_path / "many")
+    os.makedirs(many_dir)
+    many_path = os.path.join(many_dir, "documents.parquet")
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_small, "documents.parquet"))
+    pq.write_table(tbl, many_path, row_group_size=max(1, tbl.num_rows // (cores + 1)))
+    assert pq.ParquetFile(many_path).metadata.num_row_groups >= cores
+    prod = spark.read.parquet(many_path)
+    assert widen_small_scan(prod, many_dir, "documents") is prod

@@ -1026,7 +1026,18 @@ def _des_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _des_xsub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dt = _des_dt(spark, sf_dir)
+    # Scale-adaptive scan widening (r9, same rationale as
+    # text_analysis_documents): the gram explode + per-doc windows in
+    # duplicated_spans are the most per-row-CPU-expensive hygiene
+    # branch, and on the single-row-group bench files their pre-shuffle
+    # stage ran as ONE task (measured 3.25 s -> 2.22 s min-of-4 at
+    # sf0.1 on 32 cores, cold first run 11.6 s -> 3.9 s). Applied to
+    # THIS branch only — the other hygiene branches are
+    # aggregation-first, where the r9 A/B showed widening inverts the
+    # map-side shrink. No-op at production row-group counts.
+    dt = widen_small_scan(
+        _des_dt(spark, sf_dir), sf_dir, "documents"
+    )
     spans = duplicated_spans(dt, min_tokens=8, hash_fn="md5").select(
         F.lit("xsub").alias("tag"),
         "doc_id",

@@ -235,22 +235,27 @@ def bm25_topn(
     doc-length table."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    qlit = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    # SQL-text expressions (r9): the per-call plan-build cost of this
+    # operator was ~0.35 s, dominated by py4j round-trip volume (the
+    # Python ``filter`` lambdas and chained withColumns) — planning
+    # latency paid per bench repetition / per production query. The
+    # parsed expressions are term-for-term the same logical plan.
+    qarr = (
+        "array("
+        + ", ".join("'" + t.replace("'", "\\'") + "'" for t in sorted(set(query_terms)))
+        + ")"
+    )
     base = df.where(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        F.expr(f"`{text_col}` IS NOT NULL AND trim(`{text_col}`) != ''")
     ).select(
         F.col(id_col),
         tokens(text_col).alias("__toks"),
     )
     withlen = base.select(
         id_col,
-        F.size(F.filter(F.col("__toks"), lambda t: t != "")).alias("dl"),
-        F.array_intersect(
-            F.col("__toks"), qlit
-        ).alias("__qhit"),
-        F.filter(
-            F.col("__toks"), lambda t: F.array_contains(qlit, t)
-        ).alias("__qtoks"),
+        F.expr("size(filter(__toks, t -> t != ''))").alias("dl"),
+        F.expr(f"array_intersect(__toks, {qarr})").alias("__qhit"),
+        F.expr(f"filter(__toks, t -> array_contains({qarr}, t))").alias("__qtoks"),
     )
     stats = withlen.agg(
         F.count("*").alias("__N"),
@@ -271,26 +276,19 @@ def bm25_topn(
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
+    # one SELECT instead of two withColumns: each withColumn re-analyzes
+    # the whole join tree driver-side. The SQL floats mirror the Python
+    # column arithmetic literal-for-literal (repr() round-trips doubles
+    # exactly; ``1 - b`` was already folded to one Python float before
+    # it ever reached Catalyst).
+    contrib_sql = (
+        f"ln(1 + (__N - df + 0.5D) / (df + 0.5D)) * tf * {k1 + 1!r}D"
+        f" / (tf + {k1!r}D * ({1 - b!r}D + {b!r}D * dl / __avgdl))"
+    )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "__idf",
-            F.log(
-                1
-                + (F.col("__N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "__contrib",
-            F.col("__idf")
-            * F.col("tf")
-            * (k1 + 1)
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
-            ),
-        )
+        .select("*", F.expr(contrib_sql).alias("__contrib"))
     )
     micro_sum = F.sum(_qint(F.col("__contrib"), 1e6)).cast("long")
     score = (
@@ -474,25 +472,28 @@ def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     an inline split expression referenced inside ``transform`` is
     re-evaluated per element (O(chars x pairs) per row; measured 20x
     on this pass — the same hazard `functions/text.py` documents for
-    every tokenized metric)."""
-    t = F.col("__t")
-    pair_t = "array<struct<w1:string,w2:string>>"
-    pairs = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("w1"),
-                F.element_at(t, i + F.lit(1)).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast(pair_t))
+    every tokenized metric).
+
+    The pair expression is ONE SQL-text ``inline(...)`` (r9): the
+    driver-side plan build of this pass previously issued hundreds of
+    py4j round-trips (the Python ``transform`` lambda constructs its
+    body element-call by element-call, and the explode +
+    field-extraction selects re-analyze the tree), measured at ~0.14 s
+    per call — pure planning latency the bench pays per repetition and
+    a production driver pays per query. A single parsed expression
+    builds the identical pairs; ``inline`` is ``explode`` +
+    struct-field projection in one operator."""
+    pair_sql = (
+        "CASE WHEN size(__t) >= 2 THEN "
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> struct(element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2)) "
+        "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
+    )
     return (
-        df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        df.where(F.expr(f"`{text_col}` IS NOT NULL AND trim(`{text_col}`) != ''"))
         .select(F.col(id_col), tokens(text_col).alias("__t"))
-        .select(F.col(id_col), F.explode(pairs).alias("bg"))
-        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .where((F.col("w1") != "") & (F.col("w2") != ""))
+        .select(F.col(id_col), F.expr(f"inline({pair_sql})"))
+        .where(F.expr("w1 != '' AND w2 != ''"))
     )
 
 

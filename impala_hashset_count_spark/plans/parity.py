@@ -500,7 +500,9 @@ def _hct_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference's own 300k boundary (faithful at bench SFs) — at
     # larger SFs a route may legitimately flip, and the oracle flips
     # with it, because both sides compute the same arithmetic.
-    from ..operators.auto_route import hashset_count_auto
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.auto_route import auto_route_stats, hashset_count_auto
 
     def tag(pair, name, gcol):
         df, route = pair
@@ -515,22 +517,34 @@ def _hct_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("user_id").cast("string").alias("uid")
     )
     d = _t(spark, sf_dir, "documents").select("lang", "text")
+    # The three stats prerequisites are INDEPENDENT one-row jobs on
+    # three different tables; submitting them from a small thread pool
+    # overlaps them (optimization guide §2.6) instead of paying three
+    # serial driver round-trips — each RouteStats value (and hence each
+    # routing decision and the driver hash) is unchanged. Measured
+    # r9 at sf0.1 (interleaved in-session A/B): arm 2.75 -> 2.05 s
+    # warm min-of-5.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        st_li = pool.submit(auto_route_stats, li, ["l_linestatus"], "l_partkey")
+        st_ev = pool.submit(auto_route_stats, ev, ["event_type"], "uid")
+        st_d = pool.submit(auto_route_stats, d, ["lang"], "text")
+        st_li, st_ev, st_d = st_li.result(), st_ev.result(), st_d.result()
     return (
         tag(
-            hashset_count_auto(li, ["l_linestatus"], "l_partkey"),
+            hashset_count_auto(li, ["l_linestatus"], "l_partkey", stats=st_li),
             "lineitem", "l_linestatus",
         )
         .union(
             tag(
                 hashset_count_auto(
-                    ev, ["event_type"], "uid", ndv_threshold=200
+                    ev, ["event_type"], "uid", ndv_threshold=200, stats=st_ev
                 ),
                 "events", "event_type",
             )
         )
         .union(
             tag(
-                hashset_count_auto(d, ["lang"], "text"),
+                hashset_count_auto(d, ["lang"], "text", stats=st_d),
                 "documents", "lang",
             )
         )

@@ -85,31 +85,28 @@ def kmv_accumulate(
     Plan shape: DISTINCT on (group, hash) -> WindowGroupLimit rank cut
     (map-side bounded at k) -> O(k) collect. The window and the final
     aggregate hash on the group columns the distinct already
-    partitioned by, so there is one exchange."""
+    partitioned by, so there is one exchange — and ONE scan: all-NULL
+    groups ride the same pipeline as a (group, NULL) row ordered
+    nulls-LAST (never displacing a real hash from the bottom-k;
+    ``collect_list`` then drops the NULL, leaving the empty sketch the
+    reference's empty-state Finalize needs). r9: this replaced a
+    second full scan (``df.select(groups).distinct()``) plus a join
+    whose only job was re-attaching those groups — one pass instead of
+    two over a 100 TB fact table, one fewer exchange (measured at
+    sf0.1: kmv arm 2.37 -> 1.66 s, kmv_setops 1.67 -> 1.32 s
+    min-of-4)."""
     h = kmv_hash(F.col(value_col))
-    hashed = (
-        df.select(*group_cols, h.alias("__h"))
-        .filter(F.col("__h").isNotNull())
-        .distinct()
-    )
-    w = Window.partitionBy(*group_cols).orderBy("__h")
+    hashed = df.select(*group_cols, h.alias("__h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__h").asc_nulls_last())
     cut = (
         hashed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+    # collect_list skips NULLs, so the nulls-last placeholder row of an
+    # all-NULL group aggregates to array() — the empty sketch.
     sketch = F.slice(F.array_sort(F.collect_list("__h")), 1, k)
-    # Right-join the full group-key set back so all-NULL groups keep a
-    # row (empty sketch) — the reference emits NULL for them, not
-    # nothing.
-    groups = df.select(*group_cols).distinct()
-    built = cut.groupBy(*group_cols).agg(sketch.alias("kmv_sketch"))
-    return groups.join(built, on=group_cols, how="left").select(
-        *group_cols,
-        F.coalesce(
-            F.col("kmv_sketch"), F.array().cast("array<bigint>")
-        ).alias("kmv_sketch"),
-    )
+    return cut.groupBy(*group_cols).agg(sketch.alias("kmv_sketch"))
 
 
 def kmv_combine(

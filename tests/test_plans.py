@@ -164,8 +164,15 @@ def test_text_analysis_single_scan_no_shuffle(spark):
     import re
 
     plan = _plan(spark, "text_analysis_documents")
-    # the whole per-document text family is one projection pass
-    assert "Exchange" not in plan
+    # the whole per-document text family is one projection pass: no
+    # hash/range shuffle anywhere. The only permissible Exchange is
+    # widen_small_scan's scale-gated ROUND-ROBIN local-parallelism
+    # repartition (r9; absent at production row-group counts), same
+    # convention as test_simhash_signatures_no_groupby_shuffle.
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("RoundRobin" in e for e in exchanges), exchanges
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
 
 

@@ -1050,50 +1050,39 @@ def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by determinism + partition-sweep tests."""
     li = _t(spark, sf_dir, "lineitem")
 
-    def _ok(est, exact, bound):
-        return (
-            F.abs(est.cast("double") / exact.cast("double") - F.lit(1.0))
-            <= F.lit(bound)
-        )
-
-    def _tier(df, tier):
-        return df.select(
-            F.lit(tier).alias("tier"),
-            "l_returnflag",
-            "exact_parts",
-            "exact_orders",
-            _ok(F.col("approx_parts"), F.col("exact_parts"),
-                _HLL_BOUNDS[tier]).alias("parts_ok"),
-            _ok(F.col("approx_orders"), F.col("exact_orders"),
-                _HLL_BOUNDS[tier]).alias("orders_ok"),
-        )
-
     # The exact distincts (the entry's oracle anchor) are computed
-    # ONCE in their own Expand multi-distinct pass and broadcast (3
-    # rows) into both tiers. Keeping them OUT of the HLL++ aggregate
-    # matters: mixing count_distinct with other aggregates makes the
-    # Expand rewrite stream every slice through the sketch partials
-    # too (measured ~2x the split cost at sf0.1), and the sketch tier
-    # would otherwise pay the Expand a second time.
+    # ONCE in their own Expand multi-distinct pass. Keeping them OUT
+    # of the HLL++ aggregate matters: mixing count_distinct with other
+    # aggregates makes the Expand rewrite stream every slice through
+    # the sketch partials too (measured ~2x the split cost at sf0.1),
+    # and the sketch tier would otherwise pay the Expand a second time.
     exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
     )
-    # 3 rows — materialize ONCE and rebuild as a local relation: static
-    # planning cannot share a subplan across two join references, so
-    # both tiers would otherwise re-run the Expand pass (plan-asserted
-    # to exactly one in tests/test_plans.py)
-    exact_b = F.broadcast(
-        spark.createDataFrame(exact.collect(), exact.schema)
-    )
-    hllpp = _tier(
+    # r9 (optimization guide §2.4/§2.6): the tiers UNION FIRST and the
+    # exact anchor joins ONCE after it, as a broadcast. The previous
+    # shape materialized `exact` with a driver-side collect() and
+    # rebuilt it as a local relation joined into each tier — needed
+    # because two join references re-ran the Expand pass (their Expand
+    # projections canonicalize with flipped column order, so exchange
+    # reuse can never kick in). A single post-union join reference
+    # keeps the Expand pass single-execution AND turns the serial
+    # collect job into a plan branch: all three lineitem passes now
+    # overlap inside one job (measured 1.73 -> 1.19 s min-of-5 at
+    # sf0.1, identical rows/schema).
+    hllpp = (
         li.groupBy("l_returnflag")
         .agg(
             approx_distinct_count("l_partkey").alias("approx_parts"),
             approx_distinct_count("l_orderkey").alias("approx_orders"),
         )
-        .join(exact_b, "l_returnflag"),
-        "hllpp",
+        .select(
+            F.lit("hllpp").alias("tier"),
+            "l_returnflag",
+            "approx_parts",
+            "approx_orders",
+        )
     )
     # both value columns sketched in ONE fine-grain pass (one scan,
     # one shuffle agg — a sketch table is one groupBy however many
@@ -1104,16 +1093,39 @@ def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sk_p"),
         F.hll_sketch_agg("l_orderkey", F.lit(12)).alias("sk_o"),
     )
-    sk = _tier(
+    sk = (
         fine.groupBy("l_returnflag")
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk_p")).alias("approx_parts"),
             F.hll_sketch_estimate(F.hll_union_agg("sk_o")).alias("approx_orders"),
         )
-        .join(exact_b, "l_returnflag"),
-        "sketch",
+        .select(
+            F.lit("sketch").alias("tier"),
+            "l_returnflag",
+            "approx_parts",
+            "approx_orders",
+        )
     )
-    return hllpp.unionByName(sk)
+    tiers = hllpp.unionByName(sk)
+    bound = (
+        F.when(F.col("tier") == "hllpp", F.lit(_HLL_BOUNDS["hllpp"]))
+        .otherwise(F.lit(_HLL_BOUNDS["sketch"]))
+    )
+
+    def _ok(est, exact_col):
+        return (
+            F.abs(est.cast("double") / exact_col.cast("double") - F.lit(1.0))
+            <= bound
+        )
+
+    return tiers.join(F.broadcast(exact), "l_returnflag").select(
+        "tier",
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        _ok(F.col("approx_parts"), F.col("exact_parts")).alias("parts_ok"),
+        _ok(F.col("approx_orders"), F.col("exact_orders")).alias("orders_ok"),
+    )
 
 
 # =====================================================================

@@ -227,20 +227,24 @@ def test_simhash_md5_tier_same_shuffle_free_shape(spark):
 
 def test_sketch_tier_passes_and_broadcast_only_joins(spark):
     """approx_distinct_lineitem: the exact oracle anchor (one Expand
-    multi-distinct pass) is materialized ONCE at build time and joins
-    both tiers as a 3-row broadcast local relation; the final plan is
-    exactly the 2 fact scans the two sketch tiers need, broadcast-only
-    joins (a shuffled join would drag the fact table into an exchange
-    it doesn't need)."""
+    multi-distinct pass) appears EXACTLY ONCE in the plan and joins
+    the unioned tiers as one 3-row broadcast (r9: the tiers union
+    first, then one join reference — two references re-ran the Expand
+    pass because their Expand projections canonicalize with flipped
+    column order and exchange reuse never fires; the single reference
+    also removed the serial driver-side collect job, so all three
+    fact passes overlap in one job). Broadcast-only joins (a shuffled
+    join would drag the fact table into an exchange it doesn't
+    need)."""
     import re
 
     plan = _plan(spark, "approx_distinct_lineitem")
-    # 2 scans in the FINAL plan (HLL++ agg + fine sketch pass); the
-    # exact anchor's Expand pass ran once at build time and rides both
-    # tiers as a 3-row local relation — no Expand left in this plan
-    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 2
-    assert "Expand" not in plan
+    # 3 scans in one plan: HLL++ agg, fine sketch pass, exact anchor
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 3
+    # the exact anchor's Expand multi-distinct pass — exactly once
+    assert len(re.findall(r"^\(\d+\) Expand", plan, flags=re.M)) == 1
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, flags=re.M)) == 1
 
 
 def test_runtime_bloom_filter_injected_on_non_broadcast_dim_join(spark):

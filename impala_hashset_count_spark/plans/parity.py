@@ -523,7 +523,10 @@ def _hct_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serial driver round-trips — each RouteStats value (and hence each
     # routing decision and the driver hash) is unchanged. Measured
     # r9 at sf0.1 (interleaved in-session A/B): arm 2.75 -> 2.05 s
-    # warm min-of-5.
+    # warm min-of-5. (A single-action variant — union the three one-row
+    # aggregates, collect once — was ALSO measured r9 and is ~8% slower
+    # than the three overlapped jobs: the union plan's stage waves wait
+    # for all three subtrees where independent jobs finish alone.)
     with ThreadPoolExecutor(max_workers=3) as pool:
         st_li = pool.submit(auto_route_stats, li, ["l_linestatus"], "l_partkey")
         st_ev = pool.submit(auto_route_stats, ev, ["event_type"], "uid")
@@ -2196,11 +2199,22 @@ def join_range_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
       window, paired when the windows overlap, counted by the right
       side's priority. Again the oracle runs the naive non-equi
       overlap join, so the hash certifies the rewrite."""
-    return (
-        _range_resid(spark, sf_dir)
-        .union(_range_binned(spark, sf_dir))
-        .union(_range_overlap(spark, sf_dir))
-    )
+    # Independent branch plans build concurrently (r9; py4j releases
+    # the GIL on its socket waits, so construction overlaps — the
+    # corpus_stats_documents pattern). Branch expressions, union
+    # order, and results are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        resid, binned, overlap = (
+            f.result()
+            for f in [
+                pool.submit(_range_resid, spark, sf_dir),
+                pool.submit(_range_binned, spark, sf_dir),
+                pool.submit(_range_overlap, spark, sf_dir),
+            ]
+        )
+    return resid.union(binned).union(overlap)
 
 
 @register(

@@ -130,11 +130,22 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.shuffle.partitions", str(default_parallelism())),
         # See get_spark: widen small scans without a repartition shuffle.
         ("spark.sql.files.minPartitionNum", str(default_parallelism())),
+        # See get_spark: driver-side plan-build latency. Runtime-settable,
+        # but PySpark memoizes the flag on first DataFrame call — reset
+        # the module cache below so an externally-created session (the
+        # driver's) picks the change up too.
+        ("spark.python.sql.dataFrameDebugging.enabled", "false"),
     ):
         try:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf may be static
             pass
+    try:
+        from pyspark.errors import utils as _pyspark_errors_utils
+
+        _pyspark_errors_utils._enable_debugging_cache = False
+    except Exception:  # pragma: no cover - private attr may move
+        pass
     try:
         ship_package(spark)
     except Exception:  # pragma: no cover - e.g. connect-only sessions

@@ -270,33 +270,54 @@ def streaming_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     string/NULL semantics (``streaming.windows.hashset_count_stateful``;
     SURVEY.md §8). tests/test_streaming.py asserts the live readStream
     pipelines equal the underlying plans."""
-    sess = sessionize_batch(spark, sf_dir).select(
-        F.lit("sessionize").alias("kind"),
-        "user_id",
-        F.lit(None).cast("string").alias("event_type"),
-        F.lit(None).cast("long").alias("first_event_id"),
-        F.col("n_sessions").cast("long").alias("n_sessions"),
-        "n_events",
-        F.lit(None).cast("string").alias("hashset_count"),
-    )
-    ded = dedup_batch(spark, sf_dir).select(
-        F.lit("dedup").alias("kind"),
-        "user_id",
-        "event_type",
-        "first_event_id",
-        F.lit(None).cast("long").alias("n_sessions"),
-        F.lit(None).cast("long").alias("n_events"),
-        F.lit(None).cast("string").alias("hashset_count"),
-    )
-    dist = distinct_batch(spark, sf_dir).select(
-        F.lit("distinct").alias("kind"),
-        F.lit(None).cast("long").alias("user_id"),
-        "event_type",
-        F.lit(None).cast("long").alias("first_event_id"),
-        F.lit(None).cast("long").alias("n_sessions"),
-        F.lit(None).cast("long").alias("n_events"),
-        "hashset_count",
-    )
+    def _b_sess():
+        return sessionize_batch(spark, sf_dir).select(
+            F.lit("sessionize").alias("kind"),
+            "user_id",
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("long").alias("first_event_id"),
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            "n_events",
+            F.lit(None).cast("string").alias("hashset_count"),
+        )
+
+    def _b_ded():
+        return dedup_batch(spark, sf_dir).select(
+            F.lit("dedup").alias("kind"),
+            "user_id",
+            "event_type",
+            "first_event_id",
+            F.lit(None).cast("long").alias("n_sessions"),
+            F.lit(None).cast("long").alias("n_events"),
+            F.lit(None).cast("string").alias("hashset_count"),
+        )
+
+    def _b_dist():
+        return distinct_batch(spark, sf_dir).select(
+            F.lit("distinct").alias("kind"),
+            F.lit(None).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(None).cast("long").alias("first_event_id"),
+            F.lit(None).cast("long").alias("n_sessions"),
+            F.lit(None).cast("long").alias("n_events"),
+            "hashset_count",
+        )
+
+    # Independent branch plans build concurrently (r9; py4j releases
+    # the GIL on its socket waits — the corpus_stats_documents
+    # pattern). Branch expressions, union order, and results are
+    # unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        sess, ded, dist = (
+            f.result()
+            for f in [
+                pool.submit(_b_sess),
+                pool.submit(_b_ded),
+                pool.submit(_b_dist),
+            ]
+        )
     # the streaming frequent-items sketch's batch twin — the SAME
     # operator code (groupBy + sketch agg + in-array ranking is
     # engine-agnostic) run on the batch table, hash-mirrored by the

@@ -465,6 +465,99 @@ def _lsh_band_rows(
     ).select(id_col, "band.band_id", "band.band_hash")
 
 
+def _ckpt_verify_stats(
+    hot_h: DataFrame, sizes: DataFrame, checkpoint_mode: str
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the two small per-verification statistics frames —
+    the hot-shingle vocabulary (df > cap) and the per-doc set sizes —
+    ONCE each, concurrently.
+
+    Without this, each frame's aggregate subtree is re-embedded per
+    consumer and static planning/AQE do NOT reuse the stages (measured
+    r9: the entry's executed plan carried the ``__df`` aggregate 4x and
+    the sizes aggregate 2x — six full passes over the exploded
+    candidate-shingle stream where two suffice; at 100 TB each pass is
+    a full scan + exchange of that stream). Both frames depend only on
+    the already-checkpointed stream, so the two checkpoint jobs are
+    submitted from a thread pool and overlap (guide §2.6). Both are
+    small by construction: hot_h is bounded by |stream| / cap, sizes is
+    one row per candidate doc."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        hot_f = pool.submit(_eager_checkpoint, hot_h, checkpoint_mode)
+        sizes_f = pool.submit(_eager_checkpoint, sizes, checkpoint_mode)
+        return hot_f.result(), sizes_f.result()
+
+
+def _verified_jaccard_pairs(
+    candidates: DataFrame,
+    ex: DataFrame,
+    id_col: str,
+    threshold: float,
+    hot_shingle_docs: int,
+    checkpoint_mode: str,
+) -> DataFrame:
+    """Shared exact-Jaccard verification tail of the batch and
+    incremental MinHash-LSH faces: the narrow guarded inverted-index
+    common-shingle count over ``ex`` (the checkpointed exploded
+    (id, __h) stream of candidate docs only), followed by the size
+    join and the threshold filter. See ``minhash_lsh_pairs`` for the
+    full semantics (hot/cold vocabulary split, exactness argument);
+    this helper exists so both faces share one implementation and the
+    round-9 single-pass statistics materialization
+    (``_ckpt_verify_stats``)."""
+    hot_h = (
+        ex.groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > hot_shingle_docs)
+        .select("__h")
+    )
+    # per-doc set sizes, derived from the checkpointed candidate
+    # stream instead of re-scanning docs: shs is array_distinct, so
+    # COUNT(*) per id == size(shs), and only docs that share >= 1
+    # shingle with a candidate partner reach the final join (pairs
+    # with zero common shingles were dropped by the pair_common inner
+    # join in both formulations), so restricting sizes to candidate
+    # docs loses nothing.
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    hot_h, sizes = _ckpt_verify_stats(hot_h, sizes, checkpoint_mode)
+    ex_cold = ex.join(hot_h, "__h", "left_anti")
+    pc_cold = (
+        ex_cold.select(F.col(id_col).alias("id_1"), "__h")
+        .join(ex_cold.select(F.col(id_col).alias("id_2"), "__h"), "__h")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("__common"))
+    )
+    ex_hot = ex.join(hot_h, "__h", "left_semi")
+    pc_hot = (
+        candidates
+        .join(ex_hot.select(F.col(id_col).alias("id_1"), "__h"), "id_1")
+        .join(ex_hot.select(F.col(id_col).alias("id_2"), "__h"), ["id_2", "__h"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("__common"))
+    )
+    pair_common = (
+        pc_cold.unionByName(pc_hot)
+        .groupBy("id_1", "id_2")
+        .agg(F.sum("__common").alias("__common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("__sz").alias("sz_1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("__sz").alias("sz_2"))
+    jac = F.col("__common") / (
+        F.col("sz_1") + F.col("sz_2") - F.col("__common")
+    )
+    return (
+        candidates.join(pair_common, ["id_1", "id_2"])
+        .join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -611,54 +704,8 @@ def minhash_lsh_pairs(
     # docs fed banding (inside the candidates checkpoint) and ex —
     # nothing below scans it again; release the executors' cache.
     docs.unpersist()
-    hot_h = (
-        ex.groupBy("__h")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") > hot_shingle_docs)
-        .select("__h")
-    )
-    ex_cold = ex.join(hot_h, "__h", "left_anti")
-    e1 = ex_cold.select(F.col(id_col).alias("id_1"), "__h")
-    e2 = ex_cold.select(F.col(id_col).alias("id_2"), "__h")
-    pc_cold = (
-        e1.join(e2, "__h")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
-        .agg(F.count("*").alias("__common"))
-    )
-    ex_hot = ex.join(hot_h, "__h", "left_semi")
-    pc_hot = (
-        candidates
-        .join(ex_hot.select(F.col(id_col).alias("id_1"), "__h"), "id_1")
-        .join(ex_hot.select(F.col(id_col).alias("id_2"), "__h"), ["id_2", "__h"])
-        .groupBy("id_1", "id_2")
-        .agg(F.count("*").alias("__common"))
-    )
-    pair_common = (
-        pc_cold.unionByName(pc_hot)
-        .groupBy("id_1", "id_2")
-        .agg(F.sum("__common").alias("__common"))
-    )
-    # per-doc set sizes, derived from the checkpointed candidate
-    # stream instead of re-scanning docs: shs is array_distinct, so
-    # COUNT(*) per id == size(shs), and only docs that share >= 1
-    # shingle with a candidate partner reach the join below (pairs
-    # with zero common shingles were dropped by the pair_common inner
-    # join in both formulations), so restricting sizes to candidate
-    # docs loses nothing.
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("__sz"))
-    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("__sz").alias("sz_1"))
-    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("__sz").alias("sz_2"))
-    jac = F.col("__common") / (
-        F.col("sz_1") + F.col("sz_2") - F.col("__common")
-    )
-    return (
-        candidates.join(pair_common, ["id_1", "id_2"])
-        .join(s1, "id_1")
-        .join(s2, "id_2")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))
+    return _verified_jaccard_pairs(
+        candidates, ex, id_col, threshold, hot_shingle_docs, checkpoint_mode
     )
 
 
@@ -796,46 +843,8 @@ def minhash_lsh_pairs_incremental(
         ),
         checkpoint_mode,
     )
-    hot_h = (
-        ex.groupBy("__h")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") > hot_shingle_docs)
-        .select("__h")
-    )
-    ex_cold = ex.join(hot_h, "__h", "left_anti")
-    pc_cold = (
-        ex_cold.select(F.col(id_col).alias("id_1"), "__h")
-        .join(ex_cold.select(F.col(id_col).alias("id_2"), "__h"), "__h")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
-        .agg(F.count("*").alias("__common"))
-    )
-    ex_hot = ex.join(hot_h, "__h", "left_semi")
-    pc_hot = (
-        candidates
-        .join(ex_hot.select(F.col(id_col).alias("id_1"), "__h"), "id_1")
-        .join(ex_hot.select(F.col(id_col).alias("id_2"), "__h"), ["id_2", "__h"])
-        .groupBy("id_1", "id_2")
-        .agg(F.count("*").alias("__common"))
-    )
-    pair_common = (
-        pc_cold.unionByName(pc_hot)
-        .groupBy("id_1", "id_2")
-        .agg(F.sum("__common").alias("__common"))
-    )
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("__sz"))
-    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("__sz").alias("sz_1"))
-    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("__sz").alias("sz_2"))
-    jac = F.col("__common") / (
-        F.col("sz_1") + F.col("sz_2") - F.col("__common")
-    )
-    pairs = (
-        candidates.join(pair_common, ["id_1", "id_2"])
-        .join(s1, "id_1")
-        .join(s2, "id_2")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))
+    pairs = _verified_jaccard_pairs(
+        candidates, ex, id_col, threshold, hot_shingle_docs, checkpoint_mode
     )
     return pairs, new_docs, new_bands
 

@@ -410,15 +410,26 @@ def train_pq(
     of subspace s (a tiny m x k x (dim/m) float table — driver/broadcast
     material). Training touches the corpus m times via pyspark.ml
     KMeans; at 100 TB fit on a sample — PQ codebooks only need the
-    marginal geometry of each subspace."""
+    marginal geometry of each subspace.
+
+    The ``m`` fits are INDEPENDENT seeded models over disjoint vector
+    slices, so they are submitted from a driver thread pool and their
+    (internally serial, iterative) job chains overlap on the cluster
+    (guide §2.6 idle-capacity pattern — a fit's tail tasks leave cores
+    free for the next subspace's jobs). Each codebook is unchanged:
+    seed, input slice, and partitioning are per-subspace, and driver
+    concurrency changes only job interleaving, never a fit's own
+    reduction order."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    books = []
-    for s in range(m):
+
+    def _fit(s: int) -> list[list[float]]:
         sub = corpus.select(
             array_to_vector(
                 F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub)
@@ -427,8 +438,10 @@ def train_pq(
         model = KMeans(
             k=k_codes, seed=seed + s, featuresCol="__v", predictionCol="__c"
         ).fit(sub)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
-    return books
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        return list(pool.map(_fit, range(m)))
 
 
 def pq_encode(

@@ -2155,9 +2155,23 @@ def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by tests/test_similarity*.py."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    lsh = lsh_topk(e, q, "vec_id", "embedding", k=10, dim=64)
-    ivf = ivf_topk(e, q, "vec_id", "embedding", k=10, n_cells=16, nprobe=4)
-    pq = pq_topk(e, q, "vec_id", "embedding", dim=64, k=10)
+    # The three tier builds are independent, and two of them run real
+    # training jobs at build time (ivf: one k-means fit; pq: m=8
+    # subspace fits, themselves overlapped inside train_pq) — submit
+    # them from a thread pool so the fits' job chains overlap
+    # (guide §2.6; same pattern as similarity_topk_bruteforce's
+    # branch builds). Tier expressions and results are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        lsh_f = pool.submit(
+            lsh_topk, e, q, "vec_id", "embedding", k=10, dim=64
+        )
+        ivf_f = pool.submit(
+            ivf_topk, e, q, "vec_id", "embedding", k=10, n_cells=16, nprobe=4
+        )
+        pq_f = pool.submit(pq_topk, e, q, "vec_id", "embedding", dim=64, k=10)
+        lsh, ivf, pq = lsh_f.result(), ivf_f.result(), pq_f.result()
     ann = (
         lsh.withColumn("tier", F.lit("lsh"))
         .unionByName(ivf.withColumn("tier", F.lit("ivf")))

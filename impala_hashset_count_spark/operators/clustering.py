@@ -135,35 +135,47 @@ def kmeans_quantized(
     qdf = df.select(
         F.col(id_col).alias("__id"), quantized_vec(vec_col).alias("__q")
     )
-    dim_row = qdf.select(F.size("__q")).first()
-    if dim_row is None:
-        raise ValueError("kmeans_quantized: input has no rows")
-    dim = int(dim_row[0])
-    cents = kmeans_seeds(qdf, "__id", "__q", k)
-    if len(cents) < k:
-        # fewer rows than clusters: kmeans_seeds returns what exists
-        # and cents[c] below would IndexError mid-iteration — fail
-        # loudly at the boundary instead (r6 advisor finding).
-        raise ValueError(
-            f"kmeans_quantized: k={k} clusters need at least k input "
-            f"rows, got {len(cents)}"
-        )
-    for _ in range(iters):
-        assigned = kmeans_assign(qdf, "__q", cents)
-        aggs = [F.count(F.lit(1)).alias("__n")] + [
-            F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}")
-            for i in range(dim)
-        ]
-        rows = {
-            int(r["cluster"]): r
-            for r in assigned.groupBy("cluster").agg(*aggs).collect()
-        }
-        cents = [
-            [int(rows[c][f"__s{i}"]) // int(rows[c]["__n"]) for i in range(dim)]
-            if c in rows
-            else cents[c]
-            for c in range(k)
-        ]
+    # The seed job and every update iteration re-execute qdf's lineage
+    # (scan + quantization) — iters+2 full corpus passes at any scale.
+    # Persist it for the duration of the driver-side training loop
+    # (guide §5: reused AND expensive to recompute); unpersisted below
+    # before the lazily-returned final assignment, so nothing leaks
+    # into the caller's CacheManager and the final execution costs the
+    # same single scan it always did. dim comes from the seed rows
+    # (the seeds ARE quantized vectors) — the former F.size probe was
+    # a whole extra job that only fetched the array length.
+    qdf.persist()
+    try:
+        cents = kmeans_seeds(qdf, "__id", "__q", k)
+        if not cents:
+            raise ValueError("kmeans_quantized: input has no rows")
+        if len(cents) < k:
+            # fewer rows than clusters: kmeans_seeds returns what exists
+            # and cents[c] below would IndexError mid-iteration — fail
+            # loudly at the boundary instead (r6 advisor finding).
+            raise ValueError(
+                f"kmeans_quantized: k={k} clusters need at least k input "
+                f"rows, got {len(cents)}"
+            )
+        dim = len(cents[0])
+        for _ in range(iters):
+            assigned = kmeans_assign(qdf, "__q", cents)
+            aggs = [F.count(F.lit(1)).alias("__n")] + [
+                F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}")
+                for i in range(dim)
+            ]
+            rows = {
+                int(r["cluster"]): r
+                for r in assigned.groupBy("cluster").agg(*aggs).collect()
+            }
+            cents = [
+                [int(rows[c][f"__s{i}"]) // int(rows[c]["__n"]) for i in range(dim)]
+                if c in rows
+                else cents[c]
+                for c in range(k)
+            ]
+    finally:
+        qdf.unpersist()
     final = kmeans_assign(qdf, "__q", cents).select(
         F.col("__id").alias(id_col), "cluster", "dist"
     )

@@ -101,7 +101,29 @@ def main() -> None:
     }
     if arm_timings:
         out["arms"] = arm_timings
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Defensive output contract (r9 verdict #8): BENCH_r08's ~3.5 kB
+    # one-line JSON failed to parse on the driver side, zeroing that
+    # round's PERF comparison. The headline contract line (metric /
+    # value / unit / queries / sf) is ~0.7 kB; the optional "arms"
+    # attribution block is what grows. Keep arms inline only while the
+    # full line stays under a size guard, and ALWAYS mirror the full
+    # record to a file next to this script so the per-arm numbers
+    # survive even when stdout is truncated or unparsed. Timings and
+    # methodology are unchanged — this is output plumbing only.
+    if len(line) > 8000:
+        out.pop("arms", None)
+        line = json.dumps(out)
+    try:
+        full = dict(out, arms=arm_timings) if arm_timings else out
+        mirror = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_LAST.json"
+        )
+        with open(mirror, "w") as fh:
+            json.dump(full, fh)
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
+    print(line)
     spark.stop()
 
 

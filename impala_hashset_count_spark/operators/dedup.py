@@ -31,6 +31,8 @@ Scale analysis (100 TB, ~10^10 docs):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -66,7 +68,37 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _eager_checkpoint(df: DataFrame, mode: str) -> DataFrame:
+#: Inputs at or above this estimated size flip the LOCAL checkpoint
+#: blocks (and the shingle-array persist) to serialized DISK_ONLY
+#: storage. ``localCheckpoint``'s default keeps deserialized partition
+#: blocks on the executor heap — at the third data decade that is a
+#: memory cliff, not a tuning knob: the r9 sf100 sweep OOMed a 24 GiB
+#: heap at the candidates checkpoint (SF100_SWEEP_r09.json), because a
+#: deserialized block must be BUILT in memory before it can spill.
+#: DISK_ONLY streams each block serialized to local disk instead (the
+#: optimization guide §5 posture for large reused intermediates). The
+#: gate reads the INPUT's optimizer size estimate (for a parquet scan:
+#: file bytes — the same driver-side no-job probe ``_spread`` uses), so
+#: bench-SF behavior is byte-identical and only genuinely large runs
+#: pay the serialization. Env-overridable for scale tests.
+_CKPT_DISK_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_CKPT_DISK_MIN_BYTES", str(1 << 29))
+)
+
+
+def _plan_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate of ``df``, read driver-side with no job
+    (exact file bytes for a bare scan; an estimate above it). -1 when
+    the session exposes no JVM plan (connect)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - non-JVM sessions
+        return -1
+
+
+def _eager_checkpoint(
+    df: DataFrame, mode: str, spill_safe: bool = False
+) -> DataFrame:
     """Eager lineage-truncating checkpoint — the shared submit-time
     fault-tolerance knob (``checkpoint_mode``) of the iterative /
     multi-consumer dedup operators.
@@ -83,8 +115,18 @@ def _eager_checkpoint(df: DataFrame, mode: str) -> DataFrame:
     cluster). Survives executor loss — the 100 TB posture for
     long-running dedup jobs, where losing hour N-1's banding to one
     preempted executor is not acceptable. Requires the dir to be set;
-    raises immediately (not mid-job) if it is not."""
+    raises immediately (not mid-job) if it is not.
+
+    ``spill_safe=True`` (callers set it above ``_CKPT_DISK_MIN_BYTES``
+    of input) stores local-checkpoint blocks serialized DISK_ONLY —
+    identical results, no deserialized-block heap cliff at scale."""
     if mode == "local":
+        if spill_safe:
+            from pyspark.storagelevel import StorageLevel
+
+            return df.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
         return df.localCheckpoint()
     if mode == "reliable":
         sc = df.sparkSession.sparkContext
@@ -466,7 +508,10 @@ def _lsh_band_rows(
 
 
 def _ckpt_verify_stats(
-    hot_h: DataFrame, sizes: DataFrame, checkpoint_mode: str
+    hot_h: DataFrame,
+    sizes: DataFrame,
+    checkpoint_mode: str,
+    spill_safe: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize the two small per-verification statistics frames —
     the hot-shingle vocabulary (df > cap) and the per-doc set sizes —
@@ -485,8 +530,12 @@ def _ckpt_verify_stats(
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        hot_f = pool.submit(_eager_checkpoint, hot_h, checkpoint_mode)
-        sizes_f = pool.submit(_eager_checkpoint, sizes, checkpoint_mode)
+        hot_f = pool.submit(
+            _eager_checkpoint, hot_h, checkpoint_mode, spill_safe
+        )
+        sizes_f = pool.submit(
+            _eager_checkpoint, sizes, checkpoint_mode, spill_safe
+        )
         return hot_f.result(), sizes_f.result()
 
 
@@ -497,6 +546,7 @@ def _verified_jaccard_pairs(
     threshold: float,
     hot_shingle_docs: int,
     checkpoint_mode: str,
+    spill_safe: bool = False,
 ) -> DataFrame:
     """Shared exact-Jaccard verification tail of the batch and
     incremental MinHash-LSH faces: the narrow guarded inverted-index
@@ -521,7 +571,7 @@ def _verified_jaccard_pairs(
     # join in both formulations), so restricting sizes to candidate
     # docs loses nothing.
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("__sz"))
-    hot_h, sizes = _ckpt_verify_stats(hot_h, sizes, checkpoint_mode)
+    hot_h, sizes = _ckpt_verify_stats(hot_h, sizes, checkpoint_mode, spill_safe)
     ex_cold = ex.join(hot_h, "__h", "left_anti")
     pc_cold = (
         ex_cold.select(F.col(id_col).alias("id_1"), "__h")
@@ -626,7 +676,17 @@ def minhash_lsh_pairs(
     ``_eager_checkpoint``."""
     if strategy not in ("arrow", "hof"):
         raise ValueError(f"strategy must be 'arrow' or 'hof', got {strategy!r}")
-    docs = doc_shingle_arrays(df, id_col, text_col, n, hash_fn=hash_fn).persist()
+    # Above the gate (large inputs only — see _CKPT_DISK_MIN_BYTES) the
+    # reused intermediates store serialized on disk instead of as
+    # deserialized heap blocks: identical results, no sf100 heap cliff.
+    spill_safe = _plan_bytes(df) >= _CKPT_DISK_MIN_BYTES
+    docs = doc_shingle_arrays(df, id_col, text_col, n, hash_fn=hash_fn)
+    if spill_safe:
+        from pyspark.storagelevel import StorageLevel
+
+        docs = docs.persist(StorageLevel.DISK_ONLY)
+    else:
+        docs = docs.persist()
     band_rows = _lsh_band_rows(docs, id_col, k, bands, hash_fn, strategy)
     if max_bucket_docs is not None:
         small = (
@@ -685,7 +745,7 @@ def minhash_lsh_pairs(
     # near_dup_components convention) computes the banding ONCE
     # and truncates the lineage so the plan doesn't re-embed the band
     # self-join per consumer. It is O(pairs) — tiny after banding.
-    candidates = _eager_checkpoint(candidates, checkpoint_mode)
+    candidates = _eager_checkpoint(candidates, checkpoint_mode, spill_safe)
     cand_ids = (
         candidates.select(
             F.explode(F.array("id_1", "id_2")).alias(id_col)
@@ -700,12 +760,14 @@ def minhash_lsh_pairs(
             F.col(id_col), F.explode("shs").alias("__h")
         ),
         checkpoint_mode,
+        spill_safe,
     )
     # docs fed banding (inside the candidates checkpoint) and ex —
     # nothing below scans it again; release the executors' cache.
     docs.unpersist()
     return _verified_jaccard_pairs(
-        candidates, ex, id_col, threshold, hot_shingle_docs, checkpoint_mode
+        candidates, ex, id_col, threshold, hot_shingle_docs,
+        checkpoint_mode, spill_safe,
     )
 
 
@@ -784,9 +846,18 @@ def minhash_lsh_pairs_incremental(
     blow-ups as in the batch face. The pair set equals the batch face's
     output restricted to pairs touching the new ids (tested — same
     deterministic hashes, same verification)."""
-    new_docs = doc_shingle_arrays(
-        new_df, id_col, text_col, n, hash_fn=hash_fn
-    ).persist()
+    # Gate on new batch + stored index size (see _CKPT_DISK_MIN_BYTES).
+    spill_safe = (
+        max(_plan_bytes(new_df), _plan_bytes(stored_docs))
+        >= _CKPT_DISK_MIN_BYTES
+    )
+    new_docs = doc_shingle_arrays(new_df, id_col, text_col, n, hash_fn=hash_fn)
+    if spill_safe:
+        from pyspark.storagelevel import StorageLevel
+
+        new_docs = new_docs.persist(StorageLevel.DISK_ONLY)
+    else:
+        new_docs = new_docs.persist()
     new_bands = _lsh_band_rows(new_docs, id_col, k, bands, hash_fn, strategy)
     all_bands = stored_bands.unionByName(new_bands)
     if max_bucket_docs is not None:
@@ -825,7 +896,7 @@ def minhash_lsh_pairs_incremental(
     # the unguarded form at every cap (the batch-face invariant,
     # equality-tested against it in tests/test_dedup_similarity.py).
     # checkpoint_mode as in the batch face (see _eager_checkpoint).
-    candidates = _eager_checkpoint(candidates, checkpoint_mode)
+    candidates = _eager_checkpoint(candidates, checkpoint_mode, spill_safe)
     cand_ids = (
         candidates.select(
             F.explode(F.array("id_1", "id_2")).alias(id_col)
@@ -842,9 +913,11 @@ def minhash_lsh_pairs_incremental(
             F.col(id_col), F.explode("shs").alias("__h")
         ),
         checkpoint_mode,
+        spill_safe,
     )
     pairs = _verified_jaccard_pairs(
-        candidates, ex, id_col, threshold, hot_shingle_docs, checkpoint_mode
+        candidates, ex, id_col, threshold, hot_shingle_docs,
+        checkpoint_mode, spill_safe,
     )
     return pairs, new_docs, new_bands
 

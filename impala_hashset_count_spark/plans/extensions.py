@@ -2842,6 +2842,29 @@ def _cs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents")
 
 
+#: Documents-table footer bytes at or above which the corpus entry's
+#: shared ``term_doc_stats`` frame is persisted (serialized DISK_ONLY)
+#: so its three consumers (tfidf / toptok / unigram_lp) pay ONE corpus
+#: explode instead of three. Below the gate (every bench SF) the plan
+#: is byte-identical to the unpersisted form — the r9 A/B measured the
+#: persist ~40% SLOWER at sf0.1, where cache write+read overhead
+#: exceeds the re-scan. Same input-layout-derived gating discipline as
+#: ``widen_small_scan``; env-overridable for scale tests.
+_CS_TF_PERSIST_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_CS_TF_PERSIST_MIN_BYTES", str(1 << 28))
+)
+
+
+def _cs_table_bytes(sf_dir: str) -> int:
+    """Documents-table size from parquet footers only (no job)."""
+    from ..sources.tables import _parquet_scan_width, table_path
+
+    try:
+        return _parquet_scan_width(table_path(sf_dir, "documents"))[0]
+    except Exception:  # pragma: no cover - metadata unreadable
+        return 0
+
+
 #: Standalone per-statistic-family builders (each rebuilds its own tf
 #: plan — arm times attribute families, they don't sum to the entry).
 _CS_ARMS = {
@@ -2944,12 +2967,21 @@ def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     share an Exchange across union arms, so the shared plan still
     re-executes per branch; a ``.persist()`` of tf was MEASURED at
     sf0.1 and is ~40% SLOWER here (cache write+read overhead exceeds
-    the re-scan cost at this scale, 2.74s vs 1.93s min-of-3) — at
-    100 TB the tradeoff reverses, and production materializes
-    ``term_doc_stats`` to storage once (the operators accept
-    ``tf_table=`` for exactly that)."""
+    the re-scan cost at this scale, 2.74s vs 1.93s min-of-3) — so the
+    materialization is SCALE-GATED on the input's parquet footer bytes
+    (the ``widen_small_scan`` pattern, r9 verdict #1): above
+    ``_CS_TF_PERSIST_MIN_BYTES`` the shared tf persists serialized
+    DISK_ONLY (one corpus explode feeding all three consumers — at
+    100 TB each avoided re-scan is a full corpus tokenize+shuffle),
+    below it the plan is byte-identical to before. Production can
+    still materialize ``term_doc_stats`` to a table and pass
+    ``tf_table=`` when the stats are reused across jobs."""
     d = _t(spark, sf_dir, "documents")
     tf_shared = term_doc_stats(d)
+    if _cs_table_bytes(sf_dir) >= _CS_TF_PERSIST_MIN_BYTES:
+        from pyspark.storagelevel import StorageLevel
+
+        tf_shared = tf_shared.persist(StorageLevel.DISK_ONLY)
 
     # every arm's v is an exact-integer component surface
     # (component_scores=True): no floats reach the driver's

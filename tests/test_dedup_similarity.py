@@ -1188,6 +1188,33 @@ def test_checkpoint_mode_reliable_matches_local(spark, sf_small, tmp_path):
     assert star_rel == comp_local
 
 
+def test_checkpoint_spill_safe_gate_matches_default(spark, sf_small, monkeypatch):
+    """The r9 verdict's sf100 memory-cliff fix: above the size gate the
+    local-checkpoint blocks (and the shingle persist) store serialized
+    DISK_ONLY instead of as deserialized heap blocks. The gate moves
+    STORAGE only — forcing it on at tiny scale must reproduce the
+    default pair set bit-for-bit, and the default gate must stay OFF at
+    bench SFs (plan/behavior byte-identical there)."""
+    from impala_hashset_count_spark.operators import dedup as dedup_mod
+    from impala_hashset_count_spark.operators.dedup import _plan_bytes
+
+    d = load_table(spark, sf_small, "documents")
+    # bench SFs sit far under the default gate: behavior unchanged there
+    assert 0 < _plan_bytes(d) < dedup_mod._CKPT_DISK_MIN_BYTES
+
+    base = {
+        (r.id_1, r.id_2, r.jaccard)
+        for r in minhash_lsh_pairs(d, "doc_id", "text").collect()
+    }
+    assert base, "fixture should contain near-dup pairs"
+    monkeypatch.setattr(dedup_mod, "_CKPT_DISK_MIN_BYTES", 1)
+    forced = {
+        (r.id_1, r.id_2, r.jaccard)
+        for r in minhash_lsh_pairs(d, "doc_id", "text").collect()
+    }
+    assert forced == base
+
+
 def test_minhash_full_run_restricted_equals_slice_run(spark, sf_small):
     """Soundness of the sf100 slice certification
     (tools/sf100_slice_cert.py): every stage of minhash_lsh_pairs is a

@@ -242,6 +242,30 @@ def ngram_jaccard_pairs(
     docs before pairing — a skew guard: one 10M-doc boilerplate shingle
     would otherwise create 10^13 join rows. Leave None for oracle-exact
     parity runs; set it in production."""
+    scored = ngram_jaccard_scored_pairs(
+        df, id_col, text_col, n, threshold, max_shingle_docs
+    )
+    return scored.select(
+        "id_1", "id_2", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def ngram_jaccard_scored_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` with the UNROUNDED jaccard column — the
+    shareable form: one inverted-index pass at a loose threshold can
+    serve several consumers that re-filter on the exact (unrounded)
+    jaccard at their own tighter thresholds, because per-pair Jaccard
+    depends only on the two documents' shingle sets (adding or removing
+    OTHER documents from ``df`` never changes a surviving pair's
+    value). The threshold here filters the unrounded value, exactly as
+    the public wrapper always did."""
     sd = shingle_sets(df, id_col, text_col, n).cache()
     sizes = sd.groupBy(id_col).agg(F.count("*").alias("sz"))
     pairs_src = sd
@@ -269,7 +293,7 @@ def ngram_jaccard_pairs(
         .join(s2, "id_2")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_1", "id_2", F.round("jaccard", 4).alias("jaccard"))
+        .select("id_1", "id_2", "jaccard")
     )
 
 
@@ -282,6 +306,7 @@ def edit_distance_pairs(
     prefix: int = 256,
     min_sim: float = 0.4,
     max_shingle_docs: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy near-dup pairs by EDIT DISTANCE: candidates from the
     shared-shingle inverted index at a LOOSE Jaccard threshold
@@ -296,10 +321,22 @@ def edit_distance_pairs(
     the prefix regardless of document length — at 100 TB the cost is
     candidates x a constant, never corpus x corpus. edit_sim is two
     IEEE ops on exact ints (division + subtraction), so the value is
-    engine-bit-stable for the oracle hash."""
-    cand = ngram_jaccard_pairs(
-        df, id_col, text_col, n, candidate_threshold, max_shingle_docs
-    ).select("id_1", "id_2")
+    engine-bit-stable for the oracle hash.
+
+    ``candidates`` (id_1, id_2 superset of the loose-Jaccard pairs over
+    ``df``) skips the internal candidate pass — callers that already
+    ran the inverted index at ``candidate_threshold`` over a SUPERSET
+    corpus pass it here, so one shingle self-join serves both tiers.
+    The inner prefix joins below restrict to ids present in ``df``,
+    and pairs' Jaccard values are corpus-independent, so the verified
+    output is identical."""
+    cand = (
+        candidates.select("id_1", "id_2")
+        if candidates is not None
+        else ngram_jaccard_pairs(
+            df, id_col, text_col, n, candidate_threshold, max_shingle_docs
+        ).select("id_1", "id_2")
+    )
     t = df.select(
         F.col(id_col).alias("_eid"),
         F.substring(F.col(text_col), 1, prefix).alias("_pfx"),
@@ -1069,14 +1106,21 @@ def near_dup_components_star(
     nodes = _symmetrize(edges).select(F.col("u").alias("id")).distinct()
     cur = edges
     converged = False
+    # Carry each round's edge count forward: cur.count() is always the
+    # previous round's after_small.count(), so re-running it was one
+    # whole extra job per round (the fixpoint loop is job-latency-bound
+    # — every round is already two checkpoints plus the convergence
+    # actions).
+    cur_count = cur.count()
     for _ in range(max_iter):
         after_large = _eager_checkpoint(_large_star(cur), checkpoint_mode)
         after_small = _eager_checkpoint(_small_star(after_large), checkpoint_mode)
+        after_count = after_small.count()
         unchanged = (
-            after_small.count() == cur.count()
+            after_count == cur_count
             and after_small.exceptAll(cur).isEmpty()
         )
-        cur = after_small
+        cur, cur_count = after_small, after_count
         if unchanged:
             converged = True
             break

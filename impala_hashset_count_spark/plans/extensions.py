@@ -1292,11 +1292,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       ASCII docs for the oracle because DuckDB's LEVENSHTEIN counts
       BYTES while Spark's counts codepoints (on ASCII they agree);
       production has no such restriction."""
-    from ..operators.dedup import edit_distance_pairs
+    from ..operators.dedup import (
+        edit_distance_pairs,
+        ngram_jaccard_scored_pairs,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
-        F.lit("exact").alias("tag"), "id_1", "id_2", "jaccard"
+    # ONE inverted-index pass serves both deterministic-shingle arms
+    # (r10, guide §2.4): the exact arm re-filters the UNROUNDED jaccard
+    # at 0.5 (bit-identical to its former standalone 0.5-threshold
+    # pass — the self-join work never depended on the threshold, only
+    # the final filter does), and the edit arm's loose candidates are
+    # the same pairs restricted to ascii docs by its inner prefix
+    # joins (per-pair Jaccard is corpus-independent, so pairs computed
+    # over the full corpus equal pairs computed over the ascii
+    # subset). Eagerly checkpointed because static planning cannot
+    # share a subtree across union arms — the pair table is O(pairs),
+    # tiny next to the shingle self-join it saves.
+    scored = ngram_jaccard_scored_pairs(
+        d, "doc_id", "text", n=3, threshold=0.3
+    ).localCheckpoint()
+    exact = scored.filter(F.col("jaccard") >= 0.5).select(
+        F.lit("exact").alias("tag"), "id_1", "id_2",
+        F.round("jaccard", 4).alias("jaccard"),
     )
     mh = minhash_lsh_pairs(
         d, "doc_id", "text", n=3, k=64, bands=32, threshold=0.5, hash_fn="md5"
@@ -1305,6 +1323,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = edit_distance_pairs(
         ascii_docs, "doc_id", "text", n=3,
         candidate_threshold=0.3, prefix=256, min_sim=0.4,
+        candidates=scored.select("id_1", "id_2"),
     ).select(
         F.lit("edit").alias("tag"), "id_1", "id_2",
         F.col("edit_sim").alias("jaccard"),
@@ -1779,13 +1798,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     nul_n = F.lit(None).cast("long").alias("n")
     nul_cos = F.lit(None).cast("double").alias("cos_sim")
-    pairs = embedding_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.4, block_col="label",
-        lsh_bands=8, lsh_rows=10,
-    ).select(
+    # The label-blocked pairs arm is independent of the k-means
+    # training loop (which is inherently serial: seeds then three
+    # dependent centroid-update jobs). Materialize the pairs arm from
+    # a second thread while training runs, so the banding/verify job
+    # back-fills executors the small training collects leave idle
+    # (guide §2.6 — the r9 ANN-tier pattern). The checkpoint holds the
+    # SAME rows the lazy plan produced; training math is untouched.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _pairs():
+        return embedding_near_dup_pairs(
+            e, "vec_id", "embedding", threshold=0.4, block_col="label",
+            lsh_bands=8, lsh_rows=10,
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pairs_f = pool.submit(_pairs)
+        km_f = pool.submit(
+            kmeans_quantized, e, "vec_id", "embedding", 8, 3
+        )
+        pairs_ckpt, (assign, cents) = pairs_f.result(), km_f.result()
+    pairs = pairs_ckpt.select(
         F.lit("pairs").alias("tag"), "id_1", "id_2", nul_n, "cos_sim"
     )
-    assign, cents = kmeans_quantized(e, "vec_id", "embedding", k=8, iters=3)
     sd_assign = assign.select(
         F.lit("sd_assign").alias("tag"),
         F.col("vec_id").alias("id_1"),
@@ -2360,7 +2396,21 @@ def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         c: F.lit(None).cast("long").alias(c)
         for c in ("rep", "degree", "n_triangles", "pr_fixed")
     }
-    comp = near_dup_components(pairs).select(
+    # The two component algorithms are EAGER iterative loops (per-round
+    # checkpoints + fixpoint actions) over the same checkpointed pair
+    # table, with no dependency on each other — run them from a thread
+    # pool so the star rounds back-fill executors idled by the
+    # propagation loop's fixpoint counts and vice versa (guide §2.6;
+    # the r9 corpus_stats/auto-router pattern applied to iterative
+    # jobs). Iteration order, labels, and results are unchanged — only
+    # the two loops' wall-clocks overlap.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        comp_f = pool.submit(near_dup_components, pairs)
+        ccstar_f = pool.submit(near_dup_components_star, pairs)
+        comp_labels, ccstar_labels = comp_f.result(), ccstar_f.result()
+    comp = comp_labels.select(
         F.lit("comp").alias("tag"),
         "id",
         "rep",
@@ -2368,7 +2418,7 @@ def dedup_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls["n_triangles"],
         nulls["pr_fixed"],
     )
-    ccstar = near_dup_components_star(pairs).select(
+    ccstar = ccstar_labels.select(
         F.lit("ccstar").alias("tag"),
         "id",
         "rep",
